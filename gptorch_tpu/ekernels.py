@@ -1,0 +1,164 @@
+"""Kernel expectations (ψ-statistics) under Gaussian input uncertainty.
+
+For q(x_i) = N(μ_i, diag(s_i)) these compute
+
+    ψ₀ = <K_xx>        (eKxx,     per-datum scalars)
+    ψ₁ = <K_xz>        (eKxz,     n × m)
+    ψ₂ = <K_zx K_xz>   (eKzxKxz,  m × m summed over data, or n × m × m)
+
+used by variational GPLVM-style bounds (Damianou's thesis, App. B.2).
+
+Reference: ``gptorch/ekernels.py``.  That implementation is legacy Py2 code
+(``xrange`` at :99 and :197 crashes on Py3) with an O(n) *serial Python
+loop* over data -- its own docstring reports ~2 s forward for n=1000, m=50,
+q=10 (:29-32) and calls out "could be distributed" as an aspiration.  This
+module re-derives the closed forms and vectorizes them into batched XLA ops
+(vmap/scan), which is exactly the "distributed/parallel" version the
+reference wished for: a single fused device program, no host loop.
+
+Also fixed here: the reference's ``class Linear(Rbf): pass`` (:231-232)
+aliased the RBF expectations; :class:`Linear` below implements the real
+linear-kernel expectations.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import kernels as _kernels
+
+
+def _cov_value(Xcov, requires_transform):
+    """The reference passes Xcov as a Param and calls .transform()
+    (ekernels.py:89, :182); accept both Params and plain arrays."""
+    if requires_transform and hasattr(Xcov, "value"):
+        return Xcov.value
+    if hasattr(Xcov, "value"):
+        return Xcov.value
+    return jnp.asarray(Xcov)
+
+
+class Rbf(_kernels.Rbf):
+    """RBF kernel with closed-form ψ-statistics (vectorized).
+
+    Semantics match reference ekernels.py:53-228 (whose serial loops define
+    the math); shapes: Z (m, q), Xmean (n, q), Xcov (n, q) diagonal
+    covariances.
+    """
+
+    def eKxx(self, X):
+        """ψ₀ per datum = σ² (ekernels.py:54-64)."""
+        return self.Kdiag(X)
+
+    def eKxz(self, Z, Xmean, Xcov, requires_transform=False):
+        """ψ₁ = <K_xz>_q(X), shape (n, m) (ekernels.py:66-121, vectorized).
+
+        ψ₁[i,k] = σ² Π_q (1 + s_iq/ℓ_q²)^(-½)
+                     exp(-½ Σ_q (μ_iq - z_kq)² / (ℓ_q² + s_iq))
+        """
+        Xcov = _cov_value(Xcov, requires_transform)
+        ell2 = jnp.square(self.length_scales.value)  # (q,) or (1,)
+        variance = self.variance.value.reshape(())
+
+        denom = ell2 + Xcov  # (n, q)
+        # (n, 1, q) - (1, m, q) -> (n, m, q)
+        diff2 = jnp.square(Xmean[:, None, :] - Z[None, :, :])
+        expo = -0.5 * jnp.sum(diff2 / denom[:, None, :], axis=-1)
+        half_logdet = 0.5 * jnp.sum(jnp.log1p(Xcov / ell2), axis=-1)  # (n,)
+        return variance * jnp.exp(expo - half_logdet[:, None])
+
+    # Reference exposes a vectorized variant under this name
+    # (ekernels.py:123-161); here the main path is already vectorized.
+    eKxz_parallel = eKxz
+
+    def eKzxKxz(self, Z, Xmean, Xcov, requires_transform=False, sum=True):
+        """ψ₂ = <K_zx K_xz>_q(X) (ekernels.py:163-228, vectorized).
+
+        With z̄ = (z_k + z_l)/2 and d_iq = ℓ_q² + 2 s_iq:
+
+        ψ₂[i,k,l] = σ⁴ Π_q (1 + 2 s_iq/ℓ_q²)^(-½)
+                       exp(-Σ_q (z_kq - z_lq)²/(4 ℓ_q²)
+                           -Σ_q (μ_iq - z̄_q)² / d_iq)
+
+        Returns (m, m) summed over data if ``sum`` else (n, m, m).
+        """
+        Xcov = _cov_value(Xcov, requires_transform)
+        ell = self.length_scales.value
+        ell2 = jnp.square(ell)
+        variance = self.variance.value.reshape(())
+
+        Z1 = Z / ell  # (m, q)
+        z1_2 = jnp.sum(jnp.square(Z1), axis=1)
+        shared = (
+            z1_2[:, None]
+            + z1_2[None, :]
+            - 2.0 * jnp.matmul(Z1, Z1.T, preferred_element_type=Z1.dtype)
+        )  # (m, m): scaled squared distances between inducing points
+
+        def per_datum(mu_i, s_i):
+            d = ell2 + 2.0 * s_i  # (q,)
+            mu_t = mu_i / jnp.sqrt(d)
+            Zi = Z / jnp.sqrt(d)  # (m, q)
+            zi_2 = jnp.sum(jnp.square(Zi), axis=1)  # (m,)
+            G = jnp.matmul(Zi, Zi.T, preferred_element_type=Zi.dtype)
+            mz = Zi @ mu_t  # (m,)
+            logdet = jnp.sum(jnp.log1p(2.0 * s_i / ell2))
+            expo = (
+                -0.25 * shared
+                - jnp.sum(jnp.square(mu_t))
+                - 0.25 * (zi_2[:, None] + zi_2[None, :] + 2.0 * G)
+                + mz[:, None]
+                + mz[None, :]
+                - 0.5 * logdet
+            )
+            return jnp.exp(expo) * jnp.square(variance)
+
+        if sum:
+            # scan-accumulate: O(m²) memory regardless of n.
+            def body(acc, inputs):
+                mu_i, s_i = inputs
+                return acc + per_datum(mu_i, s_i), None
+
+            init = jnp.zeros((Z.shape[0], Z.shape[0]), dtype=Z.dtype)
+            out, _ = jax.lax.scan(body, init, (Xmean, Xcov))
+            return out
+        return jax.vmap(per_datum)(Xmean, Xcov)
+
+
+class Linear(_kernels.Linear):
+    """Linear kernel ψ-statistics.
+
+    The reference aliased this to Rbf by mistake (ekernels.py:231-232); these
+    are the correct closed forms for k(x, x') = Σ_q v_q x_q x'_q.
+    """
+
+    def eKxx(self, Xmean, Xcov=None, requires_transform=False):
+        """<k(x,x)> = Σ_q v_q (μ_q² + s_q), shape (n,)."""
+        v = self.variance.value
+        if Xcov is None:
+            return jnp.sum(jnp.square(Xmean) * v, axis=-1)
+        Xcov = _cov_value(Xcov, requires_transform)
+        return jnp.sum((jnp.square(Xmean) + Xcov) * v, axis=-1)
+
+    def eKxz(self, Z, Xmean, Xcov=None, requires_transform=False):
+        """<K_xz> = μ diag(v) Zᵀ, shape (n, m) -- independent of Xcov."""
+        v = self.variance.value
+        return jnp.matmul(
+            Xmean * v, Z.T, preferred_element_type=jnp.result_type(Xmean)
+        )
+
+    def eKzxKxz(self, Z, Xmean, Xcov, requires_transform=False, sum=True):
+        """<K_zx K_xz>[i] = Z diag(v) (μ_i μ_iᵀ + diag(s_i)) diag(v) Zᵀ."""
+        Xcov = _cov_value(Xcov, requires_transform)
+        v = self.variance.value
+        Zv = Z * v  # (m, q)
+        A = Xmean @ Zv.T  # (n, m): μ_iᵀ diag(v) z_k
+        if sum:
+            # Σ_i [A_i A_iᵀ + Zv diag(s_i) Zvᵀ]
+            first = A.T @ A
+            second = jnp.einsum("kq,nq,lq->kl", Zv, Xcov, Zv)
+            return first + second
+        outer = A[:, :, None] * A[:, None, :]
+        second = jnp.einsum("kq,nq,lq->nkl", Zv, Xcov, Zv)
+        return outer + second

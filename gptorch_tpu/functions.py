@@ -1,0 +1,166 @@
+"""Robust linear algebra primitives.
+
+Reference (``gptorch/functions.py``): ``jit_op`` wraps torch.cholesky /
+torch.inverse in a try/except retry loop adding escalating absolute jitter
+``10**(-10+i)·I`` for i = 0..9 (functions.py:20-43); plus triangular solve
+(``trtrs``, :71-76), log-determinant of a triangular factor (:61-68), and
+Cholesky-based inverse (:50-54).
+
+TPU-native re-design: exceptions do not exist on device and Python try/except
+cannot see traced values.  Failure is detected by probing the factor for
+NaNs, and the escalation loop is a ``lax.while_loop`` over
+``stop_gradient``-ed inputs that only *selects a jitter level*; the final,
+differentiated factorization happens exactly once via ``lax.cond``.  The
+healthy path therefore costs one Cholesky, and gradients flow through
+``chol(A + jitter·I)`` precisely as in the reference (which differentiates
+through the successful jittered op).
+
+Policies (see :mod:`gptorch_tpu.settings`):
+
+* ``adaptive`` -- the reference-equivalent escalation described above.
+* ``fixed``    -- single relative jitter ``fixed_jitter * mean(diag(A))``;
+                  cheapest, recommended for float32 TPU production runs.
+* ``none``     -- factor as-is.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import cho_solve, solve_triangular
+
+from . import settings
+
+
+def _eye_like(a):
+    return jnp.eye(a.shape[-1], dtype=a.dtype)
+
+
+def _jitter_schedule(dtype):
+    """Absolute jitters tried by the reference after the bare attempt:
+    10**(-max_tries+i), i = 0..max_tries-1 (functions.py:34-42)."""
+    n = settings.config.max_jitter_tries
+    return jnp.asarray([10.0 ** (-n + i) for i in range(n)], dtype=dtype)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=())
+def _select_jitter(a):
+    """Pick the smallest jitter (0 or from the schedule) that yields a finite
+    Cholesky factor of ``a``.  Non-differentiable by construction (constant
+    JVP): the choice of jitter level is a discrete decision."""
+    a = lax.stop_gradient(a)
+    schedule = _jitter_schedule(a.dtype)
+    n = schedule.shape[0]
+    eye = _eye_like(a)
+
+    def ok(mat):
+        L = lax.linalg.cholesky(mat)
+        return jnp.all(jnp.isfinite(L))
+
+    def cond(state):
+        i, done = state
+        return jnp.logical_and(~done, i < n)
+
+    def body(state):
+        i, _ = state
+        return i + 1, ok(a + schedule[i] * eye)
+
+    # Bare attempt first (functions.py:29).
+    done0 = ok(a)
+    i, done = lax.while_loop(cond, body, (jnp.asarray(0), done0))
+    # i == 0 & done0      -> no jitter
+    # i == k & done       -> schedule[k-1]
+    # not done            -> largest jitter (result will still be NaN; the
+    #                        reference raises here -- on device we propagate
+    #                        NaN and let callers check).
+    idx = jnp.clip(i - 1, 0, n - 1)
+    jitter = jnp.where(done0, jnp.zeros((), a.dtype), schedule[idx])
+    return jitter
+
+
+@_select_jitter.defjvp
+def _select_jitter_jvp(primals, tangents):
+    (a,) = primals
+    return _select_jitter(a), jnp.zeros((), jnp.result_type(a))
+
+
+def cholesky(a, policy: str | None = None):
+    """Lower-triangular Cholesky factor with configurable jitter robustness.
+
+    Drop-in analog of reference ``functions.cholesky`` (functions.py:46-47).
+    """
+    a = jnp.asarray(a)
+    policy = policy if policy is not None else settings.config.jitter_policy
+    if policy == "none":
+        return lax.linalg.cholesky(a)
+    if policy == "fixed":
+        scale = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)
+        jitter = settings.config.fixed_jitter * lax.stop_gradient(scale)
+        return lax.linalg.cholesky(a + jitter[..., None, None] * _eye_like(a))
+    if policy == "adaptive":
+        if a.ndim != 2:
+            # Batched: vmap the 2-D path.
+            return jax.vmap(lambda m: cholesky(m, policy="adaptive"))(
+                a.reshape((-1,) + a.shape[-2:])
+            ).reshape(a.shape)
+        jitter = _select_jitter(a)
+        L0 = lax.linalg.cholesky(a)
+        # Recompute (differentiably) only when jitter was needed.
+        return lax.cond(
+            jitter > 0,
+            lambda: lax.linalg.cholesky(a + jitter * _eye_like(a)),
+            lambda: L0,
+        )
+    raise ValueError(f"Unknown jitter policy {policy!r}")
+
+
+def trtrs(b, a, lower: bool = True):
+    """Solve ``a x = b`` with triangular ``a``.
+
+    NOTE: argument order (b, a) matches the reference (functions.py:71-76).
+    """
+    return solve_triangular(a, b, lower=lower)
+
+
+def lt_log_determinant(L):
+    """log|L| for lower-triangular L = sum(log diag L) (functions.py:61-68)."""
+    return jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+
+
+def cholesky_inverse(L, upper: bool = False):
+    """Inverse of A from its Cholesky factor (functions.py:50-54)."""
+    eye = _eye_like(L)
+    return cho_solve((L, not upper), eye)
+
+
+def inverse(a):
+    """Matrix inverse with the same jitter robustness as :func:`cholesky`
+    for the adaptive policy (functions.py:57-58 wraps torch.inverse in
+    jit_op).  General matrices rarely need jitter; we factor via LU and only
+    jitter if the result is non-finite."""
+    a = jnp.asarray(a)
+    out = jnp.linalg.inv(a)
+    if settings.config.jitter_policy == "none":
+        return out
+    bad = ~jnp.all(jnp.isfinite(out))
+    jitter = settings.config.fixed_jitter * jnp.mean(
+        jnp.abs(jnp.diagonal(a, axis1=-2, axis2=-1))
+    )
+    return lax.cond(
+        bad,
+        lambda: jnp.linalg.inv(a + jitter * _eye_like(a)),
+        lambda: out,
+    )
+
+
+def cholesky_or_raise(a, policy: str | None = None):
+    """Eager wrapper that raises (like the reference's ``jit_op`` after
+    max_tries, functions.py:43) when even the largest jitter fails.  Only for
+    host-side use -- do not call under jit."""
+    L = cholesky(a, policy=policy)
+    if not bool(jnp.all(jnp.isfinite(L))):
+        raise RuntimeError("Max tries exceeded.")
+    return L

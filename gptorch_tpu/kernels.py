@@ -1,0 +1,281 @@
+"""Covariance kernels.
+
+Reference: ``gptorch/kernels.py`` (full zoo: White, Constant/Bias, Exp/
+Matern12, Matern32, Matern52, Rbf, Periodic-as-cosine, Linear, plus Sum /
+Product algebra and ARD length scales).  Formulas and parameterizations are
+reproduced exactly; implementation is pure-functional JAX so that a kernel
+evaluation ``k.K(X, X2)`` inside jit lowers to one (fused) MXU matmul plus
+VPU elementwise work.
+
+PARITY QUIRK kept on purpose: ``Periodic`` is the *cosine* kernel
+``σ² cos(r)`` (reference kernels.py:228-235), not the exp-sin² periodic
+kernel.  The standard one is provided separately as :class:`ExpSinSquared`
+(a capability the reference lacks).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from .module import Module
+from .param import Param, positive_param
+from .util import as_array, squared_distance
+
+
+def _k_shape(X, X2):
+    """Shape of K(X, X2) (reference kernels.py:18-25)."""
+    n1 = X.shape[0]
+    return (n1, n1) if X2 is None else (n1, X2.shape[0])
+
+
+class Kernel(Module):
+    """Base class: K(X, X2=None) -> (n1, n2) Gram matrix; Kdiag(X) -> (n,).
+
+    Supports ``+`` and ``*`` composition (kernels.py:38-42).
+    """
+
+    def __init__(self, input_dim: int):
+        self.input_dim = int(input_dim)
+
+    def K(self, X, X2=None):
+        raise NotImplementedError
+
+    def Kdiag(self, X):
+        raise NotImplementedError
+
+    def __add__(self, other):
+        return Sum(self, other)
+
+    def __mul__(self, other):
+        return Product(self, other)
+
+    def _validate_ard_shape(self, x, ARD=None):
+        """Broadcast a scalar-or-vector hyperparameter against input_dim
+        (reference kernels.py:44-64)."""
+        if ARD is None:
+            ARD = np.asarray(x).squeeze().shape != ()
+        x = np.asarray(x) * np.ones(self.input_dim)
+        if x.shape != (self.input_dim,):
+            raise ValueError("shape of possibly-ARD param does not match input_dim")
+        return x, bool(ARD)
+
+
+class Static(Kernel):
+    """Input-independent kernels: only a variance parameter
+    (kernels.py:67-80)."""
+
+    def __init__(self, input_dim: int, variance: float = 1.0):
+        super().__init__(input_dim)
+        self.variance = positive_param(as_array(variance))
+
+    def Kdiag(self, X):
+        X = as_array(X) if isinstance(X, np.ndarray) else X
+        return jnp.broadcast_to(self.variance.value.reshape(()), (X.shape[0],))
+
+
+class White(Static):
+    """White-noise kernel: σ²·I for K(X); zeros for cross-covariance
+    (kernels.py:83-92)."""
+
+    def K(self, X, X2=None):
+        if X2 is None:
+            return self.variance.value.reshape(()) * jnp.eye(
+                X.shape[0], dtype=self.variance.dtype
+            )
+        return jnp.zeros(_k_shape(X, X2), dtype=self.variance.dtype)
+
+
+class Constant(Static):
+    """Constant (bias) kernel (kernels.py:95-101)."""
+
+    def K(self, X, X2=None):
+        return jnp.broadcast_to(self.variance.value.reshape(()), _k_shape(X, X2))
+
+
+class Bias(Constant):
+    pass
+
+
+class Stationary(Kernel):
+    """Base for kernels of r = ||x - x'|| with ARD support
+    (kernels.py:108-179)."""
+
+    def __init__(
+        self,
+        input_dim: int,
+        variance: float = 1.0,
+        length_scales=None,
+        ARD: bool = False,
+    ):
+        super().__init__(input_dim)
+        self.variance = positive_param(as_array(variance))
+        self.ARD = bool(ARD)
+        if ARD:
+            if length_scales is None:
+                length_scales = np.ones(input_dim)
+            elif isinstance(length_scales, (np.ndarray, list, tuple)):
+                length_scales = np.asarray(length_scales, dtype=float)
+                assert len(length_scales) == input_dim
+            else:
+                length_scales = float(length_scales) * np.ones(input_dim)
+            self.length_scales = positive_param(as_array(length_scales))
+        else:
+            if length_scales is None:
+                length_scales = 1.0
+            self.length_scales = positive_param(as_array(float(length_scales)))
+
+    def squared_dist(self, X, X2=None):
+        """Length-scale-scaled squared distances (kernels.py:149-159)."""
+        ell = self.length_scales.value
+        return (
+            squared_distance(X / ell)
+            if X2 is None
+            else squared_distance(X / ell, X2 / ell)
+        )
+
+    def dist(self, X, X2=None):
+        """Scaled Euclidean distance; clamped ≥1e-40 before sqrt so the
+        gradient stays finite at r=0 (kernels.py:161-172)."""
+        return jnp.sqrt(jnp.maximum(self.squared_dist(X, X2), 1e-40))
+
+    def Kdiag(self, X):
+        X = as_array(X) if isinstance(X, np.ndarray) else X
+        return jnp.broadcast_to(self.variance.value.reshape(()), (X.shape[0],))
+
+
+class Exp(Stationary):
+    """k(r) = σ² exp(-r) on scaled distances (kernels.py:182-190)."""
+
+    def K(self, X, X2=None):
+        return self.variance.value.reshape(()) * jnp.exp(-self.dist(X, X2))
+
+
+class Matern12(Exp):
+    pass
+
+
+class Matern32(Stationary):
+    """k(r) = σ² (1 + √3 r) exp(-√3 r) (kernels.py:197-201)."""
+
+    def K(self, X, X2=None):
+        r3 = math.sqrt(3.0) * self.dist(X, X2)
+        return self.variance.value.reshape(()) * (1.0 + r3) * jnp.exp(-r3)
+
+
+class Matern52(Stationary):
+    """k(r) = σ² (1 + √5 r + 5r²/3) exp(-√5 r) (kernels.py:204-212)."""
+
+    def K(self, X, X2=None):
+        r = self.dist(X, X2)
+        s5 = math.sqrt(5.0)
+        return (
+            self.variance.value.reshape(())
+            * (1.0 + s5 * r + (5.0 / 3.0) * r * r)
+            * jnp.exp(-s5 * r)
+        )
+
+
+class Rbf(Stationary):
+    """Squared-exponential: k = σ² exp(-r²/2) (kernels.py:215-222).
+
+    On TPU, large-N Gram assembly should go through
+    :func:`gptorch_tpu.ops.rbf_gram` (fused Pallas tile kernel) -- this
+    reference path is what XLA fuses automatically and is used for parity.
+    """
+
+    def K(self, X, X2=None):
+        r2 = self.squared_dist(X, X2)
+        return self.variance.value.reshape(()) * jnp.exp(-0.5 * r2)
+
+
+SquaredExponential = Rbf
+
+
+class Periodic(Stationary):
+    """PARITY QUIRK: this is the reference's 'Periodic', which is actually a
+    cosine kernel k(r) = σ² cos(r) (kernels.py:228-235).  For the standard
+    periodic kernel use :class:`ExpSinSquared`."""
+
+    def K(self, X, X2=None):
+        return self.variance.value.reshape(()) * jnp.cos(self.dist(X, X2))
+
+
+class ExpSinSquared(Stationary):
+    """The standard periodic kernel the reference lacks:
+    k = σ² exp(-2 sin²(π r / p) / ℓ²) with period p.
+
+    (New capability; reference README.md:36-44 lists richer kernels as
+    roadmap items.)
+    """
+
+    def __init__(
+        self,
+        input_dim: int,
+        variance: float = 1.0,
+        length_scales=None,
+        period: float = 1.0,
+        ARD: bool = False,
+    ):
+        super().__init__(input_dim, variance, length_scales, ARD)
+        self.period = positive_param(as_array(float(period)))
+
+    def K(self, X, X2=None):
+        # Un-scaled distance: use raw inputs, length scale applies inside.
+        if X2 is None:
+            X2 = X
+        r = jnp.sqrt(jnp.maximum(squared_distance(X, X2), 1e-40))
+        ell = self.length_scales.value.reshape(())
+        p = self.period.value.reshape(())
+        s = jnp.sin(math.pi * r / p) / ell
+        return self.variance.value.reshape(()) * jnp.exp(-2.0 * s * s)
+
+
+class Linear(Kernel):
+    """Linear kernel with per-dimension (ARD) variances
+    (kernels.py:238-265)."""
+
+    def __init__(self, input_dim: int, variance=1.0, ARD=None):
+        super().__init__(input_dim)
+        variance, self.ARD = self._validate_ard_shape(variance, ARD)
+        self.variance = positive_param(as_array(variance))
+
+    def K(self, X, X2=None):
+        other = X if X2 is None else X2
+        return jnp.matmul(
+            X * self.variance.value,
+            other.T,
+            preferred_element_type=jnp.result_type(X),
+        )
+
+    def Kdiag(self, X):
+        return jnp.sum(X * X * self.variance.value, axis=1)
+
+
+class Combination(Kernel):
+    """Pair combination (kernels.py:268-284)."""
+
+    def __init__(self, kern1: Kernel, kern2: Kernel):
+        if kern1.input_dim != kern2.input_dim:
+            raise ValueError("Kernels need the same input_dim")
+        super().__init__(kern1.input_dim)
+        self.kern1 = kern1
+        self.kern2 = kern2
+
+
+class Product(Combination):
+    def K(self, X, X2=None):
+        return self.kern1.K(X, X2) * self.kern2.K(X, X2)
+
+    def Kdiag(self, X):
+        return self.kern1.Kdiag(X) * self.kern2.Kdiag(X)
+
+
+class Sum(Combination):
+    def K(self, X, X2=None):
+        return self.kern1.K(X, X2) + self.kern2.K(X, X2)
+
+    def Kdiag(self, X):
+        return self.kern1.Kdiag(X) + self.kern2.Kdiag(X)

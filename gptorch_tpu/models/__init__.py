@@ -1,0 +1,9 @@
+"""GP models (reference: gptorch/models/__init__.py:20-21 exports GPR, VFE,
+SVGP; FITC was a stub there and is real here; GPLVM was dead code there and
+is reimplemented in :mod:`gptorch_tpu.models.gplvm`)."""
+
+from .base import GPModel
+from .gpr import GPR
+from .sparse_gpr import FITC, SVGP, VFE
+
+__all__ = ["GPModel", "GPR", "VFE", "SVGP", "FITC"]

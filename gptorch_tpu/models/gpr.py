@@ -1,0 +1,80 @@
+"""Exact Gaussian-process regression.
+
+Reference: ``gptorch/models/gpr.py`` -- GPML (Rasmussen & Williams 2006)
+Algorithm 2.1:
+
+    L = chol(K(X,X) + σ²I)
+    α = L⁻¹ (y - m(X))
+    log p(y) = -½ Σα² - dy·Σ log diag L - ½·dy·n·log 2π     (gpr.py:47-67)
+
+and the posterior
+
+    A = L⁻¹ K(X, X*)
+    mean = Aᵀ(L⁻¹(y-m(X))) + m(X*)
+    var  = Kdiag(X*) - ΣA²   (diag)  |  K(X*,X*) - AᵀA  (full)   (gpr.py:88-117)
+
+Deliberate fix vs the reference: ``log_likelihood`` returns a 0-d scalar
+(the reference returns a 1-element vector, gpr.py:63-67 -- their own TODO at
+test_gpr.py:42).
+
+All heavy ops (Gram assembly, Cholesky, triangular solves) are single XLA
+ops that map straight onto the MXU; the distributed N≥100k path lives in
+:mod:`gptorch_tpu.parallel.gpr`.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from ..functions import cholesky, lt_log_determinant, trtrs
+from .base import GPModel
+
+
+class GPR(GPModel):
+    """Exact GP regression with a Gaussian likelihood."""
+
+    def __init__(self, x, y, kernel, mean_function=None, likelihood=None, name="gpr"):
+        super().__init__(x, y, kernel, likelihood, mean_function, name)
+
+    def log_likelihood(self, x=None, y=None, key=None):
+        x = x if x is not None else self.X
+        y = y if y is not None else self.Y
+        num_input, dim_output = y.shape
+
+        L = cholesky(self._compute_kyy(x=x))
+        alpha = trtrs(y - self.mean_function(x), L)
+        const = -0.5 * dim_output * num_input * math.log(2.0 * math.pi)
+        return (
+            -0.5 * jnp.sum(jnp.square(alpha))
+            - dim_output * lt_log_determinant(L)
+            + const
+        )
+
+    def _compute_kyy(self, x=None):
+        """K(X,X) + σ²I (gpr.py:69-86)."""
+        x = x if x is not None else self.X
+        n = x.shape[0]
+        return self.kernel.K(x) + self.likelihood.variance.value.reshape(
+            ()
+        ) * jnp.eye(n, dtype=jnp.result_type(x))
+
+    def _predict(self, x_new, diag=True, x=None):
+        """Posterior p(f* | y) at x_new (gpr.py:88-117)."""
+        x = x if x is not None else self.X
+
+        k_ys = self.kernel.K(x, x_new)
+        L = cholesky(self._compute_kyy(x=x))
+        A = trtrs(k_ys, L)
+        V = trtrs(self.Y - self.mean_function(x), L)
+        mean_f = A.T @ V + self.mean_function(x_new)
+
+        if diag:
+            var_f = jnp.broadcast_to(
+                (self.kernel.Kdiag(x_new) - jnp.sum(A * A, axis=0))[:, None],
+                mean_f.shape,
+            )
+        else:
+            var_f = self.kernel.K(x_new) - A.T @ A
+        return mean_f, var_f

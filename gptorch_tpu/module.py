@@ -1,0 +1,246 @@
+"""A minimal pytree-native module system.
+
+The reference builds on ``torch.nn.Module`` (gptorch/model.py:33): a mutable
+object tree whose parameters are discovered by attribute walking, with a
+scipy bridge that flattens/unflattens parameters to a single vector
+(model.py:56-133).
+
+TPU-native design: a :class:`Module` is a registered pytree.  Attributes are
+sorted into two groups on assignment:
+
+* **dynamic** (pytree children): :class:`~gptorch_tpu.param.Param` instances,
+  nested Modules, and plain arrays (buffers -- e.g. a GP model's ``X``/``Y``
+  training data, reference models/base.py:82-85);
+* **static** (aux data): everything else (ints, strings, bijectors, Python
+  callables...).  Static data is part of the treedef, so jit re-traces when
+  it changes and caches when it doesn't.
+
+Because Modules are pytrees, the whole model can be passed through
+``jax.jit`` / ``jax.grad`` / ``jax.vmap`` directly; a gradient arrives as a
+model-shaped pytree.  For optimizers we provide a named flat view
+(:func:`get_trainable` / :func:`with_trainable`) keyed by dotted paths
+("kernel.variance", ...) -- the same role as the reference's
+``_get_param_array`` / ``_set_parameters`` (model.py:56-82), but functional.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterator, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .param import Param
+
+
+def _is_dynamic(value) -> bool:
+    return isinstance(value, (Param, Module)) or isinstance(
+        value, (jax.Array, np.ndarray)
+    )
+
+
+class Module:
+    """Base class for all model components (kernels, likelihoods, GP models).
+
+    Subclasses are automatically registered as pytrees.  Assign Params,
+    sub-Modules, and arrays as ordinary attributes; everything else is
+    treated as static configuration.
+    """
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        jax.tree_util.register_pytree_node(
+            cls,
+            lambda m: m.tree_flatten(),
+            cls.tree_unflatten,
+        )
+
+    def __new__(cls, *args, **kwargs):
+        obj = super().__new__(cls)
+        object.__setattr__(obj, "_dynamic", {})
+        object.__setattr__(obj, "_static", {})
+        return obj
+
+    # -- attribute routing ---------------------------------------------------
+
+    def __setattr__(self, name: str, value: Any):
+        if name.startswith("_"):
+            object.__setattr__(self, name, value)
+            return
+        if _is_dynamic(value):
+            self._static.pop(name, None)
+            if isinstance(value, np.ndarray):
+                value = jnp.asarray(value)
+            self._dynamic[name] = value
+        else:
+            self._dynamic.pop(name, None)
+            self._static[name] = value
+
+    def __getattr__(self, name: str):
+        # Only called when normal lookup fails.
+        if name.startswith("_"):
+            raise AttributeError(name)
+        dyn = object.__getattribute__(self, "_dynamic")
+        if name in dyn:
+            return dyn[name]
+        sta = object.__getattribute__(self, "_static")
+        if name in sta:
+            return sta[name]
+        raise AttributeError(f"{type(self).__name__} has no attribute {name!r}")
+
+    def __delattr__(self, name: str):
+        if name in self._dynamic:
+            del self._dynamic[name]
+        elif name in self._static:
+            del self._static[name]
+        else:
+            object.__delattr__(self, name)
+
+    # -- pytree protocol -----------------------------------------------------
+
+    def tree_flatten(self):
+        keys = tuple(self._dynamic.keys())
+        children = tuple(self._dynamic.values())
+        static = tuple(self._static.items())
+        return children, (keys, static)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        keys, static = aux
+        obj = object.__new__(cls)
+        object.__setattr__(obj, "_dynamic", dict(zip(keys, children)))
+        object.__setattr__(obj, "_static", dict(static))
+        return obj
+
+    # -- parameter access ----------------------------------------------------
+
+    def named_parameters(self, prefix: str = "") -> Iterator[Tuple[str, Param]]:
+        """Yield (dotted_path, Param) pairs, depth-first in insertion order.
+
+        Analog of torch's named_parameters as used by the reference scipy
+        bridge (model.py:106-120).
+        """
+        for name, child in self._dynamic.items():
+            path = f"{prefix}{name}"
+            if isinstance(child, Param):
+                yield path, child
+            elif isinstance(child, Module):
+                yield from child.named_parameters(prefix=path + ".")
+
+    def parameters(self) -> List[Param]:
+        return [p for _, p in self.named_parameters()]
+
+    def _replace_child(self, path: str, new_value):
+        """Return a copy of self with the child at dotted ``path`` replaced."""
+        head, _, rest = path.partition(".")
+        children = dict(self._dynamic)
+        if rest:
+            children[head] = children[head]._replace_child(rest, new_value)
+        else:
+            children[head] = new_value
+        obj = object.__new__(type(self))
+        object.__setattr__(obj, "_dynamic", children)
+        object.__setattr__(obj, "_static", dict(self._static))
+        return obj
+
+    def replace(self, **updates) -> "Module":
+        """Functional attribute update: returns a copy with attrs replaced."""
+        obj = object.__new__(type(self))
+        object.__setattr__(obj, "_dynamic", dict(self._dynamic))
+        object.__setattr__(obj, "_static", dict(self._static))
+        for k, v in updates.items():
+            obj.__setattr__(k, v)
+        return obj
+
+    # -- priors ----------------------------------------------------------------
+
+    def log_prior(self):
+        """Sum of prior log-probs over all parameters that carry a prior.
+
+        PARITY QUIRK (kept deliberately): like the reference
+        (model.py:158-177), the prior is evaluated on the *constrained*
+        value with no change-of-variables Jacobian term.  MAP estimates in
+        unconstrained space are therefore biased exactly as the reference's
+        are.  Use ``Param.bijector.forward_log_det_jacobian`` if you want the
+        corrected objective.
+        """
+        total = jnp.zeros((), dtype=jnp.result_type(float))
+        for _, p in self.named_parameters():
+            if p.prior is not None:
+                total = total + jnp.sum(p.prior.log_prob(p.value))
+        return total
+
+    # -- repr ------------------------------------------------------------------
+
+    def __repr__(self):
+        lines = [type(self).__name__ + "("]
+        for name, child in self._dynamic.items():
+            child_repr = repr(child)
+            if "\n" in child_repr:
+                child_repr = child_repr.replace("\n", "\n  ")
+            lines.append(f"  ({name}): {child_repr}")
+        lines.append(")")
+        return "\n".join(lines)
+
+
+# -- flat named views (optimizer / scipy bridge) --------------------------------
+
+
+def get_trainable(module: Module) -> Dict[str, jax.Array]:
+    """Unconstrained raw values of all trainable Params, keyed by dotted path.
+
+    The returned dict is itself a pytree -- feed it to jax.grad / optax.
+    Role analog: reference ``Model._get_param_array`` (model.py:56-65), minus
+    the flattening-to-one-vector (see :func:`pack_vector`).
+    """
+    return {
+        path: p.raw for path, p in module.named_parameters() if p.trainable
+    }
+
+
+def with_trainable(module: Module, values: Dict[str, jax.Array]) -> Module:
+    """Return a copy of ``module`` with trainable Param raws replaced from
+    ``values`` (inverse of :func:`get_trainable`; analog of
+    ``Model._set_parameters``, model.py:67-82)."""
+    out = module
+    for path, p in module.named_parameters():
+        if p.trainable and path in values:
+            out = out._replace_child(path, p.with_raw(values[path]))
+    return out
+
+
+def pack_vector(values: Dict[str, jax.Array]) -> np.ndarray:
+    """Flatten a trainable dict to a single float64 numpy vector (sorted by
+    key) for scipy optimizers -- reference model.py:56-65 flattens the same
+    way via parameter iteration order; we sort for determinism."""
+    if not values:
+        return np.zeros((0,), dtype=np.float64)
+    return np.concatenate(
+        [np.asarray(values[k], dtype=np.float64).ravel() for k in sorted(values)]
+    )
+
+
+def unpack_vector(
+    vector: np.ndarray, like: Dict[str, jax.Array]
+) -> Dict[str, jax.Array]:
+    """Inverse of :func:`pack_vector`."""
+    out = {}
+    idx = 0
+    for k in sorted(like):
+        template = like[k]
+        size = int(np.prod(jnp.shape(template))) if jnp.shape(template) else 1
+        chunk = vector[idx : idx + size]
+        out[k] = jnp.asarray(
+            np.reshape(chunk, jnp.shape(template)), dtype=jnp.result_type(template)
+        )
+        idx += size
+    return out
+
+
+def tree_map_params(fn: Callable[[Param], Param], module: Module) -> Module:
+    """Apply ``fn`` to every Param in the module tree, returning a new tree."""
+    out = module
+    for path, p in module.named_parameters():
+        out = out._replace_child(path, fn(p))
+    return out
