@@ -37,11 +37,11 @@ class Constant(MeanFunction):
                 raise ValueError("Provided val doesn't match output dimension")
         else:
             val = jnp.zeros((dy,), dtype=settings.default_float())
-        self._dy = int(dy)
+        self.dy = int(dy)
         self.val = Param(val, trainable=trainable)
 
     def __call__(self, x):
-        return jnp.broadcast_to(self.val.value, (x.shape[0], self._dy))
+        return jnp.broadcast_to(self.val.value, (x.shape[0], self.dy))
 
 
 class Zero(Constant):

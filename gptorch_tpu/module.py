@@ -65,7 +65,9 @@ class Module:
     # -- attribute routing ---------------------------------------------------
 
     def __setattr__(self, name: str, value: Any):
-        if name.startswith("_"):
+        # Only the two internal containers live on the instance itself;
+        # every user attribute is routed so it survives pytree flattening.
+        if name in ("_dynamic", "_static"):
             object.__setattr__(self, name, value)
             return
         if _is_dynamic(value):
@@ -79,7 +81,7 @@ class Module:
 
     def __getattr__(self, name: str):
         # Only called when normal lookup fails.
-        if name.startswith("_"):
+        if name in ("_dynamic", "_static"):
             raise AttributeError(name)
         dyn = object.__getattribute__(self, "_dynamic")
         if name in dyn:

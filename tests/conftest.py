@@ -12,7 +12,6 @@ emulate the device mesh on host.
 import os
 
 # Must happen before jax initializes a backend.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,4 +20,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The TPU plugin (if present) registers itself with priority regardless of
+# the JAX_PLATFORMS env var; the config flag wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

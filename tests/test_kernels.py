@@ -1,0 +1,193 @@
+"""Kernel parity against the reference's golden .npy fixtures
+(reference test/test_kernels.py + test/data/kernels/*).
+
+Fixtures reused verbatim (data only): x1/x2 inputs, per-kernel expected
+K(x), K(x, x2), Kdiag, and ARD variants with shared length scales.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gptorch_tpu import kernels
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data", "kernels")
+
+
+def _load(name):
+    return np.load(os.path.join(DATA_DIR, name))
+
+
+class Kern:
+    kernel_type = None
+    # Reference stores goldens under the torch class names; ours match.
+
+    @classmethod
+    def setup_class(cls):
+        cls.x1 = jnp.asarray(_load("x1.npy"))
+        cls.x2 = jnp.asarray(_load("x2.npy"))
+        cls.n1, cls.d1 = cls.x1.shape
+        cls.kern = cls.kernel_type(cls.d1)
+        cls.kern_str = cls.kernel_type.__name__
+        cls.kx_expected = _load(f"{cls.kern_str}_kx.npy")
+        cls.kx2_expected = _load(f"{cls.kern_str}_kx2.npy")
+        cls.kdiag_expected = _load(f"{cls.kern_str}_kdiag.npy")
+
+    def test_add(self):
+        k1 = self.kern + self.kern
+        k2 = kernels.Sum(self.kern, self.kern)
+        assert np.asarray(k1.K(self.x1)) == pytest.approx(np.asarray(k2.K(self.x1)))
+
+    def test_mul(self):
+        k1 = self.kern * self.kern
+        k2 = kernels.Product(self.kern, self.kern)
+        assert np.asarray(k1.K(self.x1)) == pytest.approx(np.asarray(k2.K(self.x1)))
+
+    def test_K(self):
+        kx = np.asarray(self.kern.K(self.x1))
+        kx2 = np.asarray(self.kern.K(self.x1, self.x2))
+        kx2t = np.asarray(self.kern.K(self.x2, self.x1))
+        assert np.allclose(self.kx_expected, kx)
+        assert np.allclose(self.kx2_expected, kx2)
+        assert np.allclose(kx, kx.T)
+        assert np.allclose(self.kx2_expected, kx2t.T)
+
+    def test_Kdiag(self):
+        kdiag = np.asarray(self.kern.Kdiag(self.x1))
+        assert np.allclose(self.kdiag_expected, kdiag)
+
+
+class Stationary(Kern):
+    @classmethod
+    def setup_class(cls):
+        super().setup_class()
+        cls.x1_shift = cls.x1 + 0.34
+
+    def test_K(self):
+        super().test_K()
+        # Translation invariance (reference test_kernels.py:83-99)
+        kx_shift = np.asarray(self.kern.K(self.x1_shift))
+        assert np.allclose(self.kx_expected, kx_shift)
+
+    def test_Kdiag(self):
+        super().test_Kdiag()
+        assert np.allclose(
+            self.kdiag_expected, np.asarray(self.kern.Kdiag(self.x1_shift))
+        )
+
+
+class ARD(Stationary):
+    @classmethod
+    def setup_class(cls):
+        super().setup_class()
+        cls.ard_length_scales = _load("ard_length_scales.npy")
+        cls.kern_ard = cls.kernel_type(
+            cls.d1, ARD=True, length_scales=cls.ard_length_scales
+        )
+        cls.kx_ard_expected = _load(f"{cls.kern_str}_kx_ard.npy")
+        cls.kx2_ard_expected = _load(f"{cls.kern_str}_kx2_ard.npy")
+        cls.kdiag_ard_expected = _load(f"{cls.kern_str}_kdiag_ard.npy")
+
+    def test_K(self):
+        super().test_K()
+        assert np.allclose(self.kx_ard_expected, np.asarray(self.kern_ard.K(self.x1)))
+        assert np.allclose(
+            self.kx2_ard_expected, np.asarray(self.kern_ard.K(self.x1, self.x2))
+        )
+
+    def test_Kdiag(self):
+        super().test_Kdiag()
+        assert np.allclose(
+            self.kdiag_ard_expected, np.asarray(self.kern_ard.Kdiag(self.x1))
+        )
+
+
+class TestWhite(Kern):
+    kernel_type = kernels.White
+
+
+class TestConstant(Kern):
+    kernel_type = kernels.Constant
+
+
+class TestBias(Kern):
+    kernel_type = kernels.Bias
+
+    @classmethod
+    def setup_class(cls):
+        super().setup_class()
+        # goldens stored under "Bias"
+        cls.kx_expected = _load("Bias_kx.npy")
+
+
+class TestExp(ARD):
+    kernel_type = kernels.Exp
+
+
+class TestMatern12(ARD):
+    kernel_type = kernels.Matern12
+
+
+class TestMatern32(ARD):
+    kernel_type = kernels.Matern32
+
+
+class TestMatern52(ARD):
+    kernel_type = kernels.Matern52
+
+
+class TestRbf(ARD):
+    kernel_type = kernels.Rbf
+
+
+class TestPeriodic(ARD):
+    kernel_type = kernels.Periodic
+
+
+class TestLinear(Kern):
+    kernel_type = kernels.Linear
+
+
+class TestExpSinSquared:
+    """New capability (no reference goldens): structural checks."""
+
+    def test_basic(self):
+        x = jnp.asarray(np.random.RandomState(0).randn(6, 2))
+        k = kernels.ExpSinSquared(2, period=2.0)
+        K = np.asarray(k.K(x))
+        assert np.allclose(K, K.T)
+        assert np.asarray(k.Kdiag(x)) == pytest.approx(np.diag(K))
+        # Periodicity along a 1-d slice
+        x1 = jnp.asarray([[0.0, 0.0]])
+        x2 = jnp.asarray([[2.0, 0.0]])  # one full period away
+        assert float(k.K(x1, x2)[0, 0]) == pytest.approx(float(k.K(x1, x1)[0, 0]), rel=1e-6)
+
+
+def test_combination_requires_same_input_dim():
+    with pytest.raises(ValueError):
+        kernels.Sum(kernels.Rbf(2), kernels.Rbf(3))
+
+
+def test_white_cross_is_zero():
+    x1 = jnp.asarray(np.random.randn(4, 2))
+    x2 = jnp.asarray(np.random.randn(3, 2))
+    assert np.asarray(kernels.White(2).K(x1, x2)) == pytest.approx(np.zeros((4, 3)))
+
+
+def test_kernel_jit_and_grad():
+    """Kernels must be jit-able and differentiable end to end."""
+    import jax
+
+    x = jnp.asarray(np.random.RandomState(0).randn(5, 3))
+    k = kernels.Rbf(3, ARD=True)
+
+    @jax.jit
+    def f(kern, x):
+        return jnp.sum(kern.K(x))
+
+    v = f(k, x)
+    g = jax.grad(lambda kern: f(kern, x))(k)
+    assert np.isfinite(float(v))
+    assert np.all(np.isfinite(np.asarray(g.length_scales.raw)))
