@@ -1,0 +1,91 @@
+"""Distributed exact GP regression.
+
+Composes ring Gram assembly + distributed blocked Cholesky + distributed
+triangular solves into the GPML Alg. 2.1 NLML (the same math as
+:class:`gptorch_tpu.models.gpr.GPR`, reference gpr.py:47-67) for datasets
+whose (n, n) kernel matrix exceeds one chip's HBM.  This is the BASELINE.md
+stretch capability ("exact GPR at N=100k over ICI") absent from the
+reference.
+
+Everything runs in one jit; gradients flow through the collectives, so the
+same code trains hyperparameters.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..module import Module, get_trainable, with_trainable
+from ..util import as_array
+from .cholesky import distributed_cholesky
+from .gram import ring_gram
+from .solves import add_diagonal, distributed_logdet_tril, distributed_tri_solve
+
+
+def distributed_gpr_nlml(kernel, noise_variance, x, y, mesh: Mesh, axis: str = "sp"):
+    """Negative log marginal likelihood of exact GPR, sharded over ``axis``.
+
+    x: (n, d) -- will be row-sharded; y: (n, dy) row-sharded alike.
+    """
+    n, dy = y.shape
+    K = ring_gram(kernel, x, mesh, axis=axis)
+    Kyy = add_diagonal(K, noise_variance, mesh, axis=axis)
+    L = distributed_cholesky(Kyy, mesh, axis=axis)
+    alpha = distributed_tri_solve(L, y, mesh, axis=axis)
+    logdet = distributed_logdet_tril(L, mesh, axis=axis)
+    const = 0.5 * dy * n * math.log(2.0 * math.pi)
+    return 0.5 * jnp.sum(jnp.square(alpha)) + dy * logdet + const
+
+
+class DistributedGPR(Module):
+    """Exact GPR whose NLML/gradient is computed across a device mesh.
+
+    API intentionally mirrors :class:`gptorch_tpu.models.gpr.GPR` for the
+    pieces that make sense distributed (loss + fit); predictions at a
+    handful of test points are cheap and run through a replicated solve.
+    """
+
+    def __init__(self, x, y, kernel, likelihood, mesh: Mesh, axis: str = "sp"):
+        import numpy as np
+
+        x = as_array(np.asarray(x)) if not isinstance(x, jax.Array) else x
+        y = as_array(np.asarray(y)) if not isinstance(y, jax.Array) else y
+        self.kernel = kernel
+        self.likelihood = likelihood
+        self.mesh = mesh
+        self.axis = axis
+        shard = NamedSharding(mesh, P(axis, None))
+        self.X = jax.device_put(x, shard)
+        self.Y = jax.device_put(y, shard)
+
+    def log_likelihood(self, x=None, y=None, key=None):
+        x = x if x is not None else self.X
+        y = y if y is not None else self.Y
+        return -distributed_gpr_nlml(
+            self.kernel,
+            self.likelihood.variance.value.reshape(()),
+            x,
+            y,
+            self.mesh,
+            axis=self.axis,
+        )
+
+    def _loss(self, x=None, y=None, key=None):
+        return -(self.log_likelihood(x=x, y=y) + self.log_prior())
+
+    def loss_and_grad(self):
+        """Jit-compiled (loss, grads) over the mesh."""
+        values = get_trainable(self)
+
+        @partial(jax.jit)
+        def f(values, model):
+            return jax.value_and_grad(
+                lambda v: with_trainable(model, v)._loss()
+            )(values)
+
+        return f(values, self)
