@@ -137,9 +137,17 @@ class Stationary(Kernel):
         )
 
     def dist(self, X, X2=None):
-        """Scaled Euclidean distance; clamped ≥1e-40 before sqrt so the
-        gradient stays finite at r=0 (kernels.py:161-172)."""
-        return jnp.sqrt(jnp.maximum(self.squared_dist(X, X2), 1e-40))
+        """Scaled Euclidean distance; clamped before sqrt so the gradient
+        stays finite at r=0 (kernels.py:161-172).
+
+        The reference's floor of 1e-40 is fine in float64 but SUBNORMAL in
+        float32 -- accelerators flush it to zero and the sqrt VJP then
+        produces 0·inf = NaN.  We floor at the dtype's smallest normal
+        number instead (identical behavior in f64, NaN-safe in f32/bf16).
+        """
+        r2 = self.squared_dist(X, X2)
+        floor = max(1e-40, float(jnp.finfo(jnp.result_type(r2)).tiny))
+        return jnp.sqrt(jnp.maximum(r2, floor))
 
     def Kdiag(self, X):
         X = as_array(X) if isinstance(X, np.ndarray) else X
@@ -226,7 +234,9 @@ class ExpSinSquared(Stationary):
         # Un-scaled distance: use raw inputs, length scale applies inside.
         if X2 is None:
             X2 = X
-        r = jnp.sqrt(jnp.maximum(squared_distance(X, X2), 1e-40))
+        r2 = squared_distance(X, X2)
+        floor = max(1e-40, float(jnp.finfo(jnp.result_type(r2)).tiny))
+        r = jnp.sqrt(jnp.maximum(r2, floor))
         ell = self.length_scales.value.reshape(())
         p = self.period.value.reshape(())
         s = jnp.sin(math.pi * r / p) / ell

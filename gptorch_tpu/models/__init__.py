@@ -4,6 +4,7 @@ is reimplemented in :mod:`gptorch_tpu.models.gplvm`)."""
 
 from .base import GPModel
 from .gpr import GPR
+from .gplvm import GPLVM
 from .sparse_gpr import FITC, SVGP, VFE
 
-__all__ = ["GPModel", "GPR", "VFE", "SVGP", "FITC"]
+__all__ = ["GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM"]

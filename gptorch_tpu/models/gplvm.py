@@ -1,0 +1,250 @@
+"""Bayesian GPLVM: variational latent-variable GP (collapsed iid bound).
+
+Reference: ``gptorch/models/gplvm.py`` -- 674 lines of DEAD code (broken
+imports, Py2 ``xrange``/``basestring``; see SURVEY.md §2.1) that nonetheless
+specifies the model: Titsias & Lawrence (2010), "Bayesian Gaussian Process
+Latent Variable Model", with the collapsed evidence lower bound built from
+the ψ-statistics of :mod:`gptorch_tpu.ekernels`.
+
+This is a clean-room reimplementation of the iid collapsed bound:
+
+    q(X) = Π_i N(x_i | μ_i, diag(s_i)),   p(X) = Π_i N(0, I)
+
+    F = -np/2·log 2π + np/2·log β - p·Σ log diag L_B
+        - β/2·‖Y‖² + ½‖c‖² - βp/2·ψ₀ + p/2·tr(A)
+        - KL[q(X) ‖ p(X)]
+
+    with  L = chol(Kuu),  A = β·L⁻¹Ψ₂L⁻ᵀ,  B = I + A,  L_B = chol(B),
+          c = β·L_B⁻¹L⁻¹Ψ₁ᵀY,
+          KL = ½ Σ_iq (μ²_iq + s_iq - log s_iq - 1).
+
+Like the reference (gplvm.py:78) this model is marked experimental; unlike
+the reference, it imports, runs, and is tested (tests/test_gplvm.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ekernels
+from ..functions import cholesky, lt_log_determinant, trtrs
+from ..likelihoods import Gaussian
+from ..module import Module
+from ..param import Param, positive_param
+from ..util import PCA, as_array, kmeans_centers
+from .base import GPModel
+
+
+class GPLVM(GPModel):
+    """Bayesian GPLVM with the collapsed (Titsias-Lawrence) bound.
+
+    :param y: observations (n, p).
+    :param latent_dim: dimensionality q of the latent space.
+    :param kernel: an :class:`gptorch_tpu.ekernels.Rbf` (needs ψ-statistics);
+        built automatically if omitted.
+    :param num_inducing_points: M (default like the sparse models:
+        clip(n//10, 1, 100), reference sparse_gpr.py:59).
+    """
+
+    def __init__(
+        self,
+        y,
+        latent_dim: int,
+        kernel=None,
+        num_inducing_points: Optional[int] = None,
+        inducing_points=None,
+        likelihood=None,
+        jitter: float = 1e-6,
+        name: str = "gplvm",
+    ):
+        y = np.asarray(y, dtype=float)
+        n = y.shape[0]
+        # Latent init by PCA (reference util.py:52-70's purpose); random
+        # when the latent dim exceeds the observed dim.
+        if latent_dim <= y.shape[1]:
+            x_init = PCA(y, latent_dim)
+            x_init = x_init / max(x_init.std(), 1e-12)
+        else:
+            x_init = np.random.RandomState(0).randn(n, latent_dim)
+
+        if kernel is None:
+            kernel = ekernels.Rbf(latent_dim, ARD=True)
+        if not hasattr(kernel, "eKxz"):
+            raise TypeError(
+                "GPLVM requires a kernel with psi-statistics "
+                "(gptorch_tpu.ekernels.Rbf / .Linear)"
+            )
+        if likelihood is None:
+            likelihood = Gaussian(variance=max(0.01 * y.var(), 1e-6))
+
+        super().__init__(x_init, y, kernel, likelihood, None, name)
+
+        if inducing_points is None:
+            if num_inducing_points is None:
+                num_inducing_points = int(np.clip(n // 10, 1, 100))
+            num_inducing_points = min(num_inducing_points, n)
+            inducing_points = kmeans_centers(
+                x_init, num_inducing_points, perturb_if_fail=True
+            )
+        self.Z = Param(as_array(np.asarray(inducing_points)))
+
+        # Variational posterior over latents.
+        self.Xmean = Param(as_array(x_init))
+        self.Xvar = positive_param(0.1 * np.ones_like(x_init))
+
+        # Floor jitter on Kuu.  Unlike the exact/sparse models (whose jitter
+        # only engages on outright Cholesky FAILURE, matching reference
+        # functions.py:20-43), the GPLVM moves its inducing points through a
+        # changing latent space and routinely drives Kuu NEAR-singular --
+        # the factorization then succeeds numerically but the trailing
+        # solves explode.  A small always-on relative jitter (GPflow's
+        # default_jitter approach) keeps the bound finite.
+        self.jitter = float(jitter)
+
+    @property
+    def num_inducing(self) -> int:
+        return self.Z.shape[0]
+
+    @property
+    def latent_dimension(self) -> int:
+        return self.Xmean.shape[1]
+
+
+    def _kuu(self, Z):
+        """K(Z, Z) with the always-on relative floor jitter (see ctor)."""
+        Kuu = self.kernel.K(Z)
+        scale = jnp.mean(jnp.diagonal(Kuu))
+        return Kuu + self.jitter * scale * jnp.eye(
+            Kuu.shape[0], dtype=Kuu.dtype
+        )
+
+    # -- bound ----------------------------------------------------------------
+
+    def log_likelihood(self, x=None, y=None, key=None):
+        """Collapsed ELBO F(q) ≤ log p(Y) (see module docstring)."""
+        y = y if y is not None else self.Y
+        n, p = y.shape
+        m = self.num_inducing
+
+        beta = 1.0 / self.likelihood.variance.value.reshape(())
+        Z = self.Z.value
+        Xmean = self.Xmean.value
+        Xvar = self.Xvar.value
+
+        psi0 = jnp.sum(self.kernel.eKxx(Xmean))
+        Psi1 = self.kernel.eKxz(Z, Xmean, Xvar)
+        Psi2 = self.kernel.eKzxKxz(Z, Xmean, Xvar, sum=True)
+
+        Kuu = self._kuu(Z)
+        L = cholesky(Kuu)
+
+        # A = β L⁻¹ Ψ₂ L⁻ᵀ
+        tmp = trtrs(Psi2, L)
+        A = beta * trtrs(tmp.T, L)
+        B = A + jnp.eye(m, dtype=A.dtype)
+        LB = cholesky(B)
+
+        c = beta * trtrs(trtrs(Psi1.T @ y, L), LB)
+
+        elbo = -0.5 * n * p * math.log(2.0 * math.pi)
+        elbo += 0.5 * n * p * jnp.log(beta)
+        elbo -= p * lt_log_determinant(LB)
+        elbo -= 0.5 * beta * jnp.sum(jnp.square(y))
+        elbo += 0.5 * jnp.sum(jnp.square(c))
+        elbo -= 0.5 * beta * p * psi0
+        elbo += 0.5 * p * jnp.trace(A)
+        elbo -= self._kl_x()
+        return elbo
+
+    def _kl_x(self):
+        """KL[q(X) || N(0, I)] for diagonal Gaussian q."""
+        mu = self.Xmean.value
+        s = self.Xvar.value
+        return 0.5 * jnp.sum(jnp.square(mu) + s - jnp.log(s) - 1.0)
+
+    # -- prediction -------------------------------------------------------------
+
+    def _posterior(self):
+        """Shared pieces of the predictive posterior over f given the
+        optimized variational quantities."""
+        beta = 1.0 / self.likelihood.variance.value.reshape(())
+        Z = self.Z.value
+        Xmean = self.Xmean.value
+        Xvar = self.Xvar.value
+        m = self.num_inducing
+
+        Psi1 = self.kernel.eKxz(Z, Xmean, Xvar)
+        Psi2 = self.kernel.eKzxKxz(Z, Xmean, Xvar, sum=True)
+        Kuu = self._kuu(Z)
+        L = cholesky(Kuu)
+        tmp = trtrs(Psi2, L)
+        A = beta * trtrs(tmp.T, L)
+        B = A + jnp.eye(m, dtype=A.dtype)
+        LB = cholesky(B)
+        c = beta * trtrs(trtrs(Psi1.T @ self.Y, L), LB)
+        return L, LB, c
+
+    def _predict(self, x_new, diag=True):
+        """Posterior p(f* | Y) at *deterministic* latent points x_new --
+        same low-rank identities as VFE (reference sparse_gpr.py:155-195)."""
+        L, LB, c = self._posterior()
+        Kus = self.kernel.K(self.Z.value, x_new)
+        tmp1 = trtrs(Kus, L)
+        tmp2 = trtrs(tmp1, LB)
+        mean = tmp2.T @ c
+        if diag:
+            var = jnp.broadcast_to(
+                (
+                    self.kernel.Kdiag(x_new)
+                    - jnp.sum(jnp.square(tmp1), axis=0)
+                    + jnp.sum(jnp.square(tmp2), axis=0)
+                )[:, None],
+                mean.shape,
+            )
+        else:
+            var = self.kernel.K(x_new) + tmp2.T @ tmp2 - tmp1.T @ tmp1
+        return mean, var
+
+    def predict_uncertain(self, x_mean, x_var):
+        """Posterior moments at UNCERTAIN latent inputs N(x_mean, diag(x_var))
+        via ψ-statistics (the reference's uncertain-input prediction,
+        gplvm.py:527-633, reimplemented).
+
+        Returns (mean (n*, p), var (n*, p))."""
+        x_mean = jnp.asarray(x_mean)
+        x_var = jnp.asarray(x_var)
+        L, LB, c = self._posterior()
+        psi0_s = self.kernel.eKxx(x_mean)  # (n*,) -- σ² for RBF
+        Psi1_s = self.kernel.eKxz(self.Z.value, x_mean, x_var)  # (n*, m)
+        Psi2_s = self.kernel.eKzxKxz(
+            self.Z.value, x_mean, x_var, sum=False
+        )  # (n*, m, m)
+
+        tmp1 = trtrs(Psi1_s.T, L)
+        tmp2 = trtrs(tmp1, LB)
+        mean = tmp2.T @ c  # (n*, p)
+
+        # var_j = ψ0 - tr((Kuu⁻¹ - (Kuu+βΨ2)⁻¹) Ψ2*_i) + [2nd moment of mean]
+        Linv = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(L.shape[0], dtype=L.dtype), lower=True
+        )
+        LBinvLinv = jax.scipy.linalg.solve_triangular(LB, Linv, lower=True)
+        Kuu_inv = Linv.T @ Linv
+        Sigma_inv = LBinvLinv.T @ LBinvLinv  # (Kuu + βΨ2)⁻¹ in whitened form
+
+        tr_term = jnp.einsum("skl,kl->s", Psi2_s, Kuu_inv - Sigma_inv)
+        # E[m(x)²] - E[m(x)]² where m(x) = k(x,Z) w, w = Σ c-path weights:
+        w = LBinvLinv.T @ c  # (m, p): mean = Psi1_s @ w
+        second = jnp.einsum("skl,kj,lj->sj", Psi2_s, w, w)
+        var = (
+            psi0_s[:, None]
+            - tr_term[:, None]
+            + second
+            - jnp.square(mean)
+        )
+        return mean, var

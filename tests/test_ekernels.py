@@ -1,0 +1,179 @@
+"""ψ-statistics tests.
+
+The reference implementation is Py2-dead (ekernels.py:99,197 use xrange) and
+untested; correctness here is established two independent ways:
+
+1. against a straight-line numpy transcription of the closed forms
+   (Damianou App. B.2), computed datum-by-datum;
+2. against Monte Carlo estimates of <K_xz> and <K_zx K_xz> under
+   q(x) = N(μ, diag(s));
+3. degenerate case s → 0 must reproduce plain kernel matrices.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gptorch_tpu import ekernels
+
+
+def _setup(seed=0, n=7, m=4, q=3):
+    rng = np.random.RandomState(seed)
+    Z = rng.randn(m, q)
+    Xmean = rng.randn(n, q)
+    Xcov = 0.1 + 0.3 * rng.rand(n, q)
+    ell = 0.5 + rng.rand(q)
+    var = 1.7
+    kern = ekernels.Rbf(q, variance=var, ARD=True, length_scales=ell)
+    return kern, Z, Xmean, Xcov, ell, var
+
+
+def _naive_psi1(Z, Xmean, Xcov, ell, var):
+    n, q = Xmean.shape
+    m = Z.shape[0]
+    out = np.zeros((n, m))
+    for i in range(n):
+        for k in range(m):
+            denom = ell**2 + Xcov[i]
+            expo = -0.5 * np.sum((Xmean[i] - Z[k]) ** 2 / denom)
+            det = np.prod(1.0 + Xcov[i] / ell**2) ** (-0.5)
+            out[i, k] = var * det * np.exp(expo)
+    return out
+
+
+def _naive_psi2(Z, Xmean, Xcov, ell, var):
+    n, q = Xmean.shape
+    m = Z.shape[0]
+    out = np.zeros((n, m, m))
+    for i in range(n):
+        for k in range(m):
+            for l in range(m):
+                zbar = 0.5 * (Z[k] + Z[l])
+                d = ell**2 + 2.0 * Xcov[i]
+                expo = -np.sum((Z[k] - Z[l]) ** 2 / (4.0 * ell**2)) - np.sum(
+                    (Xmean[i] - zbar) ** 2 / d
+                )
+                det = np.prod(1.0 + 2.0 * Xcov[i] / ell**2) ** (-0.5)
+                out[i, k, l] = var**2 * det * np.exp(expo)
+    return out
+
+
+class TestRbfPsi:
+    def test_psi0(self):
+        kern, Z, Xmean, Xcov, ell, var = _setup()
+        psi0 = np.asarray(kern.eKxx(jnp.asarray(Xmean)))
+        assert psi0 == pytest.approx(var * np.ones(Xmean.shape[0]))
+
+    def test_psi1_vs_naive(self):
+        kern, Z, Xmean, Xcov, ell, var = _setup()
+        psi1 = np.asarray(
+            kern.eKxz(jnp.asarray(Z), jnp.asarray(Xmean), jnp.asarray(Xcov))
+        )
+        assert psi1 == pytest.approx(_naive_psi1(Z, Xmean, Xcov, ell, var))
+
+    def test_psi2_vs_naive(self):
+        kern, Z, Xmean, Xcov, ell, var = _setup()
+        psi2 = np.asarray(
+            kern.eKzxKxz(
+                jnp.asarray(Z), jnp.asarray(Xmean), jnp.asarray(Xcov), sum=False
+            )
+        )
+        naive = _naive_psi2(Z, Xmean, Xcov, ell, var)
+        assert psi2 == pytest.approx(naive)
+        # summed variant
+        psi2_sum = np.asarray(
+            kern.eKzxKxz(
+                jnp.asarray(Z), jnp.asarray(Xmean), jnp.asarray(Xcov), sum=True
+            )
+        )
+        assert psi2_sum == pytest.approx(naive.sum(axis=0))
+
+    def test_psi1_monte_carlo(self):
+        kern, Z, Xmean, Xcov, ell, var = _setup(n=3, m=3)
+        rng = np.random.RandomState(1)
+        S = 200000
+        psi1 = np.asarray(
+            kern.eKxz(jnp.asarray(Z), jnp.asarray(Xmean), jnp.asarray(Xcov))
+        )
+        for i in range(3):
+            xs = Xmean[i] + np.sqrt(Xcov[i]) * rng.randn(S, 3)
+            K = np.asarray(kern.K(jnp.asarray(xs), jnp.asarray(Z)))
+            assert K.mean(axis=0) == pytest.approx(psi1[i], rel=0.02)
+
+    def test_psi2_monte_carlo(self):
+        kern, Z, Xmean, Xcov, ell, var = _setup(n=2, m=3)
+        rng = np.random.RandomState(2)
+        S = 200000
+        psi2 = np.asarray(
+            kern.eKzxKxz(
+                jnp.asarray(Z), jnp.asarray(Xmean), jnp.asarray(Xcov), sum=False
+            )
+        )
+        for i in range(2):
+            xs = Xmean[i] + np.sqrt(Xcov[i]) * rng.randn(S, 3)
+            K = np.asarray(kern.K(jnp.asarray(xs), jnp.asarray(Z)))  # (S, m)
+            mc = np.einsum("sk,sl->kl", K, K) / S
+            assert mc == pytest.approx(psi2[i], rel=0.03)
+
+    def test_zero_variance_degenerates_to_kernel(self):
+        kern, Z, Xmean, _, ell, var = _setup()
+        zeros = 1e-14 * np.ones_like(Xmean)
+        psi1 = np.asarray(
+            kern.eKxz(jnp.asarray(Z), jnp.asarray(Xmean), jnp.asarray(zeros))
+        )
+        K = np.asarray(kern.K(jnp.asarray(Xmean), jnp.asarray(Z)))
+        assert psi1 == pytest.approx(K, rel=1e-8)
+
+
+class TestLinearPsi:
+    """The reference aliased Linear expectations to Rbf (ekernels.py:231-232,
+    a bug); these test the real closed forms."""
+
+    def _setup(self, seed=0, n=5, m=3, q=2):
+        rng = np.random.RandomState(seed)
+        Z = rng.randn(m, q)
+        Xmean = rng.randn(n, q)
+        Xcov = 0.1 + 0.3 * rng.rand(n, q)
+        v = 0.5 + rng.rand(q)
+        kern = ekernels.Linear(q, variance=v)
+        return kern, Z, Xmean, Xcov, v
+
+    def test_psi0(self):
+        kern, Z, Xmean, Xcov, v = self._setup()
+        psi0 = np.asarray(kern.eKxx(jnp.asarray(Xmean), jnp.asarray(Xcov)))
+        expected = np.sum((Xmean**2 + Xcov) * v, axis=1)
+        assert psi0 == pytest.approx(expected)
+
+    def test_psi1(self):
+        kern, Z, Xmean, Xcov, v = self._setup()
+        psi1 = np.asarray(kern.eKxz(jnp.asarray(Z), jnp.asarray(Xmean)))
+        assert psi1 == pytest.approx((Xmean * v) @ Z.T)
+
+    def test_psi2_monte_carlo(self):
+        kern, Z, Xmean, Xcov, v = self._setup(n=2)
+        rng = np.random.RandomState(3)
+        S = 400000
+        psi2 = np.asarray(
+            kern.eKzxKxz(
+                jnp.asarray(Z), jnp.asarray(Xmean), jnp.asarray(Xcov), sum=False
+            )
+        )
+        for i in range(2):
+            xs = Xmean[i] + np.sqrt(Xcov[i]) * rng.randn(S, 2)
+            K = np.asarray(kern.K(jnp.asarray(xs), jnp.asarray(Z)))
+            mc = np.einsum("sk,sl->kl", K, K) / S
+            assert mc == pytest.approx(psi2[i], rel=0.05, abs=0.02)
+
+    def test_psi2_sum(self):
+        kern, Z, Xmean, Xcov, v = self._setup()
+        full = np.asarray(
+            kern.eKzxKxz(
+                jnp.asarray(Z), jnp.asarray(Xmean), jnp.asarray(Xcov), sum=False
+            )
+        )
+        summed = np.asarray(
+            kern.eKzxKxz(
+                jnp.asarray(Z), jnp.asarray(Xmean), jnp.asarray(Xcov), sum=True
+            )
+        )
+        assert summed == pytest.approx(full.sum(axis=0))

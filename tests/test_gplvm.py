@@ -1,0 +1,127 @@
+"""Bayesian GPLVM tests.
+
+The reference's GPLVM is dead code (unimportable; SURVEY.md §2.1), so there
+are no goldens; correctness is established structurally:
+
+1. the collapsed bound must equal the VFE bound when the latent variance
+   → 0 and q(X) is pinned at fixed inputs (the KL term removed), since the
+   ψ-statistics then collapse to plain kernel matrices;
+2. the bound is a lower bound on the exact GPR evidence;
+3. optimization recovers a 1-d latent structure from lifted data.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gptorch_tpu import ekernels, kernels, likelihoods, mean_functions
+from gptorch_tpu.models import GPR, VFE
+from gptorch_tpu.models.gplvm import GPLVM
+
+
+def _make_model(n=24, p=5, q=2, seed=0, m=8):
+    rng = np.random.RandomState(seed)
+    t = rng.randn(n, q)
+    W = rng.randn(q, p)
+    y = np.tanh(t @ W) + 0.05 * rng.randn(n, p)
+    return GPLVM(y, q, num_inducing_points=m), y
+
+
+class TestGPLVM:
+    def test_init(self):
+        model, y = _make_model()
+        assert model.Xmean.shape == (24, 2)
+        assert model.num_inducing == 8
+        assert model.output_dimension == 5
+
+    def test_bound_finite(self):
+        model, _ = _make_model()
+        assert np.isfinite(float(model.log_likelihood()))
+
+    def test_collapses_to_vfe_at_zero_latent_variance(self):
+        """With q(X) pinned (variance→0) at the true inputs and the KL
+        removed, the GPLVM bound must equal the VFE collapsed bound."""
+        rng = np.random.RandomState(1)
+        n, q, p = 16, 2, 1
+        x = rng.randn(n, q)
+        y = rng.randn(n, p)
+        z = rng.randn(6, q)
+
+        kern = ekernels.Rbf(q)
+        lik = likelihoods.Gaussian(variance=0.1)
+
+        model = GPLVM(y, q, kernel=kern, inducing_points=z, likelihood=lik, jitter=0.0)
+        model.Xmean = model.Xmean.with_value(jnp.asarray(x))
+        model.Xvar = model.Xvar.with_value(1e-12 * jnp.ones((n, q)))
+
+        gplvm_bound = float(model.log_likelihood() + model._kl_x())
+
+        vfe = VFE(
+            x,
+            y,
+            kern,
+            inducing_points=z,
+            likelihood=lik,
+            mean_function=mean_functions.Zero(p),
+        )
+        vfe_bound = float(vfe.log_likelihood())
+        assert gplvm_bound == pytest.approx(vfe_bound, rel=1e-6)
+
+    def test_is_lower_bound_on_evidence(self):
+        """F(q) ≤ log p(Y) where the evidence comes from exact GPR on the
+        pinned latents."""
+        rng = np.random.RandomState(2)
+        n, q, p = 16, 2, 1
+        x = rng.randn(n, q)
+        y = rng.randn(n, p)
+        kern = ekernels.Rbf(q)
+        lik = likelihoods.Gaussian(variance=0.1)
+
+        model = GPLVM(y, q, kernel=kern, inducing_points=x.copy(), likelihood=lik, jitter=0.0)
+        model.Xmean = model.Xmean.with_value(jnp.asarray(x))
+        model.Xvar = model.Xvar.with_value(1e-10 * jnp.ones((n, q)))
+        bound = float(model.log_likelihood() + model._kl_x())
+
+        gpr = GPR(x, y, kern, likelihood=lik)
+        evidence = float(gpr.log_likelihood())
+        assert bound <= evidence + 1e-6
+        # and with Z = X it should be tight
+        assert bound == pytest.approx(evidence, rel=1e-4)
+
+    def test_optimize_improves_bound(self):
+        model, _ = _make_model()
+        l0 = float(model.loss())
+        model.optimize(method="Adam", max_iter=30, verbose=False)
+        assert float(model.loss()) < l0
+
+    def test_predict_at_latents(self):
+        model, y = _make_model()
+        mu, var = model._predict(model.Xmean.value, diag=True)
+        assert mu.shape == y.shape
+        assert bool(jnp.all(var > 0))
+
+    def test_predict_uncertain_consistent(self):
+        """Uncertain-input prediction at ~zero variance must agree with
+        deterministic prediction."""
+        model, y = _make_model()
+        xs = np.asarray(model.Xmean.value)[:4]
+        mu_d, var_d = model._predict(jnp.asarray(xs), diag=True)
+        mu_u, var_u = model.predict_uncertain(xs, 1e-12 * np.ones_like(xs))
+        assert np.asarray(mu_u) == pytest.approx(np.asarray(mu_d), rel=1e-5, abs=1e-8)
+        assert np.asarray(var_u) == pytest.approx(
+            np.asarray(var_d), rel=1e-4, abs=1e-7
+        )
+
+    def test_latent_recovery(self):
+        """1-d sinusoid lifted to 5-d: the learned latent should correlate
+        strongly with the generating coordinate."""
+        rng = np.random.RandomState(3)
+        n = 40
+        t = np.linspace(-2, 2, n)[:, None]
+        W = rng.randn(1, 5)
+        y = t @ W + 0.05 * rng.randn(n, 5)
+        model = GPLVM(y, 1, num_inducing_points=10)
+        model.optimize(method="Adam", max_iter=200, verbose=False)
+        latent = np.asarray(model.Xmean.value).ravel()
+        corr = abs(np.corrcoef(latent, t.ravel())[0, 1])
+        assert corr > 0.95
