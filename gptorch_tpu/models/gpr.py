@@ -33,14 +33,63 @@ from .base import GPModel
 
 
 class GPR(GPModel):
-    """Exact GP regression with a Gaussian likelihood."""
+    """Exact GP regression with a Gaussian likelihood.
 
-    def __init__(self, x, y, kernel, mean_function=None, likelihood=None, name="gpr"):
+    ``fast=True`` routes the training loss through
+    :func:`gptorch_tpu.ops.gpr_fast.rbf_nlml` -- a fused blocked-Cholesky
+    NLML with a closed-form custom VJP that is both faster (GEMM-dominated)
+    and far leaner in memory than autodiff (fits n=32k on one v5e chip).
+    Requires an Rbf kernel and Zero mean; other configurations fall back to
+    the generic path automatically.
+    """
+
+    def __init__(
+        self,
+        x,
+        y,
+        kernel,
+        mean_function=None,
+        likelihood=None,
+        name="gpr",
+        fast: bool = False,
+        fast_block: int = 2048,
+        fast_jitter: float = 0.0,
+    ):
         super().__init__(x, y, kernel, likelihood, mean_function, name)
+        self.fast = bool(fast)
+        self.fast_block = int(fast_block)
+        self.fast_jitter = float(fast_jitter)
+
+    def _fast_eligible(self):
+        from .. import kernels as _k
+        from .. import mean_functions as _m
+        from ..bijectors import Exp
+
+        return (
+            self.fast
+            and type(self.kernel) in (_k.Rbf,)
+            and isinstance(self.mean_function, _m.Zero)
+            # the fused op interprets raw params as logs (Exp bijector)
+            and isinstance(self.kernel.length_scales.bijector, Exp)
+            and isinstance(self.kernel.variance.bijector, Exp)
+            and isinstance(self.likelihood.variance.bijector, Exp)
+        )
 
     def log_likelihood(self, x=None, y=None, key=None):
         x = x if x is not None else self.X
         y = y if y is not None else self.Y
+        if self._fast_eligible():
+            from ..ops.gpr_fast import rbf_nlml
+
+            return -rbf_nlml(
+                self.kernel.length_scales.raw,
+                self.kernel.variance.raw.reshape(()),
+                self.likelihood.variance.raw.reshape(()),
+                x,
+                y,
+                self.fast_jitter,
+                self.fast_block,
+            )
         num_input, dim_output = y.shape
 
         L = cholesky(self._compute_kyy(x=x))

@@ -1,0 +1,181 @@
+"""Tests for the TPU-optimized compute primitives (gptorch_tpu.ops).
+
+All run on CPU (x64): blocked linalg vs LAPACK; the fused NLML custom VJP
+vs the autodiff model path; the Pallas Gram kernel in interpreter mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gptorch_tpu import kernels, likelihoods
+from gptorch_tpu.models import GPR
+from gptorch_tpu.module import get_trainable, with_trainable
+from gptorch_tpu.ops import blocked_cholesky, blocked_trtri, rbf_gram, tril_square
+from gptorch_tpu.ops.gpr_fast import rbf_nlml, rbf_nlml_value_and_grad
+
+
+def _spd(n, seed=0):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(n, n)
+    return A @ A.T / n + 10 * np.eye(n)
+
+
+class TestBlocked:
+    @pytest.mark.parametrize("n,nb", [(100, 64), (256, 64), (300, 128), (512, 512)])
+    def test_cholesky(self, n, nb):
+        A = _spd(n)
+        L = np.asarray(blocked_cholesky(jnp.asarray(A), nb=nb))
+        assert L == pytest.approx(np.linalg.cholesky(A), abs=1e-10)
+
+    @pytest.mark.parametrize("n,nb", [(100, 64), (256, 64), (300, 128)])
+    def test_trtri(self, n, nb):
+        L = np.linalg.cholesky(_spd(n))
+        Li = np.asarray(blocked_trtri(jnp.asarray(L), nb=nb))
+        assert Li == pytest.approx(np.linalg.inv(L), abs=1e-10)
+
+    @pytest.mark.parametrize("n,nb", [(100, 64), (256, 64), (300, 128)])
+    def test_tril_square(self, n, nb):
+        A = _spd(n)
+        Li = np.linalg.inv(np.linalg.cholesky(A))
+        Ki = np.asarray(tril_square(jnp.asarray(Li), nb=nb))
+        assert Ki == pytest.approx(np.linalg.inv(A), abs=1e-10)
+
+
+class TestFastNLML:
+    def _ref(self, x, y, ell, var, noise):
+        model = GPR(
+            x,
+            y,
+            kernels.Rbf(x.shape[1], ARD=True, length_scales=ell, variance=var),
+            likelihood=likelihoods.Gaussian(noise),
+        )
+        d = get_trainable(model)
+        loss, grads = jax.value_and_grad(
+            lambda d: with_trainable(model, d)._loss()
+        )(d)
+        return float(loss), grads
+
+    def test_value_and_grads_match_autodiff(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(200, 3)
+        y = rng.randn(200, 2)
+        ell = np.asarray([0.8, 1.1, 1.4])
+        var, noise = 1.3, 0.07
+
+        loss_ref, g_ref = self._ref(x, y, ell, var, noise)
+        v, g = rbf_nlml_value_and_grad(
+            jnp.asarray(np.log(ell)),
+            jnp.asarray(np.log(var)),
+            jnp.asarray(np.log(noise)),
+            jnp.asarray(x),
+            jnp.asarray(y),
+            0.0,
+            64,
+        )
+        assert float(v) == pytest.approx(loss_ref, rel=1e-10)
+        assert np.asarray(g[0]) == pytest.approx(
+            np.asarray(g_ref["kernel.length_scales"]), rel=1e-7, abs=1e-9
+        )
+        assert float(g[1]) == pytest.approx(
+            float(g_ref["kernel.variance"][0]), rel=1e-7
+        )
+        assert float(g[2]) == pytest.approx(
+            float(g_ref["likelihood.variance"][0]), rel=1e-7
+        )
+
+    def test_isotropic_lengthscale(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(100, 4)
+        y = rng.randn(100, 1)
+        v, g = rbf_nlml_value_and_grad(
+            jnp.asarray(np.log(1.2)),
+            jnp.zeros(()),
+            jnp.asarray(np.log(0.1)),
+            jnp.asarray(x),
+            jnp.asarray(y),
+            0.0,
+            64,
+        )
+        # isotropic grad == sum over ARD dims
+        _, g_ard = rbf_nlml_value_and_grad(
+            jnp.asarray(np.log(1.2) * np.ones(4)),
+            jnp.zeros(()),
+            jnp.asarray(np.log(0.1)),
+            jnp.asarray(x),
+            jnp.asarray(y),
+            0.0,
+            64,
+        )
+        assert float(g[0]) == pytest.approx(float(np.sum(np.asarray(g_ard[0]))))
+
+    def test_fast_gpr_model_path(self):
+        """GPR(fast=True) must agree with the generic path end to end."""
+        rng = np.random.RandomState(2)
+        x = rng.randn(150, 2)
+        y = rng.randn(150, 1)
+        slow = GPR(x, y, kernels.Rbf(2), likelihood=likelihoods.Gaussian(0.1))
+        fast = GPR(
+            x,
+            y,
+            kernels.Rbf(2),
+            likelihood=likelihoods.Gaussian(0.1),
+            fast=True,
+            fast_block=64,
+        )
+        assert float(fast.loss()) == pytest.approx(float(slow.loss()), rel=1e-10)
+        d_slow = jax.grad(lambda d: with_trainable(slow, d)._loss())(
+            get_trainable(slow)
+        )
+        d_fast = jax.grad(lambda d: with_trainable(fast, d)._loss())(
+            get_trainable(fast)
+        )
+        for k in d_slow:
+            assert np.asarray(d_fast[k]) == pytest.approx(
+                np.asarray(d_slow[k]), rel=1e-6, abs=1e-9
+            )
+
+    def test_fast_gpr_trains(self):
+        rng = np.random.RandomState(3)
+        x = rng.randn(128, 2)
+        y = np.sin(x[:, :1]) + 0.1 * rng.randn(128, 1)
+        model = GPR(x, y, kernels.Rbf(2), fast=True, fast_block=64)
+        l0 = float(model.loss())
+        model.optimize(method="Adam", max_iter=25, verbose=False)
+        assert float(model.loss()) < l0
+
+
+class TestPallasGram:
+    def test_matches_kernel(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(256, 4).astype(np.float32)
+        K = np.asarray(
+            rbf_gram(jnp.asarray(x), log_ell=0.3, log_var=0.2, diag=0.05, tile=128)
+        )
+        k = kernels.Rbf(4, variance=float(np.exp(0.2)), length_scales=float(np.exp(0.3)))
+        expected = np.asarray(k.K(jnp.asarray(x.astype(np.float64)))) + 0.05 * np.eye(256)
+        assert K == pytest.approx(expected, abs=2e-5)
+
+    def test_cross_gram(self):
+        rng = np.random.RandomState(1)
+        x1 = rng.randn(256, 3).astype(np.float32)
+        x2 = rng.randn(128, 3).astype(np.float32)
+        K = np.asarray(rbf_gram(jnp.asarray(x1), jnp.asarray(x2), tile=128))
+        k = kernels.Rbf(3)
+        expected = np.asarray(
+            k.K(jnp.asarray(x1.astype(np.float64)), jnp.asarray(x2.astype(np.float64)))
+        )
+        assert K == pytest.approx(expected, abs=2e-5)
+
+    def test_traced_scalars(self):
+        """variance/noise arrive via SMEM -- one compile across steps."""
+        x = jnp.asarray(np.random.RandomState(2).randn(128, 2).astype(np.float32))
+
+        @jax.jit
+        def f(lv, dg):
+            return rbf_gram(x, log_var=lv, diag=dg, tile=128)
+
+        K1 = f(jnp.asarray(0.0), jnp.asarray(0.1))
+        K2 = f(jnp.asarray(0.5), jnp.asarray(0.2))
+        assert not np.allclose(np.asarray(K1), np.asarray(K2))
