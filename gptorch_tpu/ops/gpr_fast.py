@@ -97,9 +97,12 @@ def _bwd(jitter, nb, res, g):
     log_ell, log_var, log_noise, x, y, L, alpha = res
     n, dy = y.shape
 
+    # Buffer discipline (peak HBM is the binding constraint at n=32k):
+    # consume L completely BEFORE allocating Kinv/G so its buffer can be
+    # reused -- peak is then {Kinv, G, M} ≈ 3 n² instead of 4.
+    A = solve_triangular(L, alpha, lower=True, trans=1)  # L⁻ᵀα = K⁻¹Y
     Linv = blocked_trtri(L, nb)
     Kinv = tril_square(Linv, nb)
-    A = solve_triangular(L, alpha, lower=True, trans=1)  # L⁻ᵀα = K⁻¹Y
 
     xs = _scaled(x, log_ell)
     G = _gram_noiseless(xs, log_var)

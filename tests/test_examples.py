@@ -1,0 +1,32 @@
+"""End-to-end example execution (reference test/test_examples.py:11-21 runs
+the example script as a subprocess for GPR and VFE with --no-plot)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+BASE = os.path.join(os.path.dirname(__file__), "..")
+
+
+@pytest.mark.parametrize("model_type", ["GPR", "VFE"])
+def test_regression_1d(model_type):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPTORCH_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(BASE, "examples", "regression_1d.py"),
+            "--model-type",
+            model_type,
+            "--no-plot",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "predictive mean range" in result.stdout
