@@ -5,10 +5,14 @@ BASELINE.md target: N=32k NLML+grad in < 1 s/iter on one TPU v5e chip
 bar).  vs_baseline = measured steps/s ÷ 1.0 steps/s (the 1 s/iter target),
 so vs_baseline > 1 beats the target.
 
+Runs the GPR(fast=True) hot path: fused Pallas Gram + blocked Cholesky +
+closed-form custom VJP (gptorch_tpu/ops/gpr_fast.py).
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Env overrides: BENCH_N (default 32768), BENCH_D (8), BENCH_ITERS (5).
+Env overrides: BENCH_N (default 32768), BENCH_D (8), BENCH_ITERS (3),
+BENCH_NB (2048, blocked-factorization panel size).
 """
 
 import json
@@ -23,43 +27,39 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gptorch_tpu import kernels, likelihoods, settings
-    from gptorch_tpu.models import GPR
-    from gptorch_tpu.module import get_trainable, with_trainable
+    from gptorch_tpu.ops.gpr_fast import rbf_nlml
 
     n = int(os.environ.get("BENCH_N", 32768))
     d = int(os.environ.get("BENCH_D", 8))
-    iters = int(os.environ.get("BENCH_ITERS", 5))
+    iters = int(os.environ.get("BENCH_ITERS", 3))
+    nb = int(os.environ.get("BENCH_NB", 2048))
 
     rng = np.random.RandomState(0)
-    x = rng.randn(n, d).astype(np.float32)
-    y = (np.sin(x[:, :1]) + 0.1 * rng.randn(n, 1)).astype(np.float32)
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    y = jnp.asarray(
+        (np.sin(np.asarray(x)[:, :1]) + 0.1 * rng.randn(n, 1)).astype(np.float32)
+    )
 
-    kernel = kernels.Rbf(d, ARD=True)
-    model = GPR(x, y, kernel, likelihood=likelihoods.Gaussian(variance=0.01))
-    values = get_trainable(model)
-
-    @jax.jit
-    def step(values, model):
-        def loss_fn(v):
-            with settings.override(jitter_policy="fixed"):
-                return with_trainable(model, v)._loss()
-
-        return jax.value_and_grad(loss_fn)(values)
+    step = jax.jit(
+        jax.value_and_grad(rbf_nlml, argnums=(0, 1, 2)), static_argnums=(5, 6)
+    )
+    log_ell = jnp.zeros(d, jnp.float32)
+    log_var = jnp.zeros((), jnp.float32)
+    log_noise = jnp.asarray(np.log(0.01), jnp.float32)
 
     # compile + warmup
-    loss, grads = step(values, model)
-    jax.block_until_ready((loss, grads))
+    loss, grads = step(log_ell, log_var, log_noise, x, y, 1e-5, nb)
+    _ = float(loss) + float(grads[0][0])
 
     # Perturb an input every iteration so no layer of the stack can serve a
-    # memoized result; block each step (true per-step latency).
+    # memoized result; force a host read each step (true per-step latency).
     times = []
     for i in range(iters):
-        v = dict(values)
-        v["kernel.variance"] = values["kernel.variance"] + 1e-6 * (i + 1)
         t0 = time.perf_counter()
-        loss, grads = step(v, model)
-        jax.block_until_ready((loss, grads))
+        loss, grads = step(
+            log_ell + 1e-6 * (i + 1), log_var, log_noise, x, y, 1e-5, nb
+        )
+        _ = float(loss) + float(grads[0][0])
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
@@ -76,7 +76,7 @@ def main():
         )
     )
     print(
-        f"# n={n} d={d} iters={iters} time/iter={dt*1e3:.1f} ms "
+        f"# n={n} d={d} iters={iters} nb={nb} time/iter={dt*1e3:.1f} ms "
         f"loss={float(loss):.3f} backend={jax.default_backend()}",
         file=sys.stderr,
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from .module import Module
@@ -26,18 +27,64 @@ from .util import as_array
 
 
 class Likelihood(Module):
-    """Factorizing observation model p(y | f)."""
+    """Factorizing observation model p(y | f).
+
+    Non-conjugate subclasses only need :meth:`logp` (and optionally
+    :meth:`conditional_mean` / :meth:`conditional_variance`): the
+    variational expectation and predictive moments then fall back to
+    Gauss-Hermite quadrature -- the fallback the reference declared but
+    never implemented (reference likelihoods.py:47-64, :69-78).
+    """
+
+    quadrature_order: int = 20
+
+    def logp(self, F, Y):
+        """Pointwise log p(y | f)."""
+        raise NotImplementedError
+
+    def latent_init(self, Y):
+        """Map observations to a sensible latent-function scale, used to
+        seed variational posteriors (e.g. SVGP's GPR-based q(u) init,
+        reference sparse_gpr.py:310-335, which implicitly assumed f ≈ y --
+        only true for Gaussian likelihoods)."""
+        return Y
+
+    def conditional_mean(self, F):
+        """E[y | f].  Override for non-Gaussian likelihoods."""
+        raise NotImplementedError
+
+    def conditional_variance(self, F):
+        """Var[y | f]."""
+        raise NotImplementedError
 
     def predict_mean_variance(self, mean_f, var_f):
-        """Moments of p(y) = ∫ p(y|f) q(f) df for Gaussian q(f).
-        Non-conjugate likelihoods use Gauss-Hermite quadrature
-        (:func:`gptorch_tpu.quadrature.gauss_hermite`); the reference left
-        this as an unimplemented TODO (likelihoods.py:47-64)."""
-        raise NotImplementedError
+        """Moments of p(y) = ∫ p(y|f) q(f) df for Gaussian q(f), via
+        quadrature: E[y] = <E[y|f]>, Var[y] = <Var[y|f]> + Var[E[y|f]]."""
+        from .quadrature import gauss_hermite
+
+        order = self.quadrature_order
+        ey = gauss_hermite(self.conditional_mean, mean_f, var_f, order)
+        ey2 = gauss_hermite(
+            lambda f: self.conditional_variance(f)
+            + jnp.square(self.conditional_mean(f)),
+            mean_f,
+            var_f,
+            order,
+        )
+        return ey, ey2 - jnp.square(ey)
 
     def propagate_log(self, mean_f, var_f, targets):
-        """<log p(y|f)>_{q(f)=N(mean_f, var_f)} summed over elements."""
-        raise NotImplementedError
+        """<log p(y|f)>_{q(f)=N(mean_f, var_f)} summed over elements.
+        Quadrature fallback; conjugate likelihoods override in closed form."""
+        from .quadrature import gauss_hermite
+
+        vals = gauss_hermite(
+            lambda f: self.logp(f, targets[None, ...]),
+            mean_f,
+            var_f,
+            self.quadrature_order,
+        )
+        return jnp.sum(vals)
 
 
 class Gaussian(Likelihood):
@@ -62,6 +109,12 @@ class Gaussian(Likelihood):
             n, dtype=jnp.result_type(cov_f)
         )
 
+    def conditional_mean(self, F):
+        return F
+
+    def conditional_variance(self, F):
+        return jnp.broadcast_to(self.variance.value.reshape(()), F.shape)
+
     def propagate_log(self, mean_f, var_f, targets):
         """Closed-form expected log-density, matching likelihoods.py:125-144:
 
@@ -73,3 +126,78 @@ class Gaussian(Likelihood):
             n * (math.log(2.0 * math.pi) + jnp.log(s))
             + (jnp.sum(jnp.square(targets - mean_f)) + jnp.sum(var_f)) / s
         )
+
+
+class Bernoulli(Likelihood):
+    """Bernoulli likelihood with probit or logit link -- enables GP
+    classification through SVGP (a reference ROADMAP item, README.md:42
+    "Non-Gaussian likelihoods (e.g. for classification)", never built)."""
+
+    def __init__(self, link: str = "probit"):
+        if link not in ("probit", "logit"):
+            raise ValueError("link must be 'probit' or 'logit'")
+        self.link = link
+
+    def invlink(self, F):
+        if self.link == "probit":
+            return 0.5 * (1.0 + jax.scipy.special.erf(F / math.sqrt(2.0)))
+        return jax.nn.sigmoid(F)
+
+    def logp(self, F, Y):
+        """Y in {0, 1} (or {-1, +1}: anything > 0.5 counts as the positive
+        class).  Stable forms: log Φ(±f) / log σ(±f) -- naive log(1-p)
+        saturates and NaNs the gradient once |f| ≳ 9."""
+        y_sign = jnp.where(Y > 0.5, 1.0, -1.0).astype(jnp.result_type(F))
+        if self.link == "probit":
+            return jax.scipy.stats.norm.logcdf(y_sign * F)
+        return jax.nn.log_sigmoid(y_sign * F)
+
+    def conditional_mean(self, F):
+        return self.invlink(F)
+
+    def conditional_variance(self, F):
+        p = self.invlink(F)
+        return p * (1.0 - p)
+
+    def latent_init(self, Y):
+        # map {0,1} to modest ± latent values
+        return jnp.where(Y > 0.5, 1.0, -1.0).astype(jnp.result_type(float))
+
+    def predict_mean_variance(self, mean_f, var_f):
+        if self.link == "probit":
+            # closed form: <Φ(f)> = Φ(μ / √(1 + s))
+            p = 0.5 * (
+                1.0
+                + jax.scipy.special.erf(
+                    mean_f / jnp.sqrt(2.0 * (1.0 + var_f))
+                )
+            )
+            return p, p * (1.0 - p)
+        return super().predict_mean_variance(mean_f, var_f)
+
+
+class Poisson(Likelihood):
+    """Poisson likelihood with exp link (counts regression)."""
+
+    def logp(self, F, Y):
+        rate = jnp.exp(F)
+        return Y * F - rate - jax.scipy.special.gammaln(Y + 1.0)
+
+    def conditional_mean(self, F):
+        return jnp.exp(F)
+
+    def conditional_variance(self, F):
+        return jnp.exp(F)
+
+    def latent_init(self, Y):
+        # f = log rate, so start near log of the observed counts
+        return jnp.log1p(Y)
+
+    def propagate_log(self, mean_f, var_f, targets):
+        """Closed form for the exp link:
+        <y f - e^f - log y!> = y μ - e^{μ + s/2} - log y!"""
+        rate = jnp.exp(mean_f + 0.5 * var_f)
+        vals = (
+            targets * mean_f - rate - jax.scipy.special.gammaln(targets + 1.0)
+        )
+        return jnp.sum(vals)

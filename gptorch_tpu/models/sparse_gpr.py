@@ -60,9 +60,15 @@ class _InducingPointsGP(GPModel):
         inducing_points=None,
         mean_function=None,
         likelihood=None,
+        jitter: float = 0.0,
         name: str = "sparse_gp",
     ):
         super().__init__(x, y, kernel, likelihood, mean_function, name)
+        # Optional always-on relative floor jitter on Kuu.  Default 0.0 ==
+        # exact reference behavior (jitter only on Cholesky FAILURE,
+        # functions.py:20-43); set ~1e-6 for training runs where Z moves and
+        # can drive Kuu near-singular (cf. models/gplvm.py).
+        self.jitter = float(jitter)
 
         if inducing_points is None:
             if num_inducing_points is None:
@@ -73,6 +79,16 @@ class _InducingPointsGP(GPModel):
                 perturb_if_fail=True,
             )
         self.Z = Param(as_array(np.asarray(inducing_points)))
+
+    def _kuu(self, z):
+        """K(Z, Z) (+ the optional relative floor jitter)."""
+        Kuu = self.kernel.K(z)
+        if self.jitter:
+            scale = jnp.mean(jnp.diagonal(Kuu))
+            Kuu = Kuu + self.jitter * scale * jnp.eye(
+                Kuu.shape[0], dtype=jnp.result_type(Kuu)
+            )
+        return Kuu
 
     @property
     def num_inducing(self) -> int:
@@ -128,7 +144,7 @@ class VFE(_InducingPointsGP):
 
         Kff_diag = self.kernel.Kdiag(x)
         Kuf = self.kernel.K(self.Z.value, x)
-        Kuu = self.kernel.K(self.Z.value)
+        Kuu = self._kuu(self.Z.value)
         L = cholesky(Kuu)
 
         A = trtrs(Kuf, L)
@@ -154,7 +170,7 @@ class VFE(_InducingPointsGP):
         sigma2 = self.likelihood.variance.value.reshape(())
 
         Kuf = self.kernel.K(z, x)
-        Kuu = self.kernel.K(z)
+        Kuu = self._kuu(z)
         Kus = self.kernel.K(z, x_new)
         L = cholesky(Kuu)
         A = trtrs(Kuf, L)
@@ -207,7 +223,7 @@ class FITC(_InducingPointsGP):
         sigma2 = self.likelihood.variance.value.reshape(())
         Kff_diag = self.kernel.Kdiag(x)
         Kuf = self.kernel.K(self.Z.value, x)
-        L = cholesky(self.kernel.K(self.Z.value))
+        L = cholesky(self._kuu(self.Z.value))
         V = trtrs(Kuf, L)
         Qff_diag = jnp.sum(jnp.square(V), axis=0)
         return Kff_diag - Qff_diag + sigma2
@@ -220,7 +236,7 @@ class FITC(_InducingPointsGP):
         sigma2 = self.likelihood.variance.value.reshape(())
         Kff_diag = self.kernel.Kdiag(x)
         Kuf = self.kernel.K(self.Z.value, x)
-        Kuu = self.kernel.K(self.Z.value)
+        Kuu = self._kuu(self.Z.value)
         L = cholesky(Kuu)
         V = trtrs(Kuf, L)
         lam = Kff_diag - jnp.sum(jnp.square(V), axis=0) + sigma2
@@ -244,7 +260,7 @@ class FITC(_InducingPointsGP):
         sigma2 = self.likelihood.variance.value.reshape(())
 
         Kuf = self.kernel.K(z, x)
-        Kuu = self.kernel.K(z)
+        Kuu = self._kuu(z)
         Kus = self.kernel.K(z, x_new)
         L = cholesky(Kuu)
         V = trtrs(Kuf, L)
@@ -287,6 +303,7 @@ class SVGP(_InducingPointsGP):
         mean_function=None,
         likelihood=None,
         batch_size: Optional[int] = None,
+        jitter: float = 0.0,
         name: str = "svgp",
     ):
         if likelihood is None:
@@ -300,6 +317,7 @@ class SVGP(_InducingPointsGP):
             inducing_points=inducing_points,
             mean_function=mean_function,
             likelihood=likelihood,
+            jitter=jitter,
             name=name,
         )
         self.batch_size = batch_size
@@ -331,7 +349,7 @@ class SVGP(_InducingPointsGP):
         elif y is None:
             raise ValueError("Provide y together with x")
 
-        chol_kuu = cholesky(self.kernel.K(self.Z.value))
+        chol_kuu = cholesky(self._kuu(self.Z.value))
         f_mean, f_var = self._predict(x, diag=True, chol_kuu=chol_kuu)
 
         # Σ over output dims of <log N(y_i | f_i, σ²)>_q  (closed form).
@@ -369,7 +387,11 @@ class SVGP(_InducingPointsGP):
         n = self.num_data
         i = np.random.permutation(n)[: min(n, 100)]
         x = np.asarray(self.X[i])
-        y = np.asarray(self.Y[i])
+        # Non-Gaussian likelihoods: seed the latent GP at the likelihood's
+        # preferred latent scale (e.g. log counts for Poisson) -- the
+        # reference's f ≈ y assumption (sparse_gpr.py:321) explodes through
+        # an exp link.
+        y = np.asarray(self.likelihood.latent_init(self.Y[i]))
         likelihood = (
             self.likelihood
             if isinstance(self.likelihood, Gaussian)
@@ -390,7 +412,7 @@ class SVGP(_InducingPointsGP):
         """Posterior via inducing outputs as sufficient statistics
         (sparse_gpr.py:337-381)."""
         z = self.Z.value
-        chol_kuu = cholesky(self.kernel.K(z)) if chol_kuu is None else chol_kuu
+        chol_kuu = cholesky(self._kuu(z)) if chol_kuu is None else chol_kuu
         kuf = self.kernel.K(z, x_new)
         alpha = trtrs(kuf, chol_kuu).T
         beta = trtrs(self.induced_output_chol_cov.value, chol_kuu)

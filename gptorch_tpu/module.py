@@ -173,6 +173,35 @@ class Module:
                 total = total + jnp.sum(p.prior.log_prob(p.value))
         return total
 
+    # -- verification / placement ----------------------------------------------
+
+    def gradcheck(self, eps=1e-6, atol=1e-5, rtol=1e-3, order=1):
+        """Finite-difference check of the loss gradient (analog of reference
+        Model.gradcheck, model.py:199-217, built on torch.autograd.gradcheck;
+        here on jax.test_util.check_grads).  Returns True or raises."""
+        from jax.test_util import check_grads
+
+        values = get_trainable(self)
+        check_grads(
+            lambda v: with_trainable(self, v)._loss(),
+            (values,),
+            order=order,
+            modes=["rev"],
+            eps=eps,
+            atol=atol,
+            rtol=rtol,
+        )
+        return True
+
+    def to_device(self, device) -> "Module":
+        """Move every leaf to ``device`` (functional analog of the
+        reference's .cuda()/.cpu(), models/base.py:392-416)."""
+        import jax
+
+        return jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, device), self
+        )
+
     # -- repr ------------------------------------------------------------------
 
     def __repr__(self):

@@ -33,13 +33,19 @@ def _pad_to(a, n_pad):
     return out.at[idx, idx].set(1.0)
 
 
-def blocked_cholesky(a, nb: int = 2048):
+def blocked_cholesky(a, nb: int = 2048, lower_only: bool = False):
     """Lower Cholesky factor via right-looking blocked factorization.
 
     Panel k: factor the (nb, nb) diagonal block with XLA's cholesky, solve
     the (r, nb) sub-column with one triangular solve, then apply the (r, r)
     trailing update as a single GEMM -- the GEMM is >90% of the flops for
     nb << n and runs at matmul rate.
+
+    ``lower_only=True`` skips the final ``tril`` cleanup: the strict upper
+    triangle then contains leftovers of ``a``.  Safe (and 4 GB cheaper at
+    n=32k) when every consumer only reads the lower triangle -- true for
+    ``solve_triangular(lower=True)``, ``blocked_trtri``, and diagonal
+    reductions.
     """
     n = a.shape[0]
     if n <= nb:
@@ -67,7 +73,8 @@ def blocked_cholesky(a, nb: int = 2048):
                 trail
                 - jnp.matmul(l_panel, l_panel.T, preferred_element_type=K.dtype)
             )
-    return jnp.tril(K[:n, :n])
+    K = K[:n, :n]
+    return K if lower_only else jnp.tril(K)
 
 
 def blocked_trtri(L, nb: int = 2048):
@@ -115,14 +122,15 @@ def tril_square(Linv, nb: int = 2048):
     out = jnp.zeros((n_pad, n_pad), dtype=Linv.dtype)
     for j in range(p):
         lo = j * nb
-        tail = Lp[lo:, lo:]  # (r, r_cols) with cols from j-th block on
-        # columns i ≤ j of the output block row j:
-        # out[i_block rows? -- compute block row j of the LOWER triangle:
+        # block row j of the LOWER triangle:
         # out[j, i] for i ≤ j = Σ_{k≥j} Lp[k, j-block]ᵀ Lp[k, i-block]
         lhs = Lp[lo:, lo : lo + nb]  # (r, nb) -- column block j
         rhs = Lp[lo:, : lo + nb]  # (r, (j+1)·nb) -- column blocks 0..j
         row = jnp.matmul(lhs.T, rhs, preferred_element_type=Linv.dtype)
+        # write the row AND its mirror in place -- no full-matrix
+        # tril/transpose pass (that pass held 3 n² buffers live and was the
+        # OOM at n=32k).  The diagonal block is covered by the row write.
         out = out.at[lo : lo + nb, : lo + nb].set(row)
-    # mirror lower -> full symmetric
-    out = jnp.tril(out) + jnp.tril(out, -1).T
+        if lo:
+            out = out.at[: lo, lo : lo + nb].set(row[:, :lo].T)
     return out[:n, :n]

@@ -3,8 +3,8 @@
 The autodiff path through ``cholesky`` keeps O(n²) residuals per primitive
 and OOMs one v5e chip near n = 32k; and XLA's stock cholesky runs far below
 matmul rate.  This op computes the same value/gradient with a hand-written
-adjoint that is (a) minimal-memory (≤3 live n² buffers) and (b) built from
-the GEMM-rich blocked primitives in :mod:`gptorch_tpu.ops.blocked`:
+adjoint that is (a) minimal-memory and (b) built from the GEMM-rich blocked
+primitives in :mod:`gptorch_tpu.ops.blocked`:
 
 forward:   K = σ²·exp(-½‖(x_i - x_j)/ℓ‖²) + (σ_n² + jitter)·I
            L = blocked_cholesky(K),  α = L⁻¹ Y
@@ -14,23 +14,28 @@ backward (hyperparameter gradients only; x, y are data):
            K⁻¹ = tril_square(blocked_trtri(L))
            A   = L⁻ᵀ α   (= K⁻¹ Y)
            W   = dy·K⁻¹ - A Aᵀ           (∂NLML/∂θ = ½⟨W, ∂K/∂θ⟩)
-           M   = W ⊙ G   with G the noiseless Gram, recomputed
+           M   = W ⊙ G   with G the noiseless Gram
            ∂/∂log σ²   = ½ ΣM
            ∂/∂log ℓ_q  = Σ_i rowsum(M)_i·x̃²_iq - Σ_i x̃_iq·(M x̃)_iq
            ∂/∂log σ_n² = ½ σ_n²·(dy·tr K⁻¹ - ‖A‖²)
 
-where x̃ = x/ℓ.  All contractions stream over M in one fused GEMM pass
-against [1 | x̃], so the O(n³) work is exactly: blocked chol (n³/3) +
-blocked trtri (~n³/3) + tril_square (n³/3).
+where x̃ = x/ℓ (so ∂K_ij/∂log ℓ_q = G_ij (x̃_iq - x̃_jq)², and the ℓ_q sum
+uses symmetry of M).
 
-Math check: ∂K_ij/∂log ℓ_q = G_ij·(x̃_iq - x̃_jq)², and
-½·Σ_ij M_ij (x̃²_iq + x̃²_jq - 2 x̃_iq x̃_jq) = Σ_i r_i x̃²_iq - x̃_qᵀM x̃_q
-by symmetry of M.
+HBM discipline (the binding constraint at n = 32k f32, where one n² buffer
+is 4 GB against 16 GB of HBM):
 
-Unlike the reference (which would simply crash at this scale -- single
-float64 torch.cholesky, functions.py:46), this path holds 1e-6-level
-agreement with the autodiff path (tests/test_gpr_fast.py) while fitting
-n = 32768 on one chip.
+* forward: the Gram is written ONCE by the fused Pallas kernel
+  (:func:`gptorch_tpu.ops.pallas_gram.rbf_gram`) -- no separate r2 buffer --
+  and the blocked factorization updates it in place (``lower_only`` skips
+  the final tril copy).  Peak ≈ 1 n² + panel temps.
+* backward: L is fully consumed (A, then trtri) before K⁻¹ is formed; the
+  M-contraction streams over row slabs whose Gram tiles are RECOMPUTED by
+  the Pallas kernel, so neither G nor M ever materializes.  Peak ≈ 2 n²
+  (Linv + K⁻¹).
+
+The float64 / CPU path (used by the parity tests) takes the plain XLA route
+automatically.
 """
 
 from __future__ import annotations
@@ -44,17 +49,60 @@ from jax import lax
 from jax.scipy.linalg import solve_triangular
 
 from .blocked import blocked_cholesky, blocked_trtri, tril_square
+from .pallas_gram import rbf_gram
+
+_TILE = 512  # pallas gram tile edge
 
 
 def _scaled(x, log_ell):
     return x * jnp.exp(-log_ell)  # broadcasting: scalar or (d,)
 
 
-def _gram_noiseless(xs, log_var):
+def _use_pallas(x):
+    # Opt-in: the Pallas gram kernel saves one n² HBM buffer and a pass of
+    # bandwidth, but Mosaic compiles take minutes through remote-compile
+    # tunnels, so the default stays on the XLA gram + slab streaming.
+    import os
+
+    return (
+        os.environ.get("GPTORCH_TPU_PALLAS_GRAM") == "1"
+        and jax.default_backend() == "tpu"
+        and jnp.result_type(x) == jnp.float32
+        and x.shape[0] % _TILE == 0
+    )
+
+
+def _use_streaming(x):
+    """Stream the backward contraction over row slabs (never materialize the
+    full G or M) -- always on for large-n TPU runs."""
+    return (
+        jax.default_backend() == "tpu"
+        and x.shape[0] >= 8192
+        and x.shape[0] % _TILE == 0
+    )
+
+
+def _gram_xla(xs, log_var, diag=None):
     x1s = jnp.sum(xs * xs, axis=1, keepdims=True)
     r2 = x1s + x1s.T - 2.0 * jnp.matmul(xs, xs.T, preferred_element_type=xs.dtype)
     r2 = jnp.maximum(r2, 0.0)
-    return jnp.exp(log_var) * jnp.exp(-0.5 * r2)
+    G = jnp.exp(log_var) * jnp.exp(-0.5 * r2)
+    if diag is not None:
+        G = G + diag * jnp.eye(xs.shape[0], dtype=G.dtype)
+    return G
+
+
+def _gram(xs, log_var, diag=None):
+    """Noiseless (diag=None) or noisy symmetric Gram on pre-scaled inputs."""
+    if _use_pallas(xs):
+        return rbf_gram(
+            xs,
+            log_ell=jnp.zeros((), xs.dtype),
+            log_var=log_var,
+            diag=jnp.zeros((), xs.dtype) if diag is None else diag,
+            tile=_TILE,
+        )
+    return _gram_xla(xs, log_var, diag)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -66,7 +114,7 @@ def rbf_nlml(log_ell, log_var, log_noise, x, y, jitter=0.0, nb=2048):
     :param log_var: log kernel variance, scalar.
     :param log_noise: log Gaussian noise variance, scalar.
     :param x: (n, d) inputs.  :param y: (n, dy) targets.
-    :param jitter: static extra diagonal (relative to σ_n²=no -- absolute).
+    :param jitter: static extra absolute diagonal jitter.
     :param nb: static panel size for the blocked factorizations.
     """
     nlml, _ = _fwd_impl(log_ell, log_var, log_noise, x, y, jitter, nb)
@@ -76,10 +124,9 @@ def rbf_nlml(log_ell, log_var, log_noise, x, y, jitter=0.0, nb=2048):
 def _fwd_impl(log_ell, log_var, log_noise, x, y, jitter, nb):
     n, dy = y.shape
     xs = _scaled(x, log_ell)
-    G = _gram_noiseless(xs, log_var)
     diag = jnp.exp(log_noise) + jitter
-    K = G + diag * jnp.eye(n, dtype=G.dtype)
-    L = blocked_cholesky(K, nb)
+    K = _gram(xs, log_var, diag)
+    L = blocked_cholesky(K, nb, lower_only=True)
     alpha = solve_triangular(L, y, lower=True)
     nlml = (
         0.5 * jnp.sum(jnp.square(alpha))
@@ -93,37 +140,67 @@ def _fwd(log_ell, log_var, log_noise, x, y, jitter, nb):
     return _fwd_impl(log_ell, log_var, log_noise, x, y, jitter, nb)
 
 
+def _contractions(Kinv, A, xs, log_var, dy):
+    """P = M @ [1 | x̃] and ΣM with M = (dy·Kinv - A Aᵀ) ⊙ G, streamed over
+    row slabs with Pallas-recomputed Gram tiles (G, M never materialize)."""
+    n, d = xs.shape
+    J = jnp.concatenate([jnp.ones((n, 1), xs.dtype), xs], axis=1)
+
+    if not _use_streaming(xs):
+        G = _gram_xla(xs, log_var)
+        M = (dy * Kinv - jnp.matmul(A, A.T, preferred_element_type=A.dtype)) * G
+        return jnp.matmul(M, J, preferred_element_type=xs.dtype)
+
+    slab = 4096 if n % 4096 == 0 else _TILE
+    xsn = jnp.sum(xs * xs, axis=1)  # (n,)
+    out = jnp.zeros((n, d + 1), dtype=xs.dtype)
+    for s in range(n // slab):
+        lo = s * slab
+        xs_s = lax.slice(xs, (lo, 0), (lo + slab, d))
+        if _use_pallas(xs):
+            G_s = rbf_gram(
+                xs_s,
+                xs,
+                log_ell=jnp.zeros((), xs.dtype),
+                log_var=log_var,
+                tile=min(_TILE, slab),
+            )
+        else:
+            r2 = (
+                jnp.sum(xs_s * xs_s, axis=1, keepdims=True)
+                + xsn[None, :]
+                - 2.0 * jnp.matmul(xs_s, xs.T, preferred_element_type=xs.dtype)
+            )
+            G_s = jnp.exp(log_var) * jnp.exp(-0.5 * jnp.maximum(r2, 0.0))
+        W_s = dy * lax.slice(Kinv, (lo, 0), (lo + slab, n)) - jnp.matmul(
+            lax.slice(A, (lo, 0), (lo + slab, A.shape[1])),
+            A.T,
+            preferred_element_type=A.dtype,
+        )
+        P_s = jnp.matmul(W_s * G_s, J, preferred_element_type=xs.dtype)
+        out = lax.dynamic_update_slice(out, P_s, (lo, 0))
+    return out
+
+
 def _bwd(jitter, nb, res, g):
     log_ell, log_var, log_noise, x, y, L, alpha = res
     n, dy = y.shape
 
-    # Buffer discipline (peak HBM is the binding constraint at n=32k):
-    # consume L completely BEFORE allocating Kinv/G so its buffer can be
-    # reused -- peak is then {Kinv, G, M} ≈ 3 n² instead of 4.
+    # Consume L completely before allocating Kinv so its buffer is reusable.
     A = solve_triangular(L, alpha, lower=True, trans=1)  # L⁻ᵀα = K⁻¹Y
     Linv = blocked_trtri(L, nb)
     Kinv = tril_square(Linv, nb)
 
     xs = _scaled(x, log_ell)
-    G = _gram_noiseless(xs, log_var)
-
-    # W = dy·Kinv - A Aᵀ (fused elementwise below; never materialized alone)
-    M = (dy * Kinv - jnp.matmul(A, A.T, preferred_element_type=A.dtype)) * G
-
-    ones = jnp.ones((n, 1), dtype=x.dtype)
-    P = jnp.matmul(
-        M, jnp.concatenate([ones, xs], axis=1), preferred_element_type=x.dtype
-    )  # (n, 1 + d)
+    P = _contractions(Kinv, A, xs, log_var, dy)
     rowsum = P[:, 0]
     MX = P[:, 1:]
 
-    sum_M = jnp.sum(rowsum)
-    d_log_var = 0.5 * sum_M
+    d_log_var = 0.5 * jnp.sum(rowsum)
 
     d_log_ell_full = jnp.sum(rowsum[:, None] * jnp.square(xs), axis=0) - jnp.sum(
         xs * MX, axis=0
     )
-    # match the shape of log_ell (scalar / (1,) / (d,))
     if jnp.ndim(log_ell) == 0:
         d_log_ell = jnp.sum(d_log_ell_full)
     elif jnp.shape(log_ell)[0] == 1 and x.shape[1] != 1:
@@ -135,14 +212,12 @@ def _bwd(jitter, nb, res, g):
     tr_W = dy * jnp.trace(Kinv) - jnp.sum(jnp.square(A))
     d_log_noise = 0.5 * noise * tr_W
 
-    zero_x = jnp.zeros_like(x)
-    zero_y = jnp.zeros_like(y)
     return (
         g * d_log_ell,
         g * jnp.reshape(d_log_var, jnp.shape(log_var)),
         g * jnp.reshape(d_log_noise, jnp.shape(log_noise)),
-        zero_x,
-        zero_y,
+        jnp.zeros_like(x),
+        jnp.zeros_like(y),
     )
 
 

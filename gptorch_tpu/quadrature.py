@@ -1,0 +1,44 @@
+"""Gauss-Hermite quadrature for likelihood expectations.
+
+The reference declares quadrature-based marginalization as an unimplemented
+TODO (reference likelihoods.py:47-64, :69-78 "Implement quadrature
+fallback").  This module provides it: expectations of f(x) under
+N(mu, var) via the probabilists' Hermite rule,
+
+    <g(f)>_{N(mu, var)} ≈ Σ_k w_k · g(mu + sqrt(var)·z_k) / sqrt(pi)·...
+
+expressed with the physicists' nodes so the weights normalize cleanly.
+Everything is static-shape and vmap/jit friendly (nodes are compile-time
+constants).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=None)
+def _nodes_weights(order: int):
+    z, w = np.polynomial.hermite_e.hermegauss(order)  # probabilists'
+    w = w / math.sqrt(2.0 * math.pi)  # normalize: Σw = 1
+    return z, w
+
+
+def gauss_hermite(g, mean, var, order: int = 20):
+    """<g(f)>_{f ~ N(mean, var)} elementwise over mean/var arrays.
+
+    ``g`` must be vectorized (it receives an array with one extra leading
+    quadrature axis).
+    """
+    z, w = _nodes_weights(order)
+    z = jnp.asarray(z, dtype=jnp.result_type(mean))
+    w = jnp.asarray(w, dtype=jnp.result_type(mean))
+    f = mean[None, ...] + jnp.sqrt(jnp.maximum(var, 0.0))[None, ...] * z.reshape(
+        (-1,) + (1,) * jnp.ndim(mean)
+    )
+    vals = g(f)
+    return jnp.tensordot(w, vals, axes=(0, 0))
