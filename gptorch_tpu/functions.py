@@ -87,6 +87,19 @@ def _select_jitter_jvp(primals, tangents):
     return _select_jitter(a), jnp.zeros((), jnp.result_type(a))
 
 
+_BLOCKED_MIN_N = 4096  # above this, the blocked MXU path beats stock chol
+
+
+def _chol_raw(a):
+    """Plain lower Cholesky; large single matrices take the GEMM-dominated
+    blocked path (gptorch_tpu.ops.blocked, custom closed-form adjoint)."""
+    if a.ndim == 2 and a.shape[0] >= _BLOCKED_MIN_N:
+        from .ops.blocked import cholesky_blocked
+
+        return cholesky_blocked(a)
+    return lax.linalg.cholesky(a)
+
+
 def cholesky(a, policy: str | None = None):
     """Lower-triangular Cholesky factor with configurable jitter robustness.
 
@@ -95,11 +108,11 @@ def cholesky(a, policy: str | None = None):
     a = jnp.asarray(a)
     policy = policy if policy is not None else settings.config.jitter_policy
     if policy == "none":
-        return lax.linalg.cholesky(a)
+        return _chol_raw(a)
     if policy == "fixed":
         scale = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)
         jitter = settings.config.fixed_jitter * lax.stop_gradient(scale)
-        return lax.linalg.cholesky(a + jitter[..., None, None] * _eye_like(a))
+        return _chol_raw(a + jitter[..., None, None] * _eye_like(a))
     if policy == "adaptive":
         if a.ndim != 2:
             # Batched: vmap the 2-D path.
@@ -107,11 +120,11 @@ def cholesky(a, policy: str | None = None):
                 a.reshape((-1,) + a.shape[-2:])
             ).reshape(a.shape)
         jitter = _select_jitter(a)
-        L0 = lax.linalg.cholesky(a)
+        L0 = _chol_raw(a)
         # Recompute (differentiably) only when jitter was needed.
         return lax.cond(
             jitter > 0,
-            lambda: lax.linalg.cholesky(a + jitter * _eye_like(a)),
+            lambda: _chol_raw(a + jitter * _eye_like(a)),
             lambda: L0,
         )
     raise ValueError(f"Unknown jitter policy {policy!r}")

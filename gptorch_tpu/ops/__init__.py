@@ -16,7 +16,7 @@ from . import blocked
 from . import gpr_fast
 from . import pallas_gram
 
-from .blocked import blocked_cholesky, blocked_trtri, tril_square
+from .blocked import blocked_cholesky, blocked_trtri, cholesky_blocked, tril_square
 from .gpr_fast import rbf_nlml
 from .pallas_gram import rbf_gram
 
@@ -25,6 +25,7 @@ __all__ = [
     "gpr_fast",
     "pallas_gram",
     "blocked_cholesky",
+    "cholesky_blocked",
     "blocked_trtri",
     "tril_square",
     "rbf_nlml",
