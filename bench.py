@@ -32,7 +32,7 @@ def main():
     n = int(os.environ.get("BENCH_N", 32768))
     d = int(os.environ.get("BENCH_D", 8))
     iters = int(os.environ.get("BENCH_ITERS", 3))
-    nb = int(os.environ.get("BENCH_NB", 2048))
+    nb = int(os.environ.get("BENCH_NB", 4096))
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(n, d).astype(np.float32))
@@ -45,10 +45,10 @@ def main():
     )
     log_ell = jnp.zeros(d, jnp.float32)
     log_var = jnp.zeros((), jnp.float32)
-    log_noise = jnp.asarray(np.log(0.01), jnp.float32)
+    log_noise = jnp.asarray(np.log(0.1), jnp.float32)
 
     # compile + warmup
-    loss, grads = step(log_ell, log_var, log_noise, x, y, 1e-5, nb)
+    loss, grads = step(log_ell, log_var, log_noise, x, y, 1e-3, nb)
     _ = float(loss) + float(grads[0][0])
 
     # Perturb an input every iteration so no layer of the stack can serve a
@@ -57,7 +57,7 @@ def main():
     for i in range(iters):
         t0 = time.perf_counter()
         loss, grads = step(
-            log_ell + 1e-6 * (i + 1), log_var, log_noise, x, y, 1e-5, nb
+            log_ell + 1e-6 * (i + 1), log_var, log_noise, x, y, 1e-3, nb
         )
         _ = float(loss) + float(grads[0][0])
         times.append(time.perf_counter() - t0)

@@ -89,3 +89,58 @@ class DistributedGPR(Module):
             )(values)
 
         return f(values, self)
+
+    def _predict(self, x_new, diag=True):
+        """Posterior p(f* | y) with the training-side linalg distributed.
+
+        x_new (n*, d) is replicated (test batches are small); the O(n²)
+        solves run sharded: solve L⁻¹ [Y | K(X, X*)] in one distributed
+        triangular solve, then combine the replicated results
+        (GPML Alg. 2.1 identities, reference gpr.py:88-117).
+        """
+        from .gram import ring_gram
+        from .solves import add_diagonal, distributed_tri_solve
+
+        x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
+        noise = self.likelihood.variance.value.reshape(())
+
+        K = ring_gram(self.kernel, self.X, self.mesh, axis=self.axis)
+        Kyy = add_diagonal(K, noise, self.mesh, axis=self.axis)
+        L = distributed_cholesky(Kyy, self.mesh, axis=self.axis)
+        # rows of K(X, X*) follow X's sharding automatically
+        k_xs = self.kernel.K(self.X, x_new)
+        rhs = jnp.concatenate([self.Y, k_xs], axis=1)
+        solved = distributed_tri_solve(L, rhs, self.mesh, axis=self.axis)
+        dy = self.Y.shape[1]
+        V = solved[:, :dy]  # L⁻¹ Y      (replicated)
+        A = solved[:, dy:]  # L⁻¹ K(X, X*)
+        mean = A.T @ V
+        if diag:
+            var = jnp.broadcast_to(
+                (self.kernel.Kdiag(x_new) - jnp.sum(A * A, axis=0))[:, None],
+                mean.shape,
+            )
+        else:
+            var = self.kernel.K(x_new) - A.T @ A
+        return mean, var
+
+    def predict_f(self, x_new, diag=True):
+        import numpy as _np
+
+        from_numpy = isinstance(x_new, _np.ndarray)
+        out = self._predict(x_new, diag=diag)
+        if from_numpy:
+            return tuple(_np.asarray(o) for o in out)
+        return out
+
+    def predict_y(self, x_new, diag=True):
+        mean_f, cov_f = self._predict(x_new, diag=diag)
+        if diag:
+            out = self.likelihood.predict_mean_variance(mean_f, cov_f)
+        else:
+            out = self.likelihood.predict_mean_covariance(mean_f, cov_f)
+        import numpy as _np
+
+        if isinstance(x_new, _np.ndarray):
+            return tuple(_np.asarray(o) for o in out)
+        return out

@@ -163,3 +163,21 @@ class TestDataParallelSVGP:
         l0 = float(model.loss())
         trained, losses = fit_dp_svgp(model, mesh, axis="sp", n_steps=20)
         assert losses[-1] < l0
+
+
+class TestDistributedGPRPredict:
+    def test_predict_matches_single_device(self, mesh, data):
+        x, y = data
+        k = kernels.Rbf(3)
+        lik = likelihoods.Gaussian(variance=0.1)
+        dm = DistributedGPR(x, y, k, lik, mesh)
+        sm = GPR(x, y, k, likelihood=lik)
+        x_test = np.random.RandomState(9).randn(5, 3)
+        mu_d, var_d = dm.predict_f(x_test)
+        mu_s, var_s = sm.predict_f(x_test)
+        assert mu_d == pytest.approx(mu_s, rel=1e-9, abs=1e-11)
+        assert var_d == pytest.approx(var_s, rel=1e-8, abs=1e-11)
+        # full covariance + predict_y
+        mu_df, cov_df = dm.predict_y(x_test, diag=False)
+        mu_sf, cov_sf = sm.predict_y(x_test, diag=False)
+        assert cov_df == pytest.approx(cov_sf, rel=1e-7, abs=1e-10)
