@@ -1,0 +1,94 @@
+"""Secondary benchmark: SVGP ELBO training steps/second.
+
+BASELINE.md row: M=1024 inducing points, batch=4096, UCI-protein-like scale
+(N≈45k, d=9).  Measures full jit-compiled Adam steps (ELBO + grads + update)
+with the minibatch drawn on-device from a threaded PRNG key.
+
+Prints one JSON line (same schema as bench.py; this one is informational --
+the driver's headline metric is bench.py).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gptorch_tpu import kernels, likelihoods, settings
+    from gptorch_tpu.models import SVGP
+    from gptorch_tpu.module import get_trainable, with_trainable
+
+    n = int(os.environ.get("BENCH_N", 45730))
+    d = int(os.environ.get("BENCH_D", 9))
+    m = int(os.environ.get("BENCH_M", 1024))
+    batch = int(os.environ.get("BENCH_BATCH", 4096))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(n, d).astype(np.float32)
+    y = (np.sin(x[:, :1]) + 0.1 * rng.randn(n, 1)).astype(np.float32)
+
+    with settings.override(jitter_policy="fixed"):
+        model = SVGP(
+            x,
+            y,
+            kernels.Rbf(d, ARD=True),
+            num_inducing_points=None,
+            inducing_points=x[rng.permutation(n)[:m]],
+            batch_size=batch,
+            jitter=1e-6,
+        )
+        values = get_trainable(model)
+        tx = optax.adam(1e-2)
+        opt_state = tx.init(values)
+
+        @jax.jit
+        def step(values, opt_state, model, key):
+            def loss_fn(v):
+                with settings.override(jitter_policy="fixed"):
+                    return with_trainable(model, v)._loss(key=key)
+
+            loss, grads = jax.value_and_grad(loss_fn)(values)
+            updates, opt_state = tx.update(grads, opt_state, values)
+            return optax.apply_updates(values, updates), opt_state, loss
+
+        key = jax.random.PRNGKey(0)
+        values, opt_state, loss = step(values, opt_state, model, key)
+        _ = float(loss)
+
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            values, opt_state, loss = step(
+                values, opt_state, model, jax.random.fold_in(key, i)
+            )
+            _ = float(loss)
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"svgp_elbo_m{m}_b{batch}_steps_per_s",
+                "value": round(1.0 / dt, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(1.0 / dt, 2),
+            }
+        )
+    )
+    print(
+        f"# n={n} d={d} m={m} batch={batch} time/step={dt*1e3:.1f} ms "
+        f"loss={float(loss):.1f} backend={jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
