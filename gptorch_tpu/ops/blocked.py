@@ -63,18 +63,30 @@ def blocked_cholesky(a, nb: int = 2048, lower_only: bool = False):
         lkk = lax.linalg.cholesky(akk)
         K = K.at[lo:hi, lo:hi].set(lkk)
         if hi < n_pad:
-            # L_panel = A_panel L_kk^{-T}
-            a_panel = K[hi:, lo:hi]
-            l_panel = solve_triangular(
-                lkk, a_panel.T, lower=True, trans=0
-            ).T
-            K = K.at[hi:, lo:hi].set(l_panel)
-            # trailing syrk: A22 -= L_panel L_panelᵀ   (the MXU GEMM)
-            trail = K[hi:, hi:]
-            K = K.at[hi:, hi:].set(
-                trail
-                - jnp.matmul(l_panel, l_panel.T, preferred_element_type=K.dtype)
+            # L_panel = A_panel L_kk^{-T}, computed as a GEMM against the
+            # explicitly inverted (well-conditioned) panel factor -- XLA's
+            # triangular solve with many RHS runs far below matmul rate.
+            lkk_inv = solve_triangular(
+                lkk, jnp.eye(nb, dtype=K.dtype), lower=True
             )
+            a_panel = K[hi:, lo:hi]
+            l_panel = jnp.matmul(
+                a_panel, lkk_inv.T, preferred_element_type=K.dtype
+            )
+            K = K.at[hi:, lo:hi].set(l_panel)
+            # Trailing syrk A22 -= L_panel L_panelᵀ, LOWER blocks only
+            # (upper trailing blocks are never read; this halves the GEMM
+            # flops, the dominant cost).  Row block i updates its columns
+            # k+1..i.
+            for i in range(k + 1, p):
+                ilo = i * nb
+                width = ilo + nb - hi  # columns hi .. ilo+nb
+                upd = jnp.matmul(
+                    l_panel[ilo - hi : ilo - hi + nb],
+                    l_panel[: width].T,
+                    preferred_element_type=K.dtype,
+                )
+                K = K.at[ilo : ilo + nb, hi : hi + width].add(-upd)
     K = K[:n, :n]
     return K if lower_only else jnp.tril(K)
 

@@ -188,7 +188,8 @@ def _bwd(jitter, nb, res, g):
 
     # Consume L completely before allocating Kinv so its buffer is reusable.
     A = solve_triangular(L, alpha, lower=True, trans=1)  # L⁻ᵀα = K⁻¹Y
-    Linv = blocked_trtri(L, nb)
+    # deeper trtri recursion => leaf solves become GEMM-dominated
+    Linv = blocked_trtri(L, min(nb, 1024))
     Kinv = tril_square(Linv, nb)
 
     xs = _scaled(x, log_ell)

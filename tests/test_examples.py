@@ -30,3 +30,22 @@ def test_regression_1d(model_type):
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert "predictive mean range" in result.stdout
+
+
+def test_classification_1d():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPTORCH_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(BASE, "examples", "classification_1d.py"),
+            "--no-plot",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "train accuracy" in result.stdout
