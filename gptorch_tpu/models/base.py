@@ -115,15 +115,25 @@ class GPModel(Module):
         """-(log_likelihood + log_prior) (models/base.py:418-419)."""
         return -(self.log_likelihood(x=x, y=y, key=key) + self.log_prior())
 
-    def loss(self, x=None, y=None, key=None):
+    def loss(self, x=None, y=None, key=None, params=None):
         """Public loss.  Shape/size checks happen eagerly here (they cannot
         run on traced values): X and Y must agree on # data
-        (reference gpr.py:56-57)."""
+        (reference gpr.py:56-57).
+
+        :param params: optional trainable-value dict (see
+            :func:`gptorch_tpu.module.get_trainable`); when given, the loss
+            is evaluated at that state -- analog of the reference's
+            ``loss(params=...)`` state injection (model.py:179-197).
+        """
         if x is not None or y is not None:
             xs = x if x is not None else self.X
             ys = y if y is not None else self.Y
             if xs.shape[0] != ys.shape[0]:
                 raise ValueError("X and Y must have same # data.")
+        if params is not None:
+            from ..module import with_trainable
+
+            return with_trainable(self, params)._loss(x=x, y=y, key=key)
         return self._loss(x=x, y=y, key=key)
 
     # -- training ------------------------------------------------------------------

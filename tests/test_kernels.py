@@ -191,3 +191,9 @@ def test_kernel_jit_and_grad():
     g = jax.grad(lambda kern: f(kern, x))(k)
     assert np.isfinite(float(v))
     assert np.all(np.isfinite(np.asarray(g.length_scales.raw)))
+
+
+def test_validate_ard_shape_raises():
+    """reference kernels.py:44-64."""
+    with pytest.raises(ValueError):
+        kernels.Linear(2, variance=np.ones(3))

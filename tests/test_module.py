@@ -103,3 +103,22 @@ class TestModule:
         m = Outer()
         m2 = m.replace(n=9)
         assert m2.n == 9 and m.n == 7
+
+
+def test_loss_params_injection():
+    """loss(params=...) evaluates at an injected state (reference
+    model.py:179-197)."""
+    import numpy as np
+
+    from gptorch_tpu import kernels
+    from gptorch_tpu.models import GPR
+
+    rng = np.random.RandomState(0)
+    model = GPR(rng.randn(10, 2), rng.randn(10, 1), kernels.Rbf(2))
+    d = get_trainable(model)
+    base = float(model.loss())
+    assert float(model.loss(params=d)) == pytest.approx(base)
+    d2 = {k: v + 0.3 for k, v in d.items()}
+    assert float(model.loss(params=d2)) != pytest.approx(base)
+    # model itself unchanged
+    assert float(model.loss()) == pytest.approx(base)
