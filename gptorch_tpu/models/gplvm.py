@@ -34,7 +34,6 @@ import numpy as np
 from .. import ekernels
 from ..functions import cholesky, lt_log_determinant, trtrs
 from ..likelihoods import Gaussian
-from ..module import Module
 from ..param import Param, positive_param
 from ..util import PCA, as_array, kmeans_centers
 from .base import GPModel

@@ -25,14 +25,14 @@ uses symmetry of M).
 HBM discipline (the binding constraint at n = 32k f32, where one n² buffer
 is 4 GB against 16 GB of HBM):
 
-* forward: the Gram is written ONCE by the fused Pallas kernel
-  (:func:`gptorch_tpu.ops.pallas_gram.rbf_gram`) -- no separate r2 buffer --
-  and the blocked factorization updates it in place (``lower_only`` skips
-  the final tril copy).  Peak ≈ 1 n² + panel temps.
+* forward: the Gram's elementwise chain fuses into one output buffer (XLA
+  keeps only the raw dot product + K; the optional Pallas kernel --
+  ``GPTORCH_TPU_PALLAS_GRAM=1`` -- collapses that to a single buffer); the
+  blocked factorization updates K in place, and ``lower_only`` skips the
+  final tril copy.  Peak ≈ 2 n².
 * backward: L is fully consumed (A, then trtri) before K⁻¹ is formed; the
-  M-contraction streams over row slabs whose Gram tiles are RECOMPUTED by
-  the Pallas kernel, so neither G nor M ever materializes.  Peak ≈ 2 n²
-  (Linv + K⁻¹).
+  M-contraction streams over row slabs whose Gram tiles are RECOMPUTED per
+  slab, so neither G nor M ever materializes.  Peak ≈ 2 n² (Linv + K⁻¹).
 
 The float64 / CPU path (used by the parity tests) takes the plain XLA route
 automatically.

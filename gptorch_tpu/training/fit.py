@@ -166,6 +166,11 @@ def fit_scan(
     No host synchronization until the end -- the preferred TPU path.  Returns
     (trained_model, losses DeviceArray of shape (max_iter,)).
     """
+    if method == "LBFGS":
+        raise ValueError(
+            "LBFGS needs a line-search closure; use fit_optax or a scipy "
+            "method instead of fit_scan"
+        )
     loss = _loss_fn(model)
     tx = make_optimizer(method, learning_rate)
     values = get_trainable(model)
