@@ -63,15 +63,45 @@ def main():
         values, opt_state, loss = step(values, opt_state, model, key)
         _ = float(loss)
 
-        times = []
-        for i in range(iters):
-            t0 = time.perf_counter()
-            values, opt_state, loss = step(
-                values, opt_state, model, jax.random.fold_in(key, i)
-            )
-            _ = float(loss)
-            times.append(time.perf_counter() - t0)
-        dt = min(times)
+        scan_len = int(os.environ.get("BENCH_SCAN", 50))
+        if scan_len > 1:
+            # Amortize host/tunnel dispatch latency: run scan_len whole
+            # steps inside one compiled call (how real training runs via
+            # fit_scan), then divide.
+            @jax.jit
+            def many(values, opt_state, model, key):
+                def body(carry, i):
+                    v, s = carry
+                    v, s, l = step(v, s, model, jax.random.fold_in(key, i))
+                    return (v, s), l
+
+                (values, opt_state), losses = jax.lax.scan(
+                    body, (values, opt_state), jnp.arange(scan_len)
+                )
+                return values, opt_state, losses
+
+            values, opt_state, losses = many(values, opt_state, model, key)
+            _ = float(losses[-1])
+            times = []
+            for i in range(max(iters // 10, 2)):
+                t0 = time.perf_counter()
+                values, opt_state, losses = many(
+                    values, opt_state, model, jax.random.fold_in(key, 1000 + i)
+                )
+                loss = losses[-1]
+                _ = float(loss)
+                times.append((time.perf_counter() - t0) / scan_len)
+            dt = min(times)
+        else:
+            times = []
+            for i in range(iters):
+                t0 = time.perf_counter()
+                values, opt_state, loss = step(
+                    values, opt_state, model, jax.random.fold_in(key, i)
+                )
+                _ = float(loss)
+                times.append(time.perf_counter() - t0)
+            dt = min(times)
 
     print(
         json.dumps(

@@ -5,6 +5,7 @@ is reimplemented in :mod:`gptorch_tpu.models.gplvm`)."""
 from .base import GPModel
 from .gpr import GPR
 from .gplvm import GPLVM
+from .kronecker import GridGPR
 from .sparse_gpr import FITC, SVGP, VFE
 
-__all__ = ["GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM"]
+__all__ = ["GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR"]
