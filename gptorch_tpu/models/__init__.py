@@ -6,6 +6,7 @@ from .base import GPModel
 from .gpr import GPR
 from .gplvm import GPLVM
 from .kronecker import GridGPR
+from .multioutput import ICM
 from .sparse_gpr import FITC, SVGP, VFE
 
-__all__ = ["GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR"]
+__all__ = ["GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM"]

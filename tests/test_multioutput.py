@@ -1,0 +1,113 @@
+"""ICM correlated-output GP tests (reference ROADMAP item, README.md:43).
+
+Correctness established against a brute-force dense implementation of the
+joint (np × np) Gaussian built with numpy.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg as sl
+
+from gptorch_tpu import kernels, likelihoods
+from gptorch_tpu.models.multioutput import ICM
+
+
+def _dense_reference(model):
+    """NLML and predictive moments from the explicit np×np covariance."""
+    X = np.asarray(model.X)
+    Y = np.asarray(model.Y)
+    n, p = Y.shape
+    Kx = np.asarray(model.kernel.K(model.X))
+    B = np.asarray(model.coregion_matrix())
+    s2 = float(model.likelihood.variance.value.reshape(()))
+    # vec(Y) with column-major pairing (i, q) -> order outputs fastest? Our
+    # formulation: cov(Y[i,q], Y[j,r]) = B[q,r] Kx[i,j] + s2·δ.  Use
+    # ordering index = i*p + q  ->  K_joint = kron(Kx, B).
+    K_joint = np.kron(Kx, B) + s2 * np.eye(n * p)
+    yv = Y.reshape(-1)  # row-major: i*p + q  ✓ matches kron(Kx, B)
+    L = np.linalg.cholesky(K_joint)
+    a = sl.solve_triangular(L, yv, lower=True)
+    nlml = 0.5 * a @ a + np.log(np.diag(L)).sum() + 0.5 * n * p * np.log(2 * np.pi)
+    return -nlml, K_joint, L
+
+
+def _model(n=12, p=3, rank=2, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, 2)
+    W_true = rng.randn(p, 1)
+    f = np.sin(x[:, :1]) @ W_true.T
+    y = f + 0.1 * rng.randn(n, p)
+    model = ICM(
+        x, y, kernels.Rbf(2), rank=rank, likelihood=likelihoods.Gaussian(0.05)
+    )
+    # non-trivial B
+    model.W = model.W.with_value(jnp.asarray(rng.randn(p, rank) * 0.7))
+    model.kappa = model.kappa.with_value(jnp.asarray(0.3 + rng.rand(p)))
+    return model
+
+
+class TestICM:
+    def test_nlml_matches_dense(self):
+        model = _model()
+        ll_dense, _, _ = _dense_reference(model)
+        assert float(model.log_likelihood()) == pytest.approx(ll_dense, rel=1e-10)
+
+    def test_predict_matches_dense(self):
+        model = _model()
+        _, K_joint, L = _dense_reference(model)
+        X = np.asarray(model.X)
+        Y = np.asarray(model.Y)
+        n, p = Y.shape
+        B = np.asarray(model.coregion_matrix())
+        x_test = np.random.RandomState(7).randn(4, 2)
+        Ks = np.asarray(model.kernel.K(jnp.asarray(x_test), model.X))  # (nt, n)
+        ktt = np.asarray(model.kernel.Kdiag(jnp.asarray(x_test)))
+
+        # dense cross covariance rows: index (t, q) vs (i, r)
+        C = np.kron(Ks, B)  # (nt*p, n*p)
+        Kinv_y = np.linalg.solve(K_joint, Y.reshape(-1))
+        mean_dense = (C @ Kinv_y).reshape(-1, p)
+        var_dense = (
+            np.kron(np.ones((len(x_test),)), np.diag(B)).reshape(-1, p)
+            * ktt[:, None]
+            - np.einsum(
+                "ab,bc,ac->a", C, np.linalg.inv(K_joint), C
+            ).reshape(-1, p)
+        )
+
+        mean, var = model.predict_f(x_test)
+        assert mean == pytest.approx(mean_dense, rel=1e-8, abs=1e-10)
+        assert var == pytest.approx(var_dense, rel=1e-6, abs=1e-9)
+
+    def test_correlated_outputs_beat_independent(self):
+        """With strongly correlated outputs, the trained ICM should
+        out-evidence p independent GPRs sharing a kernel."""
+        rng = np.random.RandomState(1)
+        n, p = 40, 2
+        x = np.linspace(-2, 2, n)[:, None]
+        f = np.sin(2 * x)
+        y = np.concatenate([f, f], axis=1) + 0.05 * rng.randn(n, p)
+        model = ICM(x, y, kernels.Rbf(1), rank=1)
+        model.optimize(method="Adam", max_iter=200, verbose=False)
+        B = np.asarray(model.coregion_matrix())
+        corr = B[0, 1] / np.sqrt(B[0, 0] * B[1, 1])
+        assert corr > 0.8  # learned the output correlation
+
+    def test_trains(self):
+        model = _model()
+        l0 = float(model.loss())
+        model.optimize(method="Adam", max_iter=30, verbose=False)
+        assert float(model.loss()) < l0
+
+    def test_cross_output_information_flow(self):
+        """Prediction for output 0 must use output 1's data when correlated:
+        removing the correlation must change the prediction."""
+        model = _model(p=2, rank=1, seed=3)
+        x_test = np.asarray([[0.3, -0.2]])
+        mean_corr, _ = model.predict_f(x_test)
+        decorr = model.replace(
+            W=model.W.with_value(jnp.zeros_like(model.W.value))
+        )
+        mean_ind, _ = decorr.predict_f(x_test)
+        assert not np.allclose(mean_corr, mean_ind)
