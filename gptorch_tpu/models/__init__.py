@@ -7,6 +7,7 @@ from .gpr import GPR
 from .gplvm import GPLVM
 from .kronecker import GridGPR
 from .multioutput import ICM
+from .warped import WarpedGPR
 from .sparse_gpr import FITC, SVGP, VFE
 
-__all__ = ["GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM"]
+__all__ = ["GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM", "WarpedGPR"]
