@@ -8,6 +8,7 @@ from .gplvm import GPLVM
 from .kronecker import GridGPR
 from .multioutput import ICM
 from .warped import WarpedGPR
+from .deep import DeepGP
 from .sparse_gpr import FITC, SVGP, VFE
 
-__all__ = ["GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM", "WarpedGPR"]
+__all__ = ["GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM", "WarpedGPR", "DeepGP"]
