@@ -59,8 +59,15 @@ class GPLVM(GPModel):
         inducing_points=None,
         likelihood=None,
         jitter: float = 1e-6,
+        times=None,
+        time_kernel=None,
         name: str = "gplvm",
     ):
+        """``times``/``time_kernel``: optional DYNAMICAL prior (Damianou's
+        variational GP dynamical system; reference gplvm.py's 'sequential'
+        mode, dead code there): latents get a temporal GP prior
+        p(x_:q) = N(0, K_t) over the given (n, 1) timestamps instead of the
+        iid N(0, I), and the KL term changes accordingly."""
         y = np.asarray(y, dtype=float)
         n = y.shape[0]
         # Latent init by PCA (reference util.py:52-70's purpose); random
@@ -104,6 +111,21 @@ class GPLVM(GPModel):
         # solves explode.  A small always-on relative jitter (GPflow's
         # default_jitter approach) keeps the bound finite.
         self.jitter = float(jitter)
+
+        # Optional dynamical prior over the latents.
+        self.dynamical = times is not None
+        if self.dynamical:
+            times = np.asarray(times, dtype=float).reshape(-1, 1)
+            if times.shape[0] != n:
+                raise ValueError("times must have one entry per datum")
+            if time_kernel is None:
+                from .. import kernels as _k
+
+                time_kernel = _k.Rbf(1, length_scales=0.5 * float(
+                    np.ptp(times) or 1.0
+                ))
+            self.times = as_array(times)
+            self.time_kernel = time_kernel
 
     @property
     def num_inducing(self) -> int:
@@ -161,10 +183,37 @@ class GPLVM(GPModel):
         return elbo
 
     def _kl_x(self):
-        """KL[q(X) || N(0, I)] for diagonal Gaussian q."""
+        """KL[q(X) || p(X)] for diagonal Gaussian q.
+
+        iid prior: p = N(0, I) per latent coordinate.
+        dynamical prior: p(x_:q) = N(0, K_t) over time for each latent dim q
+        (Damianou's GP dynamical system), giving per dimension
+
+            KL_q = ½[ tr(K_t⁻¹ S_q) + μ_qᵀK_t⁻¹μ_q - n + log|K_t| - Σlog s_q ]
+        """
         mu = self.Xmean.value
         s = self.Xvar.value
-        return 0.5 * jnp.sum(jnp.square(mu) + s - jnp.log(s) - 1.0)
+        if not self.dynamical:
+            return 0.5 * jnp.sum(jnp.square(mu) + s - jnp.log(s) - 1.0)
+
+        n = mu.shape[0]
+        Kt = self.time_kernel.K(self.times)
+        Kt = Kt + 1e-6 * jnp.mean(jnp.diagonal(Kt)) * jnp.eye(
+            n, dtype=Kt.dtype
+        )
+        Lt = cholesky(Kt)
+        # tr(Kt⁻¹ S_q) summed over q: solve for each diag column implicitly
+        LinvMu = trtrs(mu, Lt)  # (n, q)
+        mahal = jnp.sum(jnp.square(LinvMu))
+        Ktinv_diag = jnp.diagonal(
+            jax.scipy.linalg.cho_solve((Lt, True), jnp.eye(n, dtype=Kt.dtype))
+        )
+        trace = jnp.sum(Ktinv_diag[:, None] * s)
+        q_dims = mu.shape[1]
+        logdet_t = 2.0 * lt_log_determinant(Lt)
+        return 0.5 * (
+            trace + mahal - n * q_dims + q_dims * logdet_t - jnp.sum(jnp.log(s))
+        )
 
     # -- prediction -------------------------------------------------------------
 

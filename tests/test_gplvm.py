@@ -125,3 +125,50 @@ class TestGPLVM:
         latent = np.asarray(model.Xmean.value).ravel()
         corr = abs(np.corrcoef(latent, t.ravel())[0, 1])
         assert corr > 0.95
+
+
+class TestDynamicalGPLVM:
+    """Temporal-prior GPLVM (reference gplvm.py 'sequential' mode, dead
+    code there; Damianou's variational GP dynamical system)."""
+
+    def test_kl_reduces_to_iid_with_white_time_kernel(self):
+        """K_t = I makes the dynamical KL equal the iid KL."""
+        import jax.numpy as jnp
+        from gptorch_tpu import kernels as _k
+
+        rng = np.random.RandomState(0)
+        y = rng.randn(12, 4)
+        t = np.arange(12.0)
+        # White kernel with unit variance -> K_t = I
+        model = GPLVM(y, 2, num_inducing_points=5, times=t,
+                      time_kernel=_k.White(1, variance=1.0))
+        iid = GPLVM(y, 2, num_inducing_points=5)
+        iid.Xmean = iid.Xmean.with_raw(model.Xmean.raw)
+        iid.Xvar = iid.Xvar.with_raw(model.Xvar.raw)
+        # the 1e-6 floor jitter on K_t shifts things slightly; loose tol
+        assert float(model._kl_x()) == pytest.approx(float(iid._kl_x()), rel=1e-4)
+
+    def test_dynamical_bound_trains_and_smooths(self):
+        """On time-series data, the dynamical prior should give smoother
+        latents (higher lag-1 autocorrelation) than the iid prior."""
+        rng = np.random.RandomState(1)
+        n = 50
+        t = np.linspace(0, 4, n)
+        latent = np.stack([np.sin(2 * t), np.cos(2 * t)], axis=1)
+        W = rng.randn(2, 6)
+        y = latent @ W + 0.1 * rng.randn(n, 6)
+
+        dyn = GPLVM(y, 2, num_inducing_points=12, times=t)
+        l0 = float(dyn.loss())
+        dyn.fit_scan(method="Adam", max_iter=400)
+        assert float(dyn.loss()) < l0
+
+        lat = np.asarray(dyn.Xmean.value)
+        def lag1(v):
+            return abs(np.corrcoef(v[:-1], v[1:])[0, 1])
+        assert max(lag1(lat[:, 0]), lag1(lat[:, 1])) > 0.9
+
+    def test_times_length_validated(self):
+        rng = np.random.RandomState(2)
+        with pytest.raises(ValueError):
+            GPLVM(rng.randn(10, 3), 2, times=np.arange(7.0))
