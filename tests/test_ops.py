@@ -179,3 +179,26 @@ class TestPallasGram:
         K1 = f(jnp.asarray(0.0), jnp.asarray(0.1))
         K2 = f(jnp.asarray(0.5), jnp.asarray(0.2))
         assert not np.allclose(np.asarray(K1), np.asarray(K2))
+
+
+class TestF32Accuracy:
+    def test_fast_nlml_f32_close_to_f64(self):
+        """Production (f32) accuracy of the fused NLML vs the f64 truth at a
+        size where blocked paths engage -- documents the expected drift
+        (BASELINE parity is defined on the x64 path)."""
+        rng = np.random.RandomState(0)
+        n, d = 1024, 4
+        x64 = rng.randn(n, d)
+        y64 = np.sin(x64[:, :1]) + 0.1 * rng.randn(n, 1)
+        args64 = (
+            jnp.zeros(d), jnp.zeros(()), jnp.asarray(np.log(0.1)),
+            jnp.asarray(x64), jnp.asarray(y64),
+        )
+        v64, g64 = rbf_nlml_value_and_grad(*args64, 0.0, 256)
+        args32 = tuple(jnp.asarray(np.asarray(a), jnp.float32) for a in args64)
+        v32, g32 = rbf_nlml_value_and_grad(*args32, 0.0, 256)
+        assert float(v32) == pytest.approx(float(v64), rel=1e-4)
+        for a, b in zip(g32, g64):
+            assert np.asarray(a, dtype=np.float64) == pytest.approx(
+                np.asarray(b), rel=5e-2, abs=1e-2
+            )
