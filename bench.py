@@ -5,14 +5,17 @@ BASELINE.md target: N=32k NLML+grad in < 1 s/iter on one TPU v5e chip
 bar).  vs_baseline = measured steps/s ÷ 1.0 steps/s (the 1 s/iter target),
 so vs_baseline > 1 beats the target.
 
-Runs the GPR(fast=True) hot path: fused Pallas Gram + blocked Cholesky +
-closed-form custom VJP (gptorch_tpu/ops/gpr_fast.py).
+Goes through the PUBLIC model API -- ``GPR(x, y, Rbf(d, ARD=True))`` --
+which auto-routes onto the fused hot path (blocked Cholesky + triangular-
+aware trtri + closed-form custom VJP, gptorch_tpu/ops/gpr_fast.py) exactly
+as any user's model does; the benchmark is the same step a training loop
+takes.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Env overrides: BENCH_N (default 32768), BENCH_D (8), BENCH_ITERS (3),
-BENCH_NB (2048, blocked-factorization panel size).
+BENCH_NB (4096, blocked-factorization panel size).
 """
 
 import json
@@ -27,7 +30,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gptorch_tpu.ops.gpr_fast import rbf_nlml
+    from gptorch_tpu import kernels, likelihoods
+    from gptorch_tpu.models import GPR
+    from gptorch_tpu.module import get_trainable, with_trainable
 
     n = int(os.environ.get("BENCH_N", 32768))
     d = int(os.environ.get("BENCH_D", 8))
@@ -35,31 +40,40 @@ def main():
     nb = int(os.environ.get("BENCH_NB", 4096))
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
-    y = jnp.asarray(
-        (np.sin(np.asarray(x)[:, :1]) + 0.1 * rng.randn(n, 1)).astype(np.float32)
+    x = rng.randn(n, d).astype(np.float32)
+    y = (np.sin(x[:, :1]) + 0.1 * rng.randn(n, 1)).astype(np.float32)
+
+    # Public API: auto-routes to the fused path (n >= AUTO_FAST_MIN_N).
+    # noise 0.1 + jitter 1e-3: the f32 stability floor at n=32k (CLAUDE.md).
+    model = GPR(
+        x,
+        y,
+        kernels.Rbf(d, ARD=True),
+        likelihood=likelihoods.Gaussian(variance=0.1),
+        fast=True,  # auto would engage at n >= 4096 anyway; force for small-N smoke runs
+        fast_block=nb,
+        fast_jitter=1e-3,
     )
+    assert model._fast_eligible(model.X), "bench must hit the fused path"
+    values = get_trainable(model)
 
     step = jax.jit(
-        jax.value_and_grad(rbf_nlml, argnums=(0, 1, 2)), static_argnums=(5, 6)
+        lambda v, m: jax.value_and_grad(lambda v: with_trainable(m, v)._loss())(v)
     )
-    log_ell = jnp.zeros(d, jnp.float32)
-    log_var = jnp.zeros((), jnp.float32)
-    log_noise = jnp.asarray(np.log(0.1), jnp.float32)
 
     # compile + warmup
-    loss, grads = step(log_ell, log_var, log_noise, x, y, 1e-3, nb)
-    _ = float(loss) + float(grads[0][0])
+    loss, grads = step(values, model)
+    _ = float(loss) + float(grads["kernel.length_scales"][0])
 
     # Perturb an input every iteration so no layer of the stack can serve a
     # memoized result; force a host read each step (true per-step latency).
     times = []
     for i in range(iters):
+        v = dict(values)
+        v["kernel.length_scales"] = values["kernel.length_scales"] + 1e-6 * (i + 1)
         t0 = time.perf_counter()
-        loss, grads = step(
-            log_ell + 1e-6 * (i + 1), log_var, log_noise, x, y, 1e-3, nb
-        )
-        _ = float(loss) + float(grads[0][0])
+        loss, grads = step(v, model)
+        _ = float(loss) + float(grads["kernel.length_scales"][0])
         times.append(time.perf_counter() - t0)
     dt = min(times)
 

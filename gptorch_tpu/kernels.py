@@ -234,11 +234,18 @@ class ExpSinSquared(Stationary):
         # Un-scaled distance: use raw inputs, length scale applies inside.
         if X2 is None:
             X2 = X
+        p = self.period.value.reshape(())
+        if self.ARD:
+            # Per-dimension form: k = σ² exp(-2 Σ_q sin²(π|Δx_q|/p)/ℓ_q²).
+            diff = X[:, None, :] - X2[None, :, :]  # (n, m, d)
+            s = jnp.sin(math.pi * diff / p) / self.length_scales.value
+            return self.variance.value.reshape(()) * jnp.exp(
+                -2.0 * jnp.sum(s * s, axis=-1)
+            )
         r2 = squared_distance(X, X2)
         floor = max(1e-40, float(jnp.finfo(jnp.result_type(r2)).tiny))
         r = jnp.sqrt(jnp.maximum(r2, floor))
         ell = self.length_scales.value.reshape(())
-        p = self.period.value.reshape(())
         s = jnp.sin(math.pi * r / p) / ell
         return self.variance.value.reshape(()) * jnp.exp(-2.0 * s * s)
 

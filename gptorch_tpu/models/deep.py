@@ -188,7 +188,11 @@ class DeepGP(GPModel):
             return self.likelihood.propagate_log(mean, var, y)
 
         keys = jax.random.split(key, self.num_samples)
-        ell = jnp.mean(jax.vmap(one_sample)(keys))
+        # Rescale the minibatch expected log-likelihood to the full dataset
+        # (same unbiased-ELBO convention as SVGP.log_likelihood) so the KL
+        # term keeps its correct relative weight under minibatching.
+        scale = self.num_data / x.shape[0]
+        ell = scale * jnp.mean(jax.vmap(one_sample)(keys))
         kl = sum(layer.kl() for layer in self._layers())
         return ell - kl
 

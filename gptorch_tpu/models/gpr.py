@@ -32,15 +32,23 @@ from ..functions import cholesky, lt_log_determinant, trtrs
 from .base import GPModel
 
 
+#: Auto-routing threshold: below this n the generic autodiff path is cheap
+#: and is what the reference parity anchors exercise; at/above it the fused
+#: closed-form-VJP path is both much faster and the only one that fits HBM.
+AUTO_FAST_MIN_N = 4096
+
+
 class GPR(GPModel):
     """Exact GP regression with a Gaussian likelihood.
 
-    ``fast=True`` routes the training loss through
-    :func:`gptorch_tpu.ops.gpr_fast.rbf_nlml` -- a fused blocked-Cholesky
+    The training loss auto-routes through
+    :func:`gptorch_tpu.ops.gpr_fast.radial_nlml` -- a fused blocked-Cholesky
     NLML with a closed-form custom VJP that is both faster (GEMM-dominated)
-    and far leaner in memory than autodiff (fits n=32k on one v5e chip).
-    Requires an Rbf kernel and Zero mean; other configurations fall back to
-    the generic path automatically.
+    and far leaner in memory than autodiff (fits n=32k on one v5e chip) --
+    whenever the configuration is eligible (Rbf / Matern12 / Matern32 /
+    Matern52 kernel incl. ARD, Zero mean, Exp bijectors) and n ≥
+    ``AUTO_FAST_MIN_N``.  ``fast=True`` forces the fused path at any n;
+    ``fast=False`` disables it; default ``None`` = auto.
     """
 
     def __init__(
@@ -51,23 +59,46 @@ class GPR(GPModel):
         mean_function=None,
         likelihood=None,
         name="gpr",
-        fast: bool = False,
+        fast=None,
         fast_block: int = 2048,
         fast_jitter: float = 0.0,
+        fast_rel_jitter=None,
     ):
         super().__init__(x, y, kernel, likelihood, mean_function, name)
-        self.fast = bool(fast)
+        self.fast = fast if fast is None else bool(fast)
         self.fast_block = int(fast_block)
         self.fast_jitter = float(fast_jitter)
+        # f32 needs a diagonal floor that scales with the Gram (CLAUDE.md:
+        # trailing blocked-cholesky rounding at 32k is ~1e-2·||K||·eps);
+        # f64 stays exact for the parity anchors.
+        if fast_rel_jitter is None:
+            is_f32 = jnp.result_type(self.X) == jnp.float32
+            fast_rel_jitter = 1e-6 if is_f32 else 0.0
+        self.fast_rel_jitter = float(fast_rel_jitter)
 
-    def _fast_eligible(self):
+    def _fast_kind(self):
         from .. import kernels as _k
+
+        for kind, cls in (
+            ("rbf", _k.Rbf),
+            ("matern12", _k.Matern12),
+            ("matern32", _k.Matern32),
+            ("matern52", _k.Matern52),
+        ):
+            if type(self.kernel) is cls:
+                return kind
+        return None
+
+    def _fast_eligible(self, x):
         from .. import mean_functions as _m
         from ..bijectors import Exp
 
+        if self.fast is False:
+            return False
+        if self.fast is None and x.shape[0] < AUTO_FAST_MIN_N:
+            return False
         return (
-            self.fast
-            and type(self.kernel) in (_k.Rbf,)
+            self._fast_kind() is not None
             and isinstance(self.mean_function, _m.Zero)
             # the fused op interprets raw params as logs (Exp bijector)
             and isinstance(self.kernel.length_scales.bijector, Exp)
@@ -78,17 +109,25 @@ class GPR(GPModel):
     def log_likelihood(self, x=None, y=None, key=None):
         x = x if x is not None else self.X
         y = y if y is not None else self.Y
-        if self._fast_eligible():
-            from ..ops.gpr_fast import rbf_nlml
+        if self._fast_eligible(x):
+            import jax.lax as _lax
 
-            return -rbf_nlml(
+            from ..ops.gpr_fast import radial_nlml
+
+            # The fused op's custom VJP only computes hyperparameter
+            # gradients; stop_gradient on (x, y) makes "no data gradients"
+            # explicit at the trace level rather than silently returning
+            # zeros to a caller differentiating w.r.t. the inputs.
+            return -radial_nlml(
+                self._fast_kind(),
                 self.kernel.length_scales.raw,
                 self.kernel.variance.raw.reshape(()),
                 self.likelihood.variance.raw.reshape(()),
-                x,
-                y,
+                _lax.stop_gradient(x),
+                _lax.stop_gradient(y),
                 self.fast_jitter,
                 self.fast_block,
+                self.fast_rel_jitter,
             )
         num_input, dim_output = y.shape
 

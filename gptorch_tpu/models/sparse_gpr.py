@@ -95,29 +95,6 @@ class _InducingPointsGP(GPModel):
         return self.Z.shape[0]
 
 
-def _common_lowrank(kernel, Z, x, y_err, lam):
-    """Shared low-rank algebra for VFE/FITC.
-
-    lam: per-datum effective noise, shape () for VFE (σ²) or (n,) for FITC.
-
-    Returns (L, LB, A, AAT, c) with
-        L   = chol(Kuu)
-        A   = L⁻¹ Kuf / √Λ
-        B   = I + A Aᵀ,  LB = chol(B)
-        c   = LB⁻¹ A (y/√Λ)
-    """
-    Kuf = kernel.K(Z, x)
-    Kuu = kernel.K(Z)
-    L = cholesky(Kuu)
-    sqrt_lam = jnp.sqrt(lam)
-    A = trtrs(Kuf, L) / sqrt_lam  # broadcasting: () or (n,)
-    AAT = A @ A.T
-    B = AAT + jnp.eye(Z.shape[0], dtype=jnp.result_type(Kuu))
-    LB = cholesky(B)
-    c = trtrs(A @ (y_err / sqrt_lam[..., None] if jnp.ndim(lam) else y_err / sqrt_lam), LB)
-    return L, LB, A, AAT, c
-
-
 class VFE(_InducingPointsGP):
     """Titsias (2009) collapsed variational free energy (sparse_gpr.py:93-195)."""
 

@@ -17,7 +17,7 @@ from . import gpr_fast
 from . import pallas_gram
 
 from .blocked import blocked_cholesky, blocked_trtri, cholesky_blocked, tril_square
-from .gpr_fast import rbf_nlml
+from .gpr_fast import radial_nlml, rbf_nlml
 from .pallas_gram import rbf_gram
 
 __all__ = [
@@ -28,6 +28,7 @@ __all__ = [
     "cholesky_blocked",
     "blocked_trtri",
     "tril_square",
+    "radial_nlml",
     "rbf_nlml",
     "rbf_gram",
 ]

@@ -117,12 +117,47 @@ def _cholb_bwd(nb, L, Lbar):
 cholesky_blocked.defvjp(_cholb_fwd, _cholb_bwd)
 
 
+def _trmm_lower_dense(T, D, nb: int):
+    """T @ D with T (m, m) LOWER-triangular, D (m, k) dense, skipping T's
+    zero upper blocks: out block-row i = T[i·nb:, :hi] @ D[:hi] -- halves
+    the GEMM flops vs a dense matmul (m²k instead of 2m²k)."""
+    m = T.shape[0]
+    if m <= nb:
+        return jnp.matmul(T, D, preferred_element_type=T.dtype)
+    rows = []
+    for lo in range(0, m, nb):
+        hi = min(m, lo + nb)
+        rows.append(
+            jnp.matmul(T[lo:hi, :hi], D[:hi], preferred_element_type=T.dtype)
+        )
+    return jnp.concatenate(rows, axis=0)
+
+
+def _trmm_dense_lower(D, T, nb: int):
+    """D @ T with D (k, m) dense, T (m, m) LOWER-triangular, skipping T's
+    zero upper blocks: out block-col j = D[:, lo:] @ T[lo:, lo:hi]."""
+    m = T.shape[0]
+    if m <= nb:
+        return jnp.matmul(D, T, preferred_element_type=T.dtype)
+    cols = []
+    for lo in range(0, m, nb):
+        hi = min(m, lo + nb)
+        cols.append(
+            jnp.matmul(D[:, lo:], T[lo:, lo:hi], preferred_element_type=T.dtype)
+        )
+    return jnp.concatenate(cols, axis=1)
+
+
 def blocked_trtri(L, nb: int = 2048):
     """Inverse of a lower-triangular matrix, divide and conquer.
 
     [[A, 0], [B, C]]⁻¹ = [[A⁻¹, 0], [-C⁻¹ B A⁻¹, C⁻¹]]; the off-diagonal
-    correction is two big GEMMs.  Leaves use XLA's triangular solve against
-    the identity.
+    correction is two TRIANGULAR-aware block multiplies (A⁻¹ and C⁻¹ are
+    lower-triangular, so half of each GEMM's operand is zeros that
+    :func:`_trmm_dense_lower` / :func:`_trmm_lower_dense` skip at block
+    granularity) -- n³/3 total flops, matching LAPACK ``trtri``, instead of
+    the 2n³/3 of dense corrections.  Leaves use XLA's triangular solve
+    against the identity.
     """
     n = L.shape[0]
     if n <= nb:
@@ -134,8 +169,8 @@ def blocked_trtri(L, nb: int = 2048):
     C = L[m:, m:]
     Ai = blocked_trtri(A, nb)
     Ci = blocked_trtri(C, nb)
-    BAi = jnp.matmul(B, Ai, preferred_element_type=L.dtype)
-    lower_left = -jnp.matmul(Ci, BAi, preferred_element_type=L.dtype)
+    BAi = _trmm_dense_lower(B, Ai, nb)
+    lower_left = -_trmm_lower_dense(Ci, BAi, nb)
     top = jnp.concatenate([Ai, jnp.zeros((m, n - m), dtype=L.dtype)], axis=1)
     bottom = jnp.concatenate([lower_left, Ci], axis=1)
     return jnp.concatenate([top, bottom], axis=0)

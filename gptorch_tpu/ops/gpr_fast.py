@@ -1,38 +1,51 @@
-"""Fused exact-GPR NLML with a closed-form custom VJP.
+"""Fused exact-GPR NLML with a closed-form custom VJP (radial kernel family).
 
 The autodiff path through ``cholesky`` keeps O(n²) residuals per primitive
 and OOMs one v5e chip near n = 32k; and XLA's stock cholesky runs far below
 matmul rate.  This op computes the same value/gradient with a hand-written
 adjoint that is (a) minimal-memory and (b) built from the GEMM-rich blocked
-primitives in :mod:`gptorch_tpu.ops.blocked`:
+primitives in :mod:`gptorch_tpu.ops.blocked`.
 
-forward:   K = σ²·exp(-½‖(x_i - x_j)/ℓ‖²) + (σ_n² + jitter)·I
+Supported kernels ("kind"): any isotropic/ARD radial k(r) = σ²·f(r) with
+closed-form radial derivative -- ``rbf``, ``matern12`` (= Exp),
+``matern32``, ``matern52``.  r² is computed on length-scale-pre-scaled
+inputs x̃ = x/ℓ.
+
+forward:   K = σ²·f(r_ij) + (σ_n² + jitter)·I
            L = blocked_cholesky(K),  α = L⁻¹ Y
            NLML = ½‖α‖² + dy·Σlog diag L + ½·n·dy·log 2π
 
-backward (hyperparameter gradients only; x, y are data):
+backward (hyperparameter gradients only; x, y are data -- callers must
+stop_gradient them, which :class:`gptorch_tpu.models.gpr.GPR` does):
            K⁻¹ = tril_square(blocked_trtri(L))
            A   = L⁻ᵀ α   (= K⁻¹ Y)
            W   = dy·K⁻¹ - A Aᵀ           (∂NLML/∂θ = ½⟨W, ∂K/∂θ⟩)
-           M   = W ⊙ G   with G the noiseless Gram
-           ∂/∂log σ²   = ½ ΣM
+           ∂/∂log σ²   = ½ Σ (W ⊙ G)     with G the noiseless Gram
            ∂/∂log ℓ_q  = Σ_i rowsum(M)_i·x̃²_iq - Σ_i x̃_iq·(M x̃)_iq
+                         with M = W ⊙ E,  E_ij = ∂K_ij/∂(x̃_iq - x̃_jq)²
            ∂/∂log σ_n² = ½ σ_n²·(dy·tr K⁻¹ - ‖A‖²)
 
-where x̃ = x/ℓ (so ∂K_ij/∂log ℓ_q = G_ij (x̃_iq - x̃_jq)², and the ℓ_q sum
-uses symmetry of M).
+since ∂K_ij/∂log ℓ_q = E_ij (x̃_iq - x̃_jq)² (chain rule through
+r² = Σ_q (x̃_iq - x̃_jq)²), and the ℓ_q sum uses symmetry of M.  For RBF,
+E = G; the Materns have their own radial forms (see ``_RADIALS``).
 
 HBM discipline (the binding constraint at n = 32k f32, where one n² buffer
 is 4 GB against 16 GB of HBM):
 
 * forward: the Gram's elementwise chain fuses into one output buffer (XLA
   keeps only the raw dot product + K; the optional Pallas kernel --
-  ``GPTORCH_TPU_PALLAS_GRAM=1`` -- collapses that to a single buffer); the
-  blocked factorization updates K in place, and ``lower_only`` skips the
-  final tril copy.  Peak ≈ 2 n².
+  ``GPTORCH_TPU_PALLAS_GRAM=1``, RBF only -- collapses that to a single
+  buffer); the blocked factorization updates K in place, and ``lower_only``
+  skips the final tril copy.  Peak ≈ 2 n².
 * backward: L is fully consumed (A, then trtri) before K⁻¹ is formed; the
-  M-contraction streams over row slabs whose Gram tiles are RECOMPUTED per
-  slab, so neither G nor M ever materializes.  Peak ≈ 2 n² (Linv + K⁻¹).
+  G/E-contractions stream over row slabs whose Gram tiles are RECOMPUTED
+  per slab, so neither G, E, nor M ever materializes.  Peak ≈ 2 n²
+  (Linv + K⁻¹).
+
+The relative-jitter stabilizer (``rel_jitter``, scaled to the kernel
+variance so the floor tracks the diagonal magnitude) is treated as a
+CONSTANT in the adjoint: it is a numerical device, not part of the model,
+so it contributes no gradient to log σ².
 
 The float64 / CPU path (used by the parity tests) takes the plain XLA route
 automatically.
@@ -53,24 +66,79 @@ from .pallas_gram import rbf_gram
 
 _TILE = 512  # pallas gram tile edge
 
+_SQRT3 = math.sqrt(3.0)
+_SQRT5 = math.sqrt(5.0)
+
+
+def _r_floor(dtype):
+    """Dtype-aware clamp floor before sqrt (kernels.py `dist` semantics:
+    the reference's 1e-40 is subnormal in f32 and NaNs gradients)."""
+    return max(1e-40, float(jnp.finfo(dtype).tiny))
+
+
+def _radial_rbf(r2, var):
+    G = var * jnp.exp(-0.5 * r2)
+    return G, G  # E = G
+
+
+def _radial_m12(r2, var):
+    floor = _r_floor(r2.dtype)
+    r = jnp.sqrt(jnp.maximum(r2, floor))
+    G = var * jnp.exp(-r)
+    # E = G / r diverges at r -> 0; the true ∂K/∂Δ² contribution there is 0
+    # (diagonal / duplicate points), so mask at the clamp floor.
+    E = jnp.where(r2 > floor, G / r, 0.0)
+    return G, E
+
+
+def _radial_m32(r2, var):
+    floor = _r_floor(r2.dtype)
+    r = jnp.sqrt(jnp.maximum(r2, floor))
+    e = jnp.exp(-_SQRT3 * r)
+    G = var * (1.0 + _SQRT3 * r) * e
+    # dK/dr = -3σ² r e^{-√3 r};  ∂K/∂log ℓ_q = -(dK/dr)·Δ̃²_q/r = E·Δ̃²_q
+    E = 3.0 * var * e
+    return G, E
+
+
+def _radial_m52(r2, var):
+    floor = _r_floor(r2.dtype)
+    r = jnp.sqrt(jnp.maximum(r2, floor))
+    e = jnp.exp(-_SQRT5 * r)
+    G = var * (1.0 + _SQRT5 * r + (5.0 / 3.0) * r2) * e
+    # dK/dr = -σ²(5r/3)(1+√5r)e^{-√5r};  ∂K/∂log ℓ_q = -(dK/dr)·Δ̃²_q/r
+    E = (5.0 / 3.0) * var * (1.0 + _SQRT5 * r) * e
+    return G, E
+
+
+_RADIALS = {
+    "rbf": _radial_rbf,
+    "matern12": _radial_m12,
+    "matern32": _radial_m32,
+    "matern52": _radial_m52,
+}
+
 
 def _scaled(x, log_ell):
-    return x * jnp.exp(-log_ell)  # broadcasting: scalar or (d,)
+    # Divide (not multiply by the reciprocal): bit-identical to the model
+    # path's X/ℓ, which matters for the non-smooth Materns where a 1-ulp
+    # difference in x̃ amplifies through sqrt near r≈0.
+    return x / jnp.exp(log_ell)  # broadcasting: scalar or (d,)
 
 
-def _use_pallas(x):
+def _use_pallas(x, kind="rbf"):
     # Opt-in: the Pallas gram kernel saves one n² HBM buffer and a pass of
     # bandwidth, but Mosaic compiles take minutes through remote-compile
     # tunnels, so the default stays on the XLA gram + slab streaming.
     import os
 
     return (
-        os.environ.get("GPTORCH_TPU_PALLAS_GRAM") == "1"
+        kind == "rbf"
+        and os.environ.get("GPTORCH_TPU_PALLAS_GRAM") == "1"
         and jax.default_backend() == "tpu"
         and jnp.result_type(x) == jnp.float32
         and x.shape[0] % _TILE == 0
     )
-
 
 def _use_streaming(x):
     """Stream the backward contraction over row slabs (never materialize the
@@ -82,19 +150,22 @@ def _use_streaming(x):
     )
 
 
-def _gram_xla(xs, log_var, diag=None):
+def _r2_full(xs):
     x1s = jnp.sum(xs * xs, axis=1, keepdims=True)
     r2 = x1s + x1s.T - 2.0 * jnp.matmul(xs, xs.T, preferred_element_type=xs.dtype)
-    r2 = jnp.maximum(r2, 0.0)
-    G = jnp.exp(log_var) * jnp.exp(-0.5 * r2)
+    return jnp.maximum(r2, 0.0)
+
+
+def _gram_xla(xs, log_var, kind, diag=None):
+    G, _ = _RADIALS[kind](_r2_full(xs), jnp.exp(log_var))
     if diag is not None:
         G = G + diag * jnp.eye(xs.shape[0], dtype=G.dtype)
     return G
 
 
-def _gram(xs, log_var, diag=None):
+def _gram(xs, log_var, kind, diag=None):
     """Noiseless (diag=None) or noisy symmetric Gram on pre-scaled inputs."""
-    if _use_pallas(xs):
+    if _use_pallas(xs, kind):
         return rbf_gram(
             xs,
             log_ell=jnp.zeros((), xs.dtype),
@@ -102,30 +173,37 @@ def _gram(xs, log_var, diag=None):
             diag=jnp.zeros((), xs.dtype) if diag is None else diag,
             tile=_TILE,
         )
-    return _gram_xla(xs, log_var, diag)
+    return _gram_xla(xs, log_var, kind, diag)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def rbf_nlml(log_ell, log_var, log_noise, x, y, jitter=0.0, nb=2048):
-    """Negative log marginal likelihood of exact GPR with an RBF(-ARD)
-    kernel and zero mean.
+@partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7, 8))
+def radial_nlml(
+    kind, log_ell, log_var, log_noise, x, y, jitter=0.0, nb=2048, rel_jitter=0.0
+):
+    """Negative log marginal likelihood of exact GPR with a radial(-ARD)
+    kernel (``kind`` in {"rbf", "matern12", "matern32", "matern52"}) and
+    zero mean.
 
+    :param kind: static kernel family name.
     :param log_ell: log length scales, scalar () / (1,) or ARD (d,).
     :param log_var: log kernel variance, scalar.
     :param log_noise: log Gaussian noise variance, scalar.
     :param x: (n, d) inputs.  :param y: (n, dy) targets.
     :param jitter: static extra absolute diagonal jitter.
     :param nb: static panel size for the blocked factorizations.
+    :param rel_jitter: static RELATIVE jitter, added as rel_jitter·σ² to the
+        diagonal (tracks the Gram's diagonal magnitude; treated as constant
+        in the adjoint).
     """
-    nlml, _ = _fwd_impl(log_ell, log_var, log_noise, x, y, jitter, nb)
+    nlml, _ = _fwd_impl(kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter)
     return nlml
 
 
-def _fwd_impl(log_ell, log_var, log_noise, x, y, jitter, nb):
+def _fwd_impl(kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter):
     n, dy = y.shape
     xs = _scaled(x, log_ell)
-    diag = jnp.exp(log_noise) + jitter
-    K = _gram(xs, log_var, diag)
+    diag = jnp.exp(log_noise) + jitter + rel_jitter * jnp.exp(log_var)
+    K = _gram(xs, log_var, kind, diag)
     L = blocked_cholesky(K, nb, lower_only=True)
     alpha = solve_triangular(L, y, lower=True)
     nlml = (
@@ -136,28 +214,37 @@ def _fwd_impl(log_ell, log_var, log_noise, x, y, jitter, nb):
     return nlml, (log_ell, log_var, log_noise, x, y, L, alpha)
 
 
-def _fwd(log_ell, log_var, log_noise, x, y, jitter, nb):
-    return _fwd_impl(log_ell, log_var, log_noise, x, y, jitter, nb)
+def _fwd(kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter):
+    return _fwd_impl(kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter)
 
 
-def _contractions(Kinv, A, xs, log_var, dy):
-    """P = M @ [1 | x̃] and ΣM with M = (dy·Kinv - A Aᵀ) ⊙ G, streamed over
-    row slabs with Pallas-recomputed Gram tiles (G, M never materialize)."""
+def _contractions(Kinv, A, xs, log_var, dy, kind):
+    """Streamed contractions of W = dy·Kinv - A Aᵀ against the radial maps:
+
+        svar   = Σ (W ⊙ G)                (for ∂/∂log σ²)
+        rowsum = (W ⊙ E) 1                (n,)
+        MX     = (W ⊙ E) x̃               (n, d)
+
+    G/E tiles are RECOMPUTED per row slab so they never materialize."""
     n, d = xs.shape
+    var = jnp.exp(log_var)
     J = jnp.concatenate([jnp.ones((n, 1), xs.dtype), xs], axis=1)
 
     if not _use_streaming(xs):
-        G = _gram_xla(xs, log_var)
-        M = (dy * Kinv - jnp.matmul(A, A.T, preferred_element_type=A.dtype)) * G
-        return jnp.matmul(M, J, preferred_element_type=xs.dtype)
+        G, E = _RADIALS[kind](_r2_full(xs), var)
+        W = dy * Kinv - jnp.matmul(A, A.T, preferred_element_type=A.dtype)
+        svar = jnp.sum(W * G)
+        P = jnp.matmul(W * E, J, preferred_element_type=xs.dtype)
+        return svar, P[:, 0], P[:, 1:]
 
     slab = 4096 if n % 4096 == 0 else _TILE
     xsn = jnp.sum(xs * xs, axis=1)  # (n,)
     out = jnp.zeros((n, d + 1), dtype=xs.dtype)
+    svar = jnp.zeros((), dtype=xs.dtype)
     for s in range(n // slab):
         lo = s * slab
         xs_s = lax.slice(xs, (lo, 0), (lo + slab, d))
-        if _use_pallas(xs):
+        if _use_pallas(xs, kind):
             G_s = rbf_gram(
                 xs_s,
                 xs,
@@ -165,24 +252,26 @@ def _contractions(Kinv, A, xs, log_var, dy):
                 log_var=log_var,
                 tile=min(_TILE, slab),
             )
+            E_s = G_s
         else:
             r2 = (
                 jnp.sum(xs_s * xs_s, axis=1, keepdims=True)
                 + xsn[None, :]
                 - 2.0 * jnp.matmul(xs_s, xs.T, preferred_element_type=xs.dtype)
             )
-            G_s = jnp.exp(log_var) * jnp.exp(-0.5 * jnp.maximum(r2, 0.0))
+            G_s, E_s = _RADIALS[kind](jnp.maximum(r2, 0.0), var)
         W_s = dy * lax.slice(Kinv, (lo, 0), (lo + slab, n)) - jnp.matmul(
             lax.slice(A, (lo, 0), (lo + slab, A.shape[1])),
             A.T,
             preferred_element_type=A.dtype,
         )
-        P_s = jnp.matmul(W_s * G_s, J, preferred_element_type=xs.dtype)
+        svar = svar + jnp.sum(W_s * G_s)
+        P_s = jnp.matmul(W_s * E_s, J, preferred_element_type=xs.dtype)
         out = lax.dynamic_update_slice(out, P_s, (lo, 0))
-    return out
+    return svar, out[:, 0], out[:, 1:]
 
 
-def _bwd(jitter, nb, res, g):
+def _bwd(kind, jitter, nb, rel_jitter, res, g):
     log_ell, log_var, log_noise, x, y, L, alpha = res
     n, dy = y.shape
 
@@ -193,11 +282,9 @@ def _bwd(jitter, nb, res, g):
     Kinv = tril_square(Linv, nb)
 
     xs = _scaled(x, log_ell)
-    P = _contractions(Kinv, A, xs, log_var, dy)
-    rowsum = P[:, 0]
-    MX = P[:, 1:]
+    svar, rowsum, MX = _contractions(Kinv, A, xs, log_var, dy, kind)
 
-    d_log_var = 0.5 * jnp.sum(rowsum)
+    d_log_var = 0.5 * svar
 
     d_log_ell_full = jnp.sum(rowsum[:, None] * jnp.square(xs), axis=0) - jnp.sum(
         xs * MX, axis=0
@@ -222,7 +309,14 @@ def _bwd(jitter, nb, res, g):
     )
 
 
-rbf_nlml.defvjp(_fwd, _bwd)
+radial_nlml.defvjp(_fwd, _bwd)
+
+
+def rbf_nlml(log_ell, log_var, log_noise, x, y, jitter=0.0, nb=2048, rel_jitter=0.0):
+    """Backward-compatible RBF specialization of :func:`radial_nlml`."""
+    return radial_nlml(
+        "rbf", log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter
+    )
 
 
 def rbf_nlml_value_and_grad(log_ell, log_var, log_noise, x, y, jitter=0.0, nb=2048):

@@ -146,9 +146,11 @@ def fit_optax(
             values, opt_state, model, jax.random.fold_in(key, idx)
         )
         losses[idx] = float(lval)
+        if not np.isfinite(losses[idx]):
+            raise _nonfinite_loss_error(idx)
         if callback is not None:
             callback(idx, losses[idx])
-        if verbose or idx % 20 == 0:
+        if verbose and idx % 20 == 0:
             print(f"Iter: {idx}\tLoss: {losses[idx]}")
     wall = _time.time() - tic
     return with_trainable(model, values), losses, wall
@@ -194,7 +196,23 @@ def fit_scan(
         return values, losses
 
     values, losses = run(values, model, key)
+    bad = np.flatnonzero(~np.isfinite(np.asarray(losses)))
+    if bad.size:
+        raise _nonfinite_loss_error(int(bad[0]))
     return with_trainable(model, values), losses
+
+
+def _nonfinite_loss_error(idx: int) -> FloatingPointError:
+    """Actionable diagnosis instead of a silent NaN training run."""
+    return FloatingPointError(
+        f"Loss became non-finite at iteration {idx}. On the float32 fused "
+        "exact-GPR path this usually means the Gaussian noise variance is "
+        "below the f32 factorization floor (~0.05 at n=32k: trailing "
+        "blocked-Cholesky rounding makes K numerically indefinite). "
+        "Remedies: raise likelihood.variance, construct the model with "
+        "fast_jitter>0 (e.g. 1e-3) or a larger fast_rel_jitter, or run in "
+        "float64 (jax.config.update('jax_enable_x64', True))."
+    )
 
 
 def fit_scipy(

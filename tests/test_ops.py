@@ -202,3 +202,156 @@ class TestF32Accuracy:
             assert np.asarray(a, dtype=np.float64) == pytest.approx(
                 np.asarray(b), rel=5e-2, abs=1e-2
             )
+
+
+class TestRadialNLML:
+    """Matern members of the fused radial family vs the generic autodiff
+    path (same contraction, different radial derivative -- VERDICT round-1
+    item 4)."""
+
+    KERNELS = {
+        "matern12": kernels.Matern12,
+        "matern32": kernels.Matern32,
+        "matern52": kernels.Matern52,
+    }
+
+    @pytest.mark.parametrize("kind", ["matern12", "matern32", "matern52"])
+    def test_value_and_grads_match_autodiff(self, kind):
+        from gptorch_tpu.ops.gpr_fast import radial_nlml
+
+        rng = np.random.RandomState(7)
+        x = rng.randn(180, 3)
+        y = rng.randn(180, 2)
+        ell = np.asarray([0.9, 1.2, 0.7])
+        var, noise = 1.4, 0.08
+
+        model = GPR(
+            x,
+            y,
+            self.KERNELS[kind](3, ARD=True, length_scales=ell, variance=var),
+            likelihood=likelihoods.Gaussian(noise),
+            fast=False,
+        )
+        d = get_trainable(model)
+        loss_ref, g_ref = jax.value_and_grad(
+            lambda d: with_trainable(model, d)._loss()
+        )(d)
+
+        v, g = jax.value_and_grad(radial_nlml, argnums=(1, 2, 3))(
+            kind,
+            jnp.asarray(np.log(ell)),
+            jnp.asarray(np.log(var)),
+            jnp.asarray(np.log(noise)),
+            jnp.asarray(x),
+            jnp.asarray(y),
+            0.0,
+            64,
+        )
+        assert float(v) == pytest.approx(float(loss_ref), rel=1e-10)
+        assert np.asarray(g[0]) == pytest.approx(
+            np.asarray(g_ref["kernel.length_scales"]), rel=1e-6, abs=1e-9
+        )
+        assert float(g[1]) == pytest.approx(
+            float(g_ref["kernel.variance"][0]), rel=1e-6
+        )
+        assert float(g[2]) == pytest.approx(
+            float(g_ref["likelihood.variance"][0]), rel=1e-6
+        )
+
+    @pytest.mark.parametrize("kind", ["matern12", "matern32", "matern52"])
+    def test_fast_model_path_matches_generic(self, kind):
+        rng = np.random.RandomState(8)
+        x = rng.randn(128, 2)
+        y = rng.randn(128, 1)
+        slow = GPR(
+            x, y, self.KERNELS[kind](2), likelihood=likelihoods.Gaussian(0.1),
+            fast=False,
+        )
+        fast = GPR(
+            x, y, self.KERNELS[kind](2), likelihood=likelihoods.Gaussian(0.1),
+            fast=True, fast_block=64,
+        )
+        assert float(fast.loss()) == pytest.approx(float(slow.loss()), rel=1e-10)
+        d_slow = jax.grad(lambda d: with_trainable(slow, d)._loss())(
+            get_trainable(slow)
+        )
+        d_fast = jax.grad(lambda d: with_trainable(fast, d)._loss())(
+            get_trainable(fast)
+        )
+        for k in d_slow:
+            assert np.asarray(d_fast[k]) == pytest.approx(
+                np.asarray(d_slow[k]), rel=1e-6, abs=1e-9
+            )
+
+
+class TestAutoFastRouting:
+    """Default GPR construction auto-routes large-n eligible configs onto
+    the fused path (VERDICT round-1 item 4: 'the path every reference user
+    hits', reference gpr.py:47-67)."""
+
+    def test_small_n_stays_generic(self):
+        rng = np.random.RandomState(0)
+        m = GPR(rng.randn(64, 2), rng.randn(64, 1), kernels.Rbf(2))
+        assert not m._fast_eligible(m.X)
+
+    def test_large_n_auto_fast(self):
+        from gptorch_tpu.models.gpr import AUTO_FAST_MIN_N
+
+        rng = np.random.RandomState(0)
+        n = AUTO_FAST_MIN_N
+        m = GPR(rng.randn(n, 2), rng.randn(n, 1), kernels.Rbf(2))
+        assert m._fast_eligible(m.X)
+
+    def test_fast_false_disables(self):
+        from gptorch_tpu.models.gpr import AUTO_FAST_MIN_N
+
+        rng = np.random.RandomState(0)
+        n = AUTO_FAST_MIN_N
+        m = GPR(rng.randn(n, 2), rng.randn(n, 1), kernels.Rbf(2), fast=False)
+        assert not m._fast_eligible(m.X)
+
+    def test_ineligible_kernel_falls_back(self):
+        rng = np.random.RandomState(0)
+        m = GPR(
+            rng.randn(64, 2), rng.randn(64, 1),
+            kernels.Rbf(2) + kernels.Constant(2), fast=True,
+        )
+        assert not m._fast_eligible(m.X)
+        assert np.isfinite(float(m.loss()))
+
+    def test_auto_matches_generic_loss(self):
+        """Auto-routed loss equals the generic loss (f64 exactness)."""
+        from gptorch_tpu.models.gpr import AUTO_FAST_MIN_N
+
+        rng = np.random.RandomState(1)
+        n = AUTO_FAST_MIN_N
+        x = rng.randn(n, 2)
+        y = rng.randn(n, 1)
+        auto = GPR(x, y, kernels.Rbf(2), likelihood=likelihoods.Gaussian(0.1))
+        generic = GPR(
+            x, y, kernels.Rbf(2), likelihood=likelihoods.Gaussian(0.1),
+            fast=False,
+        )
+        assert float(auto.loss()) == pytest.approx(
+            float(generic.loss()), rel=1e-9
+        )
+
+    def test_rel_jitter_equals_absolute(self):
+        """rel_jitter·σ² on the diagonal == the same absolute jitter (value
+        path); gradients treat it as constant."""
+        rng = np.random.RandomState(2)
+        x = rng.randn(96, 2)
+        y = rng.randn(96, 1)
+        var = 1.7
+        from gptorch_tpu.ops.gpr_fast import radial_nlml
+
+        args = (
+            jnp.zeros(2),
+            jnp.asarray(np.log(var)),
+            jnp.asarray(np.log(0.1)),
+            jnp.asarray(x),
+            jnp.asarray(y),
+        )
+        v_rel = radial_nlml("rbf", *args, 0.0, 64, 1e-3)
+        v_abs = radial_nlml("rbf", *args, 1e-3 * var, 64, 0.0)
+        assert float(v_rel) == pytest.approx(float(v_abs), rel=1e-12)
