@@ -54,12 +54,39 @@ class Rbf(_kernels.Rbf):
     def eKxz(self, Z, Xmean, Xcov, requires_transform=False):
         """ψ₁ = <K_xz>_q(X), shape (n, m) (ekernels.py:66-121, vectorized).
 
-        ψ₁[i,k] = σ² Π_q (1 + s_iq/ℓ_q²)^(-½)
-                     exp(-½ Σ_q (μ_iq - z_kq)² / (ℓ_q² + s_iq))
+        Diagonal Xcov (n, q):
+
+            ψ₁[i,k] = σ² Π_q (1 + s_iq/ℓ_q²)^(-½)
+                         exp(-½ Σ_q (μ_iq - z_kq)² / (ℓ_q² + s_iq))
+
+        GENERAL Xcov (n, q, q) -- the reference's ``eKxz_parallel``
+        (ekernels.py:123-161) exposed full covariances via batched
+        Cholesky; same here, vmapped:
+
+            ψ₁[i,k] = σ² (|Λ| / |Λ + S_i|)^(½)
+                         exp(-½ (μ_i - z_k)ᵀ (Λ + S_i)⁻¹ (μ_i - z_k))
         """
         Xcov = _cov_value(Xcov, requires_transform)
         ell2 = jnp.square(self.length_scales.value)  # (q,) or (1,)
         variance = self.variance.value.reshape(())
+
+        if jnp.ndim(Xcov) == 3:
+            q = Xmean.shape[1]
+            Lam = jnp.broadcast_to(ell2, (q,))
+            half_logdet_lam = 0.5 * jnp.sum(jnp.log(Lam))
+
+            def per_datum(mu_i, S_i):
+                C = S_i + jnp.diag(Lam)
+                W = jnp.linalg.cholesky(C)
+                diff = (Z - mu_i).T  # (q, m)
+                b = jax.scipy.linalg.solve_triangular(W, diff, lower=True)
+                quad = jnp.sum(jnp.square(b), axis=0)  # (m,)
+                half_logdet_c = jnp.sum(jnp.log(jnp.diagonal(W)))
+                return variance * jnp.exp(
+                    -0.5 * quad + half_logdet_lam - half_logdet_c
+                )
+
+            return jax.vmap(per_datum)(Xmean, Xcov)
 
         denom = ell2 + Xcov  # (n, q)
         # (n, 1, q) - (1, m, q) -> (n, m, q)
@@ -81,12 +108,22 @@ class Rbf(_kernels.Rbf):
                        exp(-Σ_q (z_kq - z_lq)²/(4 ℓ_q²)
                            -Σ_q (μ_iq - z̄_q)² / d_iq)
 
+        GENERAL Xcov (n, q, q) supported (with z̄ = (z_k + z_l)/2,
+        C_i = S_i + Λ/2):
+
+        ψ₂[i,k,l] = σ⁴ (|Λ| / (2^q |C_i|))^(½)
+                       exp(-(z_k - z_l)ᵀΛ⁻¹(z_k - z_l)/4
+                           -½ (z̄ - μ_i)ᵀ C_i⁻¹ (z̄ - μ_i))
+
         Returns (m, m) summed over data if ``sum`` else (n, m, m).
         """
         Xcov = _cov_value(Xcov, requires_transform)
         ell = self.length_scales.value
         ell2 = jnp.square(ell)
         variance = self.variance.value.reshape(())
+
+        if jnp.ndim(Xcov) == 3:
+            return self._eKzxKxz_general(Z, Xmean, Xcov, sum=sum)
 
         Z1 = Z / ell  # (m, q)
         z1_2 = jnp.sum(jnp.square(Z1), axis=1)
@@ -125,6 +162,50 @@ class Rbf(_kernels.Rbf):
             return out
         return jax.vmap(per_datum)(Xmean, Xcov)
 
+    def _eKzxKxz_general(self, Z, Xmean, Xcov, sum=True):
+        """ψ₂ for full per-datum covariances S_i (n, q, q); see eKzxKxz."""
+        q = Xmean.shape[1]
+        ell2 = jnp.broadcast_to(jnp.square(self.length_scales.value), (q,))
+        variance = self.variance.value.reshape(())
+        m = Z.shape[0]
+
+        # (z_k - z_l)ᵀ Λ⁻¹ (z_k - z_l) / 4 -- datum-independent
+        Z1 = Z / jnp.sqrt(ell2)
+        z1_2 = jnp.sum(jnp.square(Z1), axis=1)
+        shared = 0.25 * (
+            z1_2[:, None]
+            + z1_2[None, :]
+            - 2.0 * jnp.matmul(Z1, Z1.T, preferred_element_type=Z1.dtype)
+        )
+        half_logdet_lam = 0.5 * jnp.sum(jnp.log(ell2))
+        half_q_log2 = 0.5 * q * jnp.log(jnp.asarray(2.0, dtype=Z.dtype))
+
+        def per_datum(mu_i, S_i):
+            C = S_i + 0.5 * jnp.diag(ell2)
+            W = jnp.linalg.cholesky(C)
+            b = jax.scipy.linalg.solve_triangular(
+                W, (Z - mu_i).T, lower=True
+            )  # (q, m): W⁻¹(z_k - μ)
+            bn = jnp.sum(jnp.square(b), axis=0)  # (m,)
+            G = jnp.matmul(b.T, b, preferred_element_type=b.dtype)  # (m, m)
+            # ‖(b_k + b_l)/2‖² = (bn_k + bn_l + 2 G_kl)/4
+            quad = 0.25 * (bn[:, None] + bn[None, :] + 2.0 * G)
+            half_logdet_c = jnp.sum(jnp.log(jnp.diagonal(W)))
+            return jnp.square(variance) * jnp.exp(
+                -shared - 0.5 * quad
+                + half_logdet_lam - half_q_log2 - half_logdet_c
+            )
+
+        if sum:
+            def body(acc, inputs):
+                mu_i, S_i = inputs
+                return acc + per_datum(mu_i, S_i), None
+
+            init = jnp.zeros((m, m), dtype=Z.dtype)
+            out, _ = jax.lax.scan(body, init, (Xmean, Xcov))
+            return out
+        return jax.vmap(per_datum)(Xmean, Xcov)
+
 
 class Linear(_kernels.Linear):
     """Linear kernel ψ-statistics.
@@ -134,11 +215,14 @@ class Linear(_kernels.Linear):
     """
 
     def eKxx(self, Xmean, Xcov=None, requires_transform=False):
-        """<k(x,x)> = Σ_q v_q (μ_q² + s_q), shape (n,)."""
+        """<k(x,x)> = Σ_q v_q (μ_q² + s_q), shape (n,).  Full Xcov
+        (n, q, q): s_q = diag(S_i)."""
         v = self.variance.value
         if Xcov is None:
             return jnp.sum(jnp.square(Xmean) * v, axis=-1)
         Xcov = _cov_value(Xcov, requires_transform)
+        if jnp.ndim(Xcov) == 3:
+            Xcov = jnp.diagonal(Xcov, axis1=-2, axis2=-1)
         return jnp.sum((jnp.square(Xmean) + Xcov) * v, axis=-1)
 
     def eKxz(self, Z, Xmean, Xcov=None, requires_transform=False):
@@ -149,16 +233,25 @@ class Linear(_kernels.Linear):
         )
 
     def eKzxKxz(self, Z, Xmean, Xcov, requires_transform=False, sum=True):
-        """<K_zx K_xz>[i] = Z diag(v) (μ_i μ_iᵀ + diag(s_i)) diag(v) Zᵀ."""
+        """<K_zx K_xz>[i] = Z diag(v) (μ_i μ_iᵀ + S_i) diag(v) Zᵀ.
+
+        Xcov diagonal (n, q) or full (n, q, q)."""
         Xcov = _cov_value(Xcov, requires_transform)
         v = self.variance.value
         Zv = Z * v  # (m, q)
         A = Xmean @ Zv.T  # (n, m): μ_iᵀ diag(v) z_k
+        full = jnp.ndim(Xcov) == 3
         if sum:
-            # Σ_i [A_i A_iᵀ + Zv diag(s_i) Zvᵀ]
+            # Σ_i [A_i A_iᵀ + Zv S_i Zvᵀ]
             first = A.T @ A
-            second = jnp.einsum("kq,nq,lq->kl", Zv, Xcov, Zv)
+            if full:
+                second = jnp.einsum("kq,nqr,lr->kl", Zv, Xcov, Zv)
+            else:
+                second = jnp.einsum("kq,nq,lq->kl", Zv, Xcov, Zv)
             return first + second
         outer = A[:, :, None] * A[:, None, :]
-        second = jnp.einsum("kq,nq,lq->nkl", Zv, Xcov, Zv)
+        if full:
+            second = jnp.einsum("kq,nqr,lr->nkl", Zv, Xcov, Zv)
+        else:
+            second = jnp.einsum("kq,nq,lq->nkl", Zv, Xcov, Zv)
         return outer + second

@@ -146,30 +146,17 @@ class GPLVM(GPModel):
 
     # -- bound ----------------------------------------------------------------
 
-    def log_likelihood(self, x=None, y=None, key=None):
-        """Collapsed ELBO F(q) ≤ log p(Y) (see module docstring)."""
-        y = y if y is not None else self.Y
+    @staticmethod
+    def _collapsed_likelihood(psi0, Psi1, Psi2, y, beta, L):
+        """The data-fit part of the collapsed bound (everything except the
+        KL over latents; see module docstring) given precomputed
+        ψ-statistics and L = chol(Kuu)."""
         n, p = y.shape
-        m = self.num_inducing
-
-        beta = 1.0 / self.likelihood.variance.value.reshape(())
-        Z = self.Z.value
-        Xmean = self.Xmean.value
-        Xvar = self.Xvar.value
-
-        psi0 = jnp.sum(self.kernel.eKxx(Xmean))
-        Psi1 = self.kernel.eKxz(Z, Xmean, Xvar)
-        Psi2 = self.kernel.eKzxKxz(Z, Xmean, Xvar, sum=True)
-
-        Kuu = self._kuu(Z)
-        L = cholesky(Kuu)
-
-        # A = β L⁻¹ Ψ₂ L⁻ᵀ
+        m = L.shape[0]
         tmp = trtrs(Psi2, L)
-        A = beta * trtrs(tmp.T, L)
+        A = beta * trtrs(tmp.T, L)  # β L⁻¹ Ψ₂ L⁻ᵀ
         B = A + jnp.eye(m, dtype=A.dtype)
         LB = cholesky(B)
-
         c = beta * trtrs(trtrs(Psi1.T @ y, L), LB)
 
         elbo = -0.5 * n * p * math.log(2.0 * math.pi)
@@ -179,6 +166,23 @@ class GPLVM(GPModel):
         elbo += 0.5 * jnp.sum(jnp.square(c))
         elbo -= 0.5 * beta * p * psi0
         elbo += 0.5 * p * jnp.trace(A)
+        return elbo
+
+    def log_likelihood(self, x=None, y=None, key=None):
+        """Collapsed ELBO F(q) ≤ log p(Y) (see module docstring)."""
+        y = y if y is not None else self.Y
+
+        beta = 1.0 / self.likelihood.variance.value.reshape(())
+        Z = self.Z.value
+        Xmean = self.Xmean.value
+        Xvar = self.Xvar.value
+
+        psi0 = jnp.sum(self.kernel.eKxx(Xmean))
+        Psi1 = self.kernel.eKxz(Z, Xmean, Xvar)
+        Psi2 = self.kernel.eKzxKxz(Z, Xmean, Xvar, sum=True)
+        L = cholesky(self._kuu(Z))
+
+        elbo = self._collapsed_likelihood(psi0, Psi1, Psi2, y, beta, L)
         elbo -= self._kl_x()
         return elbo
 
@@ -257,6 +261,142 @@ class GPLVM(GPModel):
         else:
             var = self.kernel.K(x_new) + tmp2.T @ tmp2 - tmp1.T @ tmp1
         return mean, var
+
+    # -- test-time projection / imputation ---------------------------------------
+
+    def project(
+        self,
+        y_test,
+        observed_dims=None,
+        max_iter: int = 500,
+        learning_rate: float = 0.05,
+    ):
+        """Infer q(x*) = N(μ*, diag(s*)) for new (possibly partially
+        observed) outputs ``y_test`` -- the reference's inference mode
+        (``log_likelihood_inference``/``project``, reference
+        gplvm.py:335-525), reimplemented from the math.
+
+        The objective is the collapsed ELBO over the UNION of training and
+        test data restricted to the observed output dims, with all trained
+        quantities (hyperparameters, Z, q(X_train)) FROZEN and only
+        (μ*, s*) optimized; ψ-statistics of the training latents and
+        chol(Kuu) are precomputed once (reference ``_pre_compute``).
+        q(x*) is initialized at the training latent of the nearest
+        neighbour in observed-data space (reference gplvm.py:500-515).
+
+        DOCUMENTED DELTA vs the (dead) reference code: its inference-mode
+        KL term (gplvm.py:405-415) sums only the TRAINING latents' KL while
+        using the train+test count in the constant -- i.e. it drops the
+        test latents' KL entirely, leaving q(x*) unregularized.  We use the
+        correct joint KL (train part constant + test part), which is what
+        Titsias & Lawrence (2010) eqn (14) prescribes.
+
+        :param y_test: (n*, p) if fully observed, else (n*, len(observed_dims)).
+        :param observed_dims: 1-D int array of observed output dims, or
+            None when fully observed.
+        :return: (x_mean (n*, q), x_var (n*, q)) as numpy arrays.
+        """
+        if self.dynamical:
+            raise NotImplementedError(
+                "project() supports the iid latent prior only (like the "
+                "reference, gplvm.py:339)"
+            )
+        import optax
+
+        y_test = np.atleast_2d(np.asarray(y_test, dtype=float))
+        p_total = self.Y.shape[1]
+        if observed_dims is None:
+            if y_test.shape[1] != p_total:
+                raise ValueError(
+                    "Fully-observed y_test must have the training output "
+                    "dim; pass observed_dims for partial observations"
+                )
+            obs = jnp.arange(p_total)
+        else:
+            obs = jnp.asarray(np.asarray(observed_dims, dtype=int))
+            if y_test.shape[1] != obs.shape[0]:
+                raise ValueError("y_test columns must match observed_dims")
+
+        dtype = jnp.result_type(self.Y)
+        y_te = jnp.asarray(y_test, dtype=dtype)
+        Y_obs_tr = self.Y[:, obs]
+
+        # nearest-neighbour init in observed-data space
+        d2 = (
+            jnp.sum(y_te**2, 1, keepdims=True)
+            + jnp.sum(Y_obs_tr**2, 1)[None, :]
+            - 2.0 * y_te @ Y_obs_tr.T
+        )
+        idx = jnp.argmin(d2, axis=1)
+        mu0 = self.Xmean.value[idx]
+        s0 = self.Xvar.value[idx]
+
+        # frozen precomputations (reference _pre_compute)
+        beta = jax.lax.stop_gradient(
+            1.0 / self.likelihood.variance.value.reshape(())
+        )
+        Z = jax.lax.stop_gradient(self.Z.value)
+        Xmean = jax.lax.stop_gradient(self.Xmean.value)
+        Xvar = jax.lax.stop_gradient(self.Xvar.value)
+        kernel = jax.tree_util.tree_map(jax.lax.stop_gradient, self.kernel)
+        psi0_tr = jnp.sum(kernel.eKxx(Xmean))
+        Psi1_tr = kernel.eKxz(Z, Xmean, Xvar)
+        Psi2_tr = kernel.eKzxKxz(Z, Xmean, Xvar, sum=True)
+        L = cholesky(
+            jax.lax.stop_gradient(self._kuu(Z))
+        )
+        kl_train = 0.5 * jnp.sum(
+            jnp.square(Xmean) + Xvar - jnp.log(Xvar) - 1.0
+        )
+        Y_joint = jnp.concatenate([Y_obs_tr, y_te], axis=0)
+
+        def neg_bound(params):
+            mu_t, log_s_t = params
+            s_t = jnp.exp(log_s_t)
+            psi0 = psi0_tr + jnp.sum(kernel.eKxx(mu_t))
+            Psi1 = jnp.concatenate(
+                [Psi1_tr, kernel.eKxz(Z, mu_t, s_t)], axis=0
+            )
+            Psi2 = Psi2_tr + kernel.eKzxKxz(Z, mu_t, s_t, sum=True)
+            elbo = self._collapsed_likelihood(psi0, Psi1, Psi2, Y_joint, beta, L)
+            kl_test = 0.5 * jnp.sum(jnp.square(mu_t) + s_t - log_s_t - 1.0)
+            return -(elbo - kl_train - kl_test)
+
+        tx = optax.adam(learning_rate)
+        params = (mu0, jnp.log(s0))
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            val, grads = jax.value_and_grad(neg_bound)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, val
+
+        for _ in range(max_iter):
+            params, opt_state, _ = step(params, opt_state)
+
+        mu_t, log_s_t = params
+        return np.asarray(mu_t), np.asarray(jnp.exp(log_s_t))
+
+    def impute(
+        self,
+        y_test,
+        observed_dims,
+        max_iter: int = 500,
+        learning_rate: float = 0.05,
+    ):
+        """Predict the MISSING output dims of partially observed ``y_test``:
+        :meth:`project` to q(x*), then :meth:`predict_uncertain` at q(x*).
+
+        :return: (mean (n*, p_total), var (n*, p_total)) over ALL output
+            dims (observed columns are the model's reconstruction, not the
+            inputs echoed back).
+        """
+        x_mean, x_var = self.project(
+            y_test, observed_dims, max_iter=max_iter, learning_rate=learning_rate
+        )
+        mean, var = self.predict_uncertain(x_mean, x_var)
+        return np.asarray(mean), np.asarray(var)
 
     def predict_uncertain(self, x_mean, x_var):
         """Posterior moments at UNCERTAIN latent inputs N(x_mean, diag(x_var))

@@ -41,7 +41,6 @@ import numpy as np
 from ..bijectors import LowerCholesky
 from ..functions import cholesky, lt_log_determinant, trtrs
 from ..likelihoods import Gaussian
-from ..mean_functions import Zero
 from ..param import Param
 from ..util import as_array, kmeans_centers
 from .base import GPModel
@@ -101,9 +100,9 @@ class VFE(_InducingPointsGP):
     def __init__(self, *args, **kwargs):
         kwargs.setdefault("name", "vfe")
         super().__init__(*args, **kwargs)
-        assert isinstance(
-            self.mean_function, Zero
-        ), "Mean functions not implemented for VFE yet."
+        # CAPABILITY DELTA: the reference asserts a Zero mean here (its own
+        # TODO, sparse_gpr.py:104-106); we support any mean function by
+        # working with the residual err = y - m(x) throughout.
 
     def log_likelihood(self, x=None, y=None, key=None):
         """Titsias Eqn (9) (sparse_gpr.py:108-153).
@@ -116,7 +115,8 @@ class VFE(_InducingPointsGP):
         num_inducing = self.num_inducing
         num_data = x.shape[0]
         d_out = self.output_dimension
-        err = y  # reference: err = self.Y (sparse_gpr.py:125); see docstring
+        # reference: err = self.Y, Zero mean only (sparse_gpr.py:125)
+        err = y - self.mean_function(x)
         sigma2 = self.likelihood.variance.value.reshape(())
 
         Kff_diag = self.kernel.Kdiag(x)
@@ -143,7 +143,7 @@ class VFE(_InducingPointsGP):
         x = x if x is not None else self.X
         z = jax.lax.stop_gradient(self.Z.value)  # reference: requires_grad_(False) (:165)
         num_inducing = z.shape[0]
-        err = self.Y
+        err = self.Y - self.mean_function(x)
         sigma2 = self.likelihood.variance.value.reshape(())
 
         Kuf = self.kernel.K(z, x)
@@ -157,7 +157,7 @@ class VFE(_InducingPointsGP):
         c = trtrs(A @ err, LB) / sigma2
         tmp1 = trtrs(Kus, L)
         tmp2 = trtrs(tmp1, LB)
-        mean = tmp2.T @ c
+        mean = tmp2.T @ c + self.mean_function(x_new)
 
         if diag:
             var = jnp.broadcast_to(
@@ -191,9 +191,7 @@ class FITC(_InducingPointsGP):
     def __init__(self, *args, **kwargs):
         kwargs.setdefault("name", "fitc")
         super().__init__(*args, **kwargs)
-        assert isinstance(
-            self.mean_function, Zero
-        ), "Mean functions not implemented for FITC yet."
+        # Mean functions supported via the residual, like VFE.
 
     def _lam(self, x):
         """Per-datum effective noise Λ (n,)."""
@@ -221,7 +219,7 @@ class FITC(_InducingPointsGP):
         A = V / jnp.sqrt(lam)
         B = A @ A.T + jnp.eye(self.num_inducing, dtype=jnp.result_type(Kuu))
         LB = cholesky(B)
-        ytil = y / jnp.sqrt(lam)[:, None]
+        ytil = (y - self.mean_function(x)) / jnp.sqrt(lam)[:, None]
         c = trtrs(A @ ytil, LB)
 
         ll = -0.5 * d_out * n * math.log(2.0 * math.pi)
@@ -246,11 +244,11 @@ class FITC(_InducingPointsGP):
         A = V / jnp.sqrt(lam)
         B = A @ A.T + jnp.eye(z.shape[0], dtype=jnp.result_type(Kuu))
         LB = cholesky(B)
-        ytil = self.Y / jnp.sqrt(lam)[:, None]
+        ytil = (self.Y - self.mean_function(x)) / jnp.sqrt(lam)[:, None]
         c = trtrs(A @ ytil, LB)
         tmp1 = trtrs(Kus, L)
         tmp2 = trtrs(tmp1, LB)
-        mean = tmp2.T @ c
+        mean = tmp2.T @ c + self.mean_function(x_new)
 
         if diag:
             var = jnp.broadcast_to(

@@ -13,7 +13,10 @@ the genuinely new, TPU-native capability layer:
                      playing the role of sequence length.
 * :mod:`cholesky` -- distributed right-looking blocked Cholesky: panel
                      all-gather over ICI + local MXU trailing-update GEMMs.
-* :mod:`solves`   -- distributed blocked triangular solves.
+* :mod:`solves`   -- distributed blocked triangular solves, transposed
+                     solves, and a row-sharded triangular inverse.
+* :mod:`adjoint`  -- closed-form sharded adjoint (custom VJP) for the
+                     distributed NLML + the N=100k memory plan.
 * :mod:`gpr`      -- exact GP regression NLML/predict at N beyond one chip's
                      HBM, composed from the above.
 * :mod:`svgp`     -- data-parallel SVGP ELBO (batch sharded, psum'd terms).
@@ -24,6 +27,7 @@ shard_map paths here exist for the parts GSPMD cannot schedule well (ring
 Gram, blocked Cholesky) and to make the communication pattern auditable.
 """
 
+from . import adjoint
 from . import cholesky
 from . import gram
 from . import gpr
@@ -34,10 +38,12 @@ from . import svgp
 from .mesh import make_mesh
 from .gram import ring_gram, sharded_gram
 from .cholesky import distributed_cholesky
+from .adjoint import make_distributed_nlml, memory_plan
 from .gpr import DistributedGPR
 from .svgp import dp_svgp_loss
 
 __all__ = [
+    "adjoint",
     "cholesky",
     "gram",
     "gpr",
@@ -48,6 +54,8 @@ __all__ = [
     "ring_gram",
     "sharded_gram",
     "distributed_cholesky",
+    "make_distributed_nlml",
+    "memory_plan",
     "DistributedGPR",
     "dp_svgp_loss",
 ]

@@ -11,13 +11,24 @@ Layout: A (n, n) row-block sharded -- device i owns rows
 1. every device slices its local (nb, nb) block of block-column k;
 2. ``all_gather`` assembles the full block column (p, nb, nb) -- one
    n·nb-sized ICI transfer;
-3. every device (redundantly, SPMD-uniform) factors A_kk and solves the
-   panel L_jk = A_jk L_kkᵀ⁻¹ for all j -- O(p·nb³) of cheap triangular work;
-4. each device applies the trailing update to ITS OWN rows with one
-   (nb × nb)·(nb × n) GEMM on the MXU -- the O(n³/p) bulk.
+3. every device (redundantly, SPMD-uniform) factors A_kk with the
+   single-chip MXU-blocked factorization (:func:`ops.blocked.
+   blocked_cholesky` -- at real scale nb ≥ 4096, where XLA's stock
+   cholesky runs ~7x below matmul rate) and solves the strictly-below
+   panel L_jk = A_jk L_kkᵀ⁻¹ for j > k;
+4. each device applies the trailing update to ITS OWN rows' columns > k
+   with one (nb × nb)·(nb × n-hi) GEMM on the MXU -- the O(n³/p) bulk.
 
 Redundant panel math trades a broadcast for arithmetic every device would
 otherwise wait on; for p ≤ 16 and nb ≥ 1024 the GEMM dominates.
+
+HBM discipline: the factorization is IN PLACE -- L's block column k
+overwrites A's as soon as it is computed, so the body's live set is the
+(nb, n) shard plus ~2 (nb, n)-sized transients (gathered column + trailing
+update).  Like ``blocked_cholesky(lower_only=True)``, the returned shard's
+above-diagonal blocks contain LEFTOVERS of A, never zeros; every consumer
+in :mod:`gptorch_tpu.parallel` reads only the lower triangle (the solves
+gate with ``my > k`` / ``my == k`` masks).
 """
 
 from __future__ import annotations
@@ -27,58 +38,72 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops.blocked import blocked_cholesky
+
 try:
     from jax import shard_map as _shard_map
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
 
-def _local_cholesky_body(a_local, *, axis: str, p: int, nb: int):
-    """shard_map body: a_local is this device's (nb, n) row block."""
+def _local_cholesky_body(a_local, *, axis: str, p: int, nb: int, panel_nb: int):
+    """shard_map body: a_local is this device's (nb, n) row block; returns
+    the same block of L (lower blocks valid, upper blocks junk)."""
     my = lax.axis_index(axis)
     n = p * nb
-    L_local = jnp.zeros_like(a_local)
 
     for k in range(p):
-        # (1) my block of block-column k
-        my_blk = lax.dynamic_slice(a_local, (0, k * nb), (nb, nb))
+        lo = k * nb
+        hi = lo + nb
+        # (1) my block of block-column k (already trailing-updated in place)
+        my_blk = a_local[:, lo:hi]
         # (2) the full block column, gathered over the axis: (p, nb, nb)
         col = lax.all_gather(my_blk, axis)
-        # (3) panel factorization (identical on every device)
-        a_kk = col[k]
-        l_kk = lax.linalg.cholesky(a_kk)
-        # L_jk = A_jk L_kk^{-T} for every j: one (nb × p·nb)-RHS solve
-        # L_kk Y = [A_0kᵀ | A_1kᵀ | ...],  L_jk = Y_jᵀ
-        rhs = jnp.swapaxes(col, -1, -2).transpose(1, 0, 2).reshape(nb, p * nb)
-        ysol = lax.linalg.triangular_solve(l_kk, rhs, left_side=True, lower=True)
-        panel = ysol.reshape(nb, p, nb).transpose(1, 2, 0)  # (p, nb, nb): L_jk
-        # zero rows j <= k except j == k which is l_kk
-        j_ids = lax.broadcasted_iota(jnp.int32, (p, 1, 1), 0)
-        panel = jnp.where(j_ids > k, panel, 0.0)
-        panel = panel.at[k].set(l_kk)
+        # (3) panel factorization (identical on every device), MXU-blocked
+        l_kk = blocked_cholesky(col[k], panel_nb)
+        if hi < n:
+            # solve ONLY the strictly-below blocks j > k (static slice --
+            # k is a Python int): L_jk = A_jk L_kk^{-T}
+            below = col[k + 1 :]  # (p-k-1, nb, nb)
+            rhs = (
+                jnp.swapaxes(below, -1, -2)
+                .transpose(1, 0, 2)
+                .reshape(nb, (p - k - 1) * nb)
+            )
+            ysol = lax.linalg.triangular_solve(
+                l_kk, rhs, left_side=True, lower=True
+            )
+            panel = ysol.reshape(nb, p - k - 1, nb).transpose(1, 2, 0)
+            # my own L block for column k: l_kk if my == k, L_my,k if my > k,
+            # junk (masked, unread) if my < k
+            idx = jnp.clip(my - (k + 1), 0, p - k - 2)
+            my_lk = jnp.where(my == k, l_kk, panel[idx])
+            # in-place: L's column k overwrites A's
+            a_local = a_local.at[:, lo:hi].set(my_lk)
+            # (4) trailing update of my rows' columns > k:
+            # A_my,j -= L_my,k L_jkᵀ  for j > k -- one MXU GEMM over the
+            # trailing width only.  Gate on my > k: row k's trailing columns
+            # are upper-triangle junk and rows < k are final.
+            trail = panel.reshape((p - k - 1) * nb, nb).T  # (nb, n-hi)
+            upd = jnp.matmul(my_lk, trail, preferred_element_type=a_local.dtype)
+            a_local = a_local.at[:, hi:].add(
+                jnp.where(my > k, -upd, 0.0)
+            )
+        else:
+            a_local = a_local.at[:, lo:hi].set(
+                jnp.where(my == k, l_kk, a_local[:, lo:hi])
+            )
+    return a_local
 
-        # my own column block of L
-        my_lk = panel[my]
-        L_local = lax.dynamic_update_slice(L_local, my_lk, (0, k * nb))
 
-        # (4) trailing update of my rows: A_i,j>k -= L_ik L_jkᵀ.
-        # Build the full (n, nb) panel and subtract L_ik panelᵀ; blocks with
-        # j <= k are zero in `panel`, so columns ≤ k are untouched except
-        # column k itself, which we re-zero via the mask above having
-        # panel[k] = l_kk -- subtract only strictly-trailing part:
-        trail = panel.at[k].set(0.0).reshape(n, nb).T  # (nb, n), cols j>k only
-        update = jnp.matmul(
-            my_lk, trail, preferred_element_type=a_local.dtype
-        )
-        a_local = a_local - jnp.where(
-            lax.broadcasted_iota(jnp.int32, (1, n), 1) >= (k + 1) * nb, update, 0.0
-        )
-    return L_local
-
-
-def distributed_cholesky(a, mesh: Mesh, axis: str = "sp"):
+def distributed_cholesky(a, mesh: Mesh, axis: str = "sp", panel_nb: int = 2048):
     """Cholesky of row-block-sharded SPD ``a`` (n, n); returns L with the
-    same sharding.  n must be divisible by the axis size."""
+    same sharding.  n must be divisible by the axis size.
+
+    The returned factor is ``lower_only``: above-diagonal blocks hold
+    leftovers of ``a`` (see module docstring); all companions in this
+    package read only the lower triangle.
+    """
     p = mesh.shape[axis]
     n = a.shape[0]
     if n % p:
@@ -86,7 +111,9 @@ def distributed_cholesky(a, mesh: Mesh, axis: str = "sp"):
     nb = n // p
 
     fn = _shard_map(
-        lambda al: _local_cholesky_body(al, axis=axis, p=p, nb=nb),
+        lambda al: _local_cholesky_body(
+            al, axis=axis, p=p, nb=nb, panel_nb=panel_nb
+        ),
         mesh=mesh,
         in_specs=P(axis, None),
         out_specs=P(axis, None),

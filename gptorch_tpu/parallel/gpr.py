@@ -7,13 +7,15 @@ whose (n, n) kernel matrix exceeds one chip's HBM.  This is the BASELINE.md
 stretch capability ("exact GPR at N=100k over ICI") absent from the
 reference.
 
-Everything runs in one jit; gradients flow through the collectives, so the
-same code trains hyperparameters.
+Everything runs in one jit; gradients come from the closed-form sharded
+adjoint (:mod:`gptorch_tpu.parallel.adjoint` -- O(n³/p) GEMM collectives,
+no autodiff-through-shard_map residuals), so the same code trains
+hyperparameters at the BASELINE.md N=100k scale (see
+:func:`~gptorch_tpu.parallel.adjoint.memory_plan`).
 """
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
@@ -22,24 +24,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..module import Module, get_trainable, with_trainable
 from ..util import as_array
+from .adjoint import make_distributed_nlml
 from .cholesky import distributed_cholesky
 from .gram import ring_gram
-from .solves import add_diagonal, distributed_logdet_tril, distributed_tri_solve
+from .solves import add_diagonal, distributed_tri_solve
 
 
 def distributed_gpr_nlml(kernel, noise_variance, x, y, mesh: Mesh, axis: str = "sp"):
-    """Negative log marginal likelihood of exact GPR, sharded over ``axis``.
+    """Negative log marginal likelihood of exact GPR, sharded over ``axis``,
+    with the closed-form custom VJP attached.
 
     x: (n, d) -- will be row-sharded; y: (n, dy) row-sharded alike.
     """
-    n, dy = y.shape
-    K = ring_gram(kernel, x, mesh, axis=axis)
-    Kyy = add_diagonal(K, noise_variance, mesh, axis=axis)
-    L = distributed_cholesky(Kyy, mesh, axis=axis)
-    alpha = distributed_tri_solve(L, y, mesh, axis=axis)
-    logdet = distributed_logdet_tril(L, mesh, axis=axis)
-    const = 0.5 * dy * n * math.log(2.0 * math.pi)
-    return 0.5 * jnp.sum(jnp.square(alpha)) + dy * logdet + const
+    return make_distributed_nlml(mesh, axis)(kernel, noise_variance, x, y)
 
 
 class DistributedGPR(Module):
@@ -50,7 +47,10 @@ class DistributedGPR(Module):
     handful of test points are cheap and run through a replicated solve.
     """
 
-    def __init__(self, x, y, kernel, likelihood, mesh: Mesh, axis: str = "sp"):
+    def __init__(
+        self, x, y, kernel, likelihood, mesh: Mesh, axis: str = "sp",
+        jitter: float = 0.0,
+    ):
         import numpy as np
 
         x = as_array(np.asarray(x)) if not isinstance(x, jax.Array) else x
@@ -59,6 +59,7 @@ class DistributedGPR(Module):
         self.likelihood = likelihood
         self.mesh = mesh
         self.axis = axis
+        self.jitter = float(jitter)
         shard = NamedSharding(mesh, P(axis, None))
         self.X = jax.device_put(x, shard)
         self.Y = jax.device_put(y, shard)
@@ -66,13 +67,14 @@ class DistributedGPR(Module):
     def log_likelihood(self, x=None, y=None, key=None):
         x = x if x is not None else self.X
         y = y if y is not None else self.Y
-        return -distributed_gpr_nlml(
+        nlml = make_distributed_nlml(self.mesh, self.axis, self.jitter)
+        # X/Y are data buffers: the adjoint returns zero data cotangents by
+        # construction; stop_gradient makes that explicit.
+        return -nlml(
             self.kernel,
             self.likelihood.variance.value.reshape(()),
-            x,
-            y,
-            self.mesh,
-            axis=self.axis,
+            jax.lax.stop_gradient(x),
+            jax.lax.stop_gradient(y),
         )
 
     def _loss(self, x=None, y=None, key=None):

@@ -239,3 +239,44 @@ class TestFITC:
         l0 = float(model.loss())
         model.optimize(method="Adam", max_iter=30, verbose=False)
         assert float(model.loss()) < l0
+
+
+class TestSparseMeanFunctions:
+    """VFE/FITC mean-function support (capability delta: the reference
+    asserts Zero, its own TODO at sparse_gpr.py:104-106)."""
+
+    def _data(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(40, 2)
+        y = 3.0 + np.sin(x[:, :1]) + 0.05 * rng.randn(40, 1)
+        return x, y
+
+    @pytest.mark.parametrize("cls", ["VFE", "FITC"])
+    def test_constant_mean_improves_offset_data(self, cls):
+        from gptorch_tpu.models.sparse_gpr import FITC, VFE
+
+        x, y = self._data()
+        model_cls = {"VFE": VFE, "FITC": FITC}[cls]
+        m = model_cls(
+            x, y, kernels.Rbf(2),
+            mean_function=mean_functions.Constant(1),
+            num_inducing_points=10,
+        )
+        assert np.isfinite(float(m.loss()))
+        m.optimize(method="Adam", max_iter=150, verbose=False)
+        mu, _ = m.predict_f(x)
+        assert np.mean((mu - y) ** 2) < 0.1 * np.var(y)
+
+    def test_vfe_zero_mean_matches_old_behavior(self):
+        """With a Zero mean the generalized residual math must reproduce
+        the parity-anchored bound exactly."""
+        from gptorch_tpu.models.sparse_gpr import VFE
+
+        x, y = self._data()
+        z = x[:8]
+        a = VFE(x, y, kernels.Rbf(2), inducing_points=z)
+        b = VFE(
+            x, y, kernels.Rbf(2), inducing_points=z,
+            mean_function=mean_functions.Zero(1),
+        )
+        assert float(a.loss()) == float(b.loss())
