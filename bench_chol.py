@@ -10,6 +10,11 @@ Flop conventions (lower-triangular, n×n):
   trtri        n³/3
   tril_square  n³/3
 
+HBM discipline (one n² f32 buffer is 4 GB at n=32k): every timed call
+DONATES its input (fresh perturbed copy each iter, so the relay can't
+serve a memoized execution) and intermediate masters are dropped as soon
+as the next op's master exists -- peak ≈ master + working/output ≈ 2 n².
+
 Prints one JSON line for the headline (blocked_cholesky TFLOP/s;
 vs_baseline = speedup over stock XLA cholesky) plus per-op detail on
 stderr.
@@ -26,20 +31,22 @@ import time
 import numpy as np
 
 
-def _time_op(fn, args, perturb, iters):
-    """min wall time; perturbs inputs each iter + host-reads a scalar so the
-    relay cannot serve memoized executions (CLAUDE.md timing quirk)."""
+def _time_op(fn, master, iters):
+    """min wall time of jitted+donating ``fn`` over fresh scaled copies of
+    ``master``; host-reads a scalar each call (CLAUDE.md timing quirk)."""
     import jax.numpy as jnp
 
-    out = fn(*args)
-    _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out[:1, :1]))
+    out = fn(master * 1.0000001)
+    _ = float(jnp.sum(out[:1, :1]))
+    del out
     times = []
     for i in range(iters):
-        a = perturb(args, i)
+        a = master * (1.0 + 1e-6 * (i + 1))  # fresh buffer, gets donated
         t0 = time.perf_counter()
-        out = fn(*a)
+        out = fn(a)
         _ = float(jnp.sum(out[:1, :1]))
         times.append(time.perf_counter() - t0)
+        del out
     return min(times)
 
 
@@ -55,37 +62,44 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 3))
     time_stock = os.environ.get("BENCH_STOCK", "1") == "1"
 
-    # SPD test matrix: RBF gram + noise (the workload's actual spectrum).
+    # SPD test matrix: RBF gram + noise (the workload's actual spectrum),
+    # built on device to avoid an 8 GB host->device detour.
     rng = np.random.RandomState(0)
-    x = rng.randn(n, 8).astype(np.float32)
-    sq = (x * x).sum(1)
-    K = np.exp(-0.5 * np.maximum(sq[:, None] + sq[None] - 2 * x @ x.T, 0)).astype(
-        np.float32
-    )
-    K[np.arange(n), np.arange(n)] += 0.101
-    K = jnp.asarray(K)
+    x = jnp.asarray(rng.randn(n, 8).astype(np.float32))
 
-    def perturb_spd(args, i):
-        return (args[0] + (1e-6 * (i + 1)) * jnp.eye(n, dtype=args[0].dtype),) + args[1:]
+    @jax.jit
+    def make_K(x):
+        sq = jnp.sum(x * x, axis=1)
+        r2 = jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * x @ x.T, 0.0)
+        return jnp.exp(-0.5 * r2) + 0.101 * jnp.eye(n, dtype=x.dtype)
+
+    K = make_K(x)
+    K.block_until_ready()
 
     flops = n**3 / 3.0
 
-    chol = jax.jit(lambda a: blocked_cholesky(a, nb, lower_only=True))
-    t_chol = _time_op(chol, (K,), perturb_spd, iters)
-
-    L = chol(K)
-    trtri = jax.jit(lambda l: blocked_trtri(l, min(nb, 1024)))
-    t_trtri = _time_op(trtri, (L,), perturb_spd, iters)
-
-    Linv = trtri(L)
-    sq_ = jax.jit(lambda li: tril_square(li, nb))
-    t_sq = _time_op(sq_, (Linv,), perturb_spd, iters)
+    chol = jax.jit(
+        lambda a: blocked_cholesky(a, nb, lower_only=True), donate_argnums=0
+    )
+    t_chol = _time_op(chol, K, iters)
 
     if time_stock:
-        stock = jax.jit(lambda a: lax.linalg.cholesky(a))
-        t_stock = _time_op(stock, (K,), perturb_spd, iters)
+        stock = jax.jit(lambda a: lax.linalg.cholesky(a), donate_argnums=0)
+        t_stock = _time_op(stock, K, iters)
     else:
         t_stock = float("nan")
+
+    L = jax.jit(lambda a: blocked_cholesky(a, nb, lower_only=True))(K)
+    L.block_until_ready()
+    del K
+    trtri = jax.jit(lambda l: blocked_trtri(l, min(nb, 1024)), donate_argnums=0)
+    t_trtri = _time_op(trtri, L, iters)
+
+    Linv = jax.jit(lambda l: blocked_trtri(l, min(nb, 1024)))(L)
+    Linv.block_until_ready()
+    del L
+    sq_ = jax.jit(lambda li: tril_square(li, nb), donate_argnums=0)
+    t_sq = _time_op(sq_, Linv, iters)
 
     tf = flops / t_chol / 1e12
     print(
@@ -94,9 +108,7 @@ def main():
                 "metric": f"blocked_cholesky_n{n}_tflops",
                 "value": round(tf, 2),
                 "unit": "TFLOP/s",
-                "vs_baseline": round(t_stock / t_chol, 3)
-                if time_stock
-                else None,
+                "vs_baseline": round(t_stock / t_chol, 3) if time_stock else None,
             }
         )
     )

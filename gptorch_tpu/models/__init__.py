@@ -9,6 +9,10 @@ from .kronecker import GridGPR
 from .multioutput import ICM
 from .warped import WarpedGPR
 from .deep import DeepGP
+from .posterior import Posterior
 from .sparse_gpr import FITC, SVGP, VFE
 
-__all__ = ["GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM", "WarpedGPR", "DeepGP"]
+__all__ = [
+    "GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM",
+    "WarpedGPR", "DeepGP", "Posterior",
+]

@@ -241,6 +241,13 @@ class GPLVM(GPModel):
         c = beta * trtrs(trtrs(Psi1.T @ self.Y, L), LB)
         return L, LB, c
 
+    def posterior(self):
+        """Cached predictive posterior at deterministic latents (factorize
+        once, predict many; :mod:`gptorch_tpu.models.posterior`)."""
+        from .posterior import gplvm_posterior
+
+        return gplvm_posterior(self)
+
     def _predict(self, x_new, diag=True):
         """Posterior p(f* | Y) at *deterministic* latent points x_new --
         same low-rank identities as VFE (reference sparse_gpr.py:155-195)."""

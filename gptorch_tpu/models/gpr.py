@@ -148,6 +148,15 @@ class GPR(GPModel):
             ()
         ) * jnp.eye(n, dtype=jnp.result_type(x))
 
+    def posterior(self):
+        """Cached predictive posterior: factorizes Kyy ONCE; each
+        subsequent predict is O(n·n*) (see
+        :mod:`gptorch_tpu.models.posterior`; no reference analog -- the
+        reference re-Choleskys per predict, gpr.py:88-117)."""
+        from .posterior import gpr_posterior
+
+        return gpr_posterior(self)
+
     def _predict(self, x_new, diag=True, x=None):
         """Posterior p(f* | y) at x_new (gpr.py:88-117)."""
         x = x if x is not None else self.X

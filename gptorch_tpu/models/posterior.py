@@ -1,0 +1,203 @@
+"""Cached predictive posteriors.
+
+The reference recomputes the O(n³) (or O(m³)) factorizations inside every
+``predict`` call (reference models/gpr.py:88-117 re-Choleskys Kyy per call;
+sparse_gpr.py:155-195, :337-381 likewise).  For serving -- many small
+prediction batches against a fixed trained model -- that is the wrong
+amortization.  ``model.posterior()`` computes the factorizations ONCE and
+returns a :class:`Posterior` pytree whose ``predict_f``/``predict_y`` are
+O(n·n*) (exact) or O(m·n*) (sparse) per call and jit/vmap-compatible
+(the posterior is itself a pytree, so it can be closed over or passed as an
+argument to jitted serving functions).
+
+New capability: no reference analog (GPflow grew the same feature as
+``model.posterior()``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..functions import cholesky, trtrs
+from ..module import Module
+
+
+class Posterior(Module):
+    """Base: wraps precomputed factors + the model pieces needed at predict
+    time.  Subclasses implement ``_predict(x_new, diag)``."""
+
+    def predict_f(self, x_new, diag=True):
+        from_numpy = isinstance(x_new, np.ndarray)
+        x_new = jnp.asarray(x_new)
+        out = self._predict(x_new, diag=diag)
+        if from_numpy:
+            return tuple(np.asarray(o) for o in out)
+        return out
+
+    def predict_y(self, x_new, diag=True):
+        from_numpy = isinstance(x_new, np.ndarray)
+        mean_f, cov_f = self._predict(jnp.asarray(x_new), diag=diag)
+        if diag:
+            out = self.likelihood.predict_mean_variance(mean_f, cov_f)
+        else:
+            out = self.likelihood.predict_mean_covariance(mean_f, cov_f)
+        if from_numpy:
+            return tuple(np.asarray(o) for o in out)
+        return out
+
+
+class GPRPosterior(Posterior):
+    """Exact-GP posterior with cached L = chol(Kyy) and V = L⁻¹(Y - m(X)).
+
+    Each predict costs one cross-Gram + one triangular solve:
+    O(n·n*·(d + n)) instead of the O(n³) refactorization."""
+
+    def __init__(self, kernel, likelihood, mean_function, X, L, V):
+        self.kernel = kernel
+        self.likelihood = likelihood
+        self.mean_function = mean_function
+        self.X = X
+        self.L = L
+        self.V = V
+
+    def _predict(self, x_new, diag=True):
+        k_ys = self.kernel.K(self.X, x_new)
+        A = trtrs(k_ys, self.L)
+        mean = A.T @ self.V + self.mean_function(x_new)
+        if diag:
+            var = jnp.broadcast_to(
+                (self.kernel.Kdiag(x_new) - jnp.sum(A * A, axis=0))[:, None],
+                mean.shape,
+            )
+        else:
+            var = self.kernel.K(x_new) - A.T @ A
+        return mean, var
+
+
+class LowRankPosterior(Posterior):
+    """Sparse (VFE/FITC/GPLVM) posterior with cached L = chol(Kuu),
+    LB = chol(B), c.  Each predict is O(m²·n*)."""
+
+    def __init__(self, kernel, likelihood, mean_function, Z, L, LB, c):
+        self.kernel = kernel
+        self.likelihood = likelihood
+        self.mean_function = mean_function
+        self.Z = Z
+        self.L = L
+        self.LB = LB
+        self.c = c
+
+    def _predict(self, x_new, diag=True):
+        Kus = self.kernel.K(self.Z, x_new)
+        tmp1 = trtrs(Kus, self.L)
+        tmp2 = trtrs(tmp1, self.LB)
+        mean = tmp2.T @ self.c
+        if self.mean_function is not None:
+            mean = mean + self.mean_function(x_new)
+        if diag:
+            var = jnp.broadcast_to(
+                (
+                    self.kernel.Kdiag(x_new)
+                    - jnp.sum(jnp.square(tmp1), axis=0)
+                    + jnp.sum(jnp.square(tmp2), axis=0)
+                )[:, None],
+                mean.shape,
+            )
+        else:
+            var = self.kernel.K(x_new) + tmp2.T @ tmp2 - tmp1.T @ tmp1
+        return mean, var
+
+
+class SVGPPosterior(Posterior):
+    """SVGP posterior with cached chol(Kuu), L⁻¹m_u, and L⁻¹L_q."""
+
+    def __init__(self, kernel, likelihood, mean_function, Z, L, Linv_m, beta):
+        self.kernel = kernel
+        self.likelihood = likelihood
+        self.mean_function = mean_function
+        self.Z = Z
+        self.L = L
+        self.Linv_m = Linv_m
+        self.beta = beta
+
+    def _predict(self, x_new, diag=True):
+        kuf = self.kernel.K(self.Z, x_new)
+        alpha = trtrs(kuf, self.L).T
+        mean = alpha @ self.Linv_m + self.mean_function(x_new)
+        gamma = alpha @ self.beta
+        if diag:
+            var = jnp.broadcast_to(
+                (
+                    self.kernel.Kdiag(x_new)
+                    - jnp.sum(jnp.square(alpha), axis=1)
+                    + jnp.sum(jnp.square(gamma), axis=1)
+                )[:, None],
+                mean.shape,
+            )
+        else:
+            var = self.kernel.K(x_new) - alpha @ alpha.T + gamma @ gamma.T
+        return mean, var
+
+
+# -- builders (attached to the model classes as .posterior()) -------------------
+
+
+def gpr_posterior(model) -> GPRPosterior:
+    L = cholesky(model._compute_kyy())
+    V = trtrs(model.Y - model.mean_function(model.X), L)
+    return GPRPosterior(
+        model.kernel, model.likelihood, model.mean_function, model.X, L, V
+    )
+
+
+def vfe_posterior(model) -> LowRankPosterior:
+    import jax
+
+    z = jax.lax.stop_gradient(model.Z.value)
+    sigma2 = model.likelihood.variance.value.reshape(())
+    err = model.Y - model.mean_function(model.X)
+    Kuf = model.kernel.K(z, model.X)
+    L = cholesky(model._kuu(z))
+    A = trtrs(Kuf, L)
+    B = A @ A.T / sigma2 + jnp.eye(z.shape[0], dtype=jnp.result_type(L))
+    LB = cholesky(B)
+    c = trtrs(A @ err, LB) / sigma2
+    return LowRankPosterior(
+        model.kernel, model.likelihood, model.mean_function, z, L, LB, c
+    )
+
+
+def fitc_posterior(model) -> LowRankPosterior:
+    import jax
+
+    z = jax.lax.stop_gradient(model.Z.value)
+    Kuf = model.kernel.K(z, model.X)
+    L = cholesky(model._kuu(z))
+    V = trtrs(Kuf, L)
+    lam = model._lam(model.X)
+    A = V / jnp.sqrt(lam)
+    B = A @ A.T + jnp.eye(z.shape[0], dtype=jnp.result_type(L))
+    LB = cholesky(B)
+    ytil = (model.Y - model.mean_function(model.X)) / jnp.sqrt(lam)[:, None]
+    c = trtrs(A @ ytil, LB)
+    return LowRankPosterior(
+        model.kernel, model.likelihood, model.mean_function, z, L, LB, c
+    )
+
+
+def svgp_posterior(model) -> SVGPPosterior:
+    z = model.Z.value
+    L = cholesky(model._kuu(z))
+    Linv_m = trtrs(model.induced_output_mean.value, L)
+    beta = trtrs(model.induced_output_chol_cov.value, L)
+    return SVGPPosterior(
+        model.kernel, model.likelihood, model.mean_function, z, L, Linv_m, beta
+    )
+
+
+def gplvm_posterior(model) -> LowRankPosterior:
+    L, LB, c = model._posterior()
+    return LowRankPosterior(
+        model.kernel, model.likelihood, None, model.Z.value, L, LB, c
+    )

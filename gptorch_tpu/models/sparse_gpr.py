@@ -138,6 +138,13 @@ class VFE(_InducingPointsGP):
         elbo += 0.5 * d_out * jnp.trace(AAT)
         return elbo
 
+    def posterior(self):
+        """Cached predictive posterior (factorize once, predict many --
+        :mod:`gptorch_tpu.models.posterior`)."""
+        from .posterior import vfe_posterior
+
+        return vfe_posterior(self)
+
     def _predict(self, x_new, diag=True, x=None):
         """Low-rank posterior (sparse_gpr.py:155-195)."""
         x = x if x is not None else self.X
@@ -228,6 +235,12 @@ class FITC(_InducingPointsGP):
         ll -= 0.5 * jnp.sum(jnp.square(ytil))
         ll += 0.5 * jnp.sum(jnp.square(c))
         return ll
+
+    def posterior(self):
+        """Cached predictive posterior (factorize once, predict many)."""
+        from .posterior import fitc_posterior
+
+        return fitc_posterior(self)
 
     def _predict(self, x_new, diag=True, x=None):
         x = x if x is not None else self.X
@@ -382,6 +395,12 @@ class SVGP(_InducingPointsGP):
         return Param(mean), Param(chol_cov, transform=LowerCholesky())
 
     # -- prediction -------------------------------------------------------------------
+
+    def posterior(self):
+        """Cached predictive posterior (factorize once, predict many)."""
+        from .posterior import svgp_posterior
+
+        return svgp_posterior(self)
 
     def _predict(self, x_new, diag=True, chol_kuu=None, **kwargs):
         """Posterior via inducing outputs as sufficient statistics

@@ -1,0 +1,145 @@
+"""Natural-gradient training for SVGP's variational distribution.
+
+No reference analog (the reference trains q(u) by plain gradient descent on
+(m, L_q), reference sparse_gpr.py:256-308); this is the standard tool for
+variational GPs (Salimbeni, Eleftheriadis & Hensman 2018, "Natural gradients
+in practice"): take natural-gradient steps on q(u) = Π_i N(m_i, S) in its
+exponential-family coordinates while the hyperparameters take ordinary
+optimizer steps.
+
+Math.  The joint density over the dy output dims with SHARED covariance S
+(this framework's q(u), matching the reference's single q_L) is an
+exponential family with
+
+    natural params      θ₁ = S⁻¹M (m, dy),   θ₂ = -½S⁻¹
+    expectation params  η₁ = M,              η₂ = dy·S + M Mᵀ
+
+Natural-gradient step of size γ on (θ₁, θ₂) uses the loss gradients in
+EXPECTATION coordinates, obtained from the ordinary (M, S) gradients
+(g_M, g_S) by the chain rule through S = (η₂ - η₁η₁ᵀ)/dy:
+
+    dL/dη₁ = g_M - (2/dy)·g_S M
+    dL/dη₂ = g_S / dy
+
+    θ₁ ← θ₁ - γ·dL/dη₁        θ₂ ← θ₂ - γ·dL/dη₂
+    S  ← -½θ₂⁻¹ = (S⁻¹ + 2γ·g_S/dy)⁻¹        M ← S θ₁
+
+Key property (tested): with a GAUSSIAN likelihood and full batches, ONE
+step at γ = 1 lands exactly on the optimal q(u), so the SVGP ELBO equals
+the collapsed VFE bound (Titsias 2009) after a single step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..functions import cholesky, cholesky_inverse, trtrs
+from ..module import get_trainable, with_trainable
+
+_Q_MEAN = "induced_output_mean"
+_Q_CHOL = "induced_output_chol_cov"
+
+
+def _split_values(values):
+    q = {k: values[k] for k in (_Q_MEAN, _Q_CHOL)}
+    hyper = {k: v for k, v in values.items() if k not in q}
+    return q, hyper
+
+
+def make_natgrad_step(
+    model,
+    nat_lr: float = 0.1,
+    optimizer: Optional[optax.GradientTransformation] = None,
+):
+    """Build a jitted combined step for an :class:`~gptorch_tpu.models.
+    sparse_gpr.SVGP`: natural gradient on (m, S), ordinary ``optimizer``
+    (default Adam 1e-2) on everything else.
+
+    Returns (step, values, opt_state) with
+    ``step(values, opt_state, model, key) -> (values, opt_state, loss)``;
+    ``values`` is the trainable dict (q params stored in their usual raw
+    form so checkpoints and other trainers interoperate).
+    """
+    if optimizer is None:
+        optimizer = optax.adam(1e-2)
+
+    values0 = get_trainable(model)
+    if _Q_MEAN not in values0 or _Q_CHOL not in values0:
+        raise ValueError("make_natgrad_step expects an SVGP-like model "
+                         f"with {_Q_MEAN!r} and {_Q_CHOL!r} trainables")
+    chol_bij = None
+    for path, p in model.named_parameters():
+        if path == _Q_CHOL:
+            chol_bij = p.bijector
+    _, hyper0 = _split_values(values0)
+    opt_state = optimizer.init(hyper0)
+
+    def loss_ms(M, S, hyper, model, key):
+        """Loss as a function of the DISTRIBUTION parameters (M, S)."""
+        Lq = cholesky(S)
+        values = dict(hyper)
+        values[_Q_MEAN] = M
+        values[_Q_CHOL] = chol_bij.inverse(Lq)
+        return with_trainable(model, values)._loss(key=key)
+
+    @jax.jit
+    def step(values, opt_state, model, key):
+        q, hyper = _split_values(values)
+        M = q[_Q_MEAN]
+        Lq = chol_bij.forward(q[_Q_CHOL])
+        S = Lq @ Lq.T
+        dy = M.shape[1]
+
+        loss, grads = jax.value_and_grad(loss_ms, argnums=(0, 1, 2))(
+            M, S, hyper, model, key
+        )
+        g_M, g_S, g_hyper = grads
+        g_S = 0.5 * (g_S + g_S.T)  # symmetrize (jax returns the raw cotangent)
+
+        # natural-gradient update in exponential-family coordinates
+        Sinv = cholesky_inverse(cholesky(S))
+        theta1 = Sinv @ M
+        d_eta1 = g_M - (2.0 / dy) * (g_S @ M)
+        theta1_new = theta1 - nat_lr * d_eta1
+        Sinv_new = Sinv + 2.0 * nat_lr * g_S / dy
+        # S_new = Sinv_new⁻¹ and M_new = S_new θ₁ via one factorization
+        L_sinv = cholesky(Sinv_new)
+        S_new = cholesky_inverse(L_sinv)
+        M_new = jax.scipy.linalg.cho_solve((L_sinv, True), theta1_new)
+
+        # ordinary step on the hyperparameters
+        updates, opt_state2 = optimizer.update(g_hyper, opt_state, hyper)
+        hyper_new = optax.apply_updates(hyper, updates)
+
+        values_new = dict(hyper_new)
+        values_new[_Q_MEAN] = M_new
+        values_new[_Q_CHOL] = chol_bij.inverse(cholesky(S_new))
+        return values_new, opt_state2, loss
+
+    return step, values0, opt_state
+
+
+def fit_svgp_natgrad(
+    model,
+    n_steps: int = 200,
+    nat_lr: float = 0.1,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    key: Optional[jax.Array] = None,
+):
+    """Convenience loop; returns (trained_model, losses)."""
+    import numpy as np
+
+    step, values, opt_state = make_natgrad_step(model, nat_lr, optimizer)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    losses = np.zeros(n_steps)
+    for i in range(n_steps):
+        values, opt_state, loss = step(
+            values, opt_state, model, jax.random.fold_in(key, i)
+        )
+        losses[i] = float(loss)
+    return with_trainable(model, values), losses

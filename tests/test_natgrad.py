@@ -1,0 +1,97 @@
+"""Natural-gradient SVGP training tests.
+
+The sharpest check available: with a Gaussian likelihood and full batches,
+ONE natural-gradient step at γ = 1 sets q(u) to its optimum, so the SVGP
+ELBO must equal the collapsed VFE bound (Titsias 2009) at the same
+hyperparameters and inducing points -- and the VFE value is anchored to the
+reference (tests/test_models/test_sparse_gpr.py).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from gptorch_tpu import kernels, likelihoods
+from gptorch_tpu.models import SVGP, VFE
+from gptorch_tpu.module import with_trainable
+from gptorch_tpu.training.natgrad import fit_svgp_natgrad, make_natgrad_step
+
+
+def _data(seed=0, n=50, d=2, dy=2):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, d)
+    y = np.sin(x[:, :dy]) + 0.1 * rng.randn(n, dy)
+    return x, y
+
+
+class TestNatGrad:
+    def test_one_full_step_reaches_vfe_bound(self):
+        x, y = _data()
+        z = x[:10].copy()
+        kern = kernels.Rbf(2, ARD=True)
+        lik = likelihoods.Gaussian(variance=0.1)
+        svgp = SVGP(x, y, kern, inducing_points=z, likelihood=lik)
+        vfe = VFE(x, y, kern, inducing_points=z, likelihood=lik)
+
+        # freeze hyperparameters: zero-lr optimizer for the hyper block
+        import optax
+
+        step, values, opt_state = make_natgrad_step(
+            svgp, nat_lr=1.0, optimizer=optax.sgd(0.0)
+        )
+        values, opt_state, _ = step(
+            values, opt_state, svgp, jax.random.PRNGKey(0)
+        )
+        elbo_after = -float(with_trainable(svgp, values)._loss())
+        vfe_bound = float(vfe.log_likelihood())
+        assert elbo_after == pytest.approx(vfe_bound, rel=1e-9, abs=1e-8)
+
+    def test_training_loop_improves(self):
+        x, y = _data(seed=1)
+        svgp = SVGP(x, y, kernels.Rbf(2), num_inducing_points=8)
+        l0 = float(svgp.loss())
+        trained, losses = fit_svgp_natgrad(svgp, n_steps=30, nat_lr=0.5)
+        assert losses[-1] < l0
+
+    def test_recovers_from_bad_q_init_in_one_step(self):
+        """Where natural gradients shine: a badly initialized q(u) (the
+        default init is already near-optimal) is fixed in ONE γ=1 step,
+        while a plain Adam step barely moves it."""
+        import jax.numpy as jnp
+        import optax
+
+        from gptorch_tpu.module import get_trainable
+
+        x, y = _data(seed=3)
+        svgp = SVGP(x, y, kernels.Rbf(2), num_inducing_points=8)
+        # wreck q(u)
+        bad = get_trainable(svgp)
+        bad["induced_output_mean"] = 5.0 + 0.0 * bad["induced_output_mean"]
+        svgp_bad = with_trainable(svgp, bad)
+        l_bad = float(svgp_bad.loss())
+
+        step, values, opt_state = make_natgrad_step(
+            svgp_bad, nat_lr=1.0, optimizer=optax.sgd(0.0)
+        )
+        values, _, _ = step(values, opt_state, svgp_bad, jax.random.PRNGKey(0))
+        l_one = float(with_trainable(svgp_bad, values)._loss())
+
+        # one natgrad step removes essentially all of the damage
+        l_good = float(svgp.loss())
+        assert l_one < l_good + 1e-6
+        assert l_bad - l_one > 0.95 * (l_bad - l_good)
+
+    def test_rejects_non_svgp(self):
+        from gptorch_tpu.models import GPR
+
+        x, y = _data()
+        with pytest.raises(ValueError):
+            make_natgrad_step(GPR(x, y, kernels.Rbf(2)))
+
+    def test_minibatched_natgrad_runs(self):
+        x, y = _data(seed=2, n=64)
+        svgp = SVGP(
+            x, y, kernels.Rbf(2), num_inducing_points=8, batch_size=16
+        )
+        trained, losses = fit_svgp_natgrad(svgp, n_steps=20, nat_lr=0.2)
+        assert np.all(np.isfinite(losses))
