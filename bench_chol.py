@@ -10,17 +10,22 @@ Flop conventions (lower-triangular, n×n):
   trtri        n³/3
   tril_square  n³/3
 
-HBM discipline (one n² f32 buffer is 4 GB at n=32k): every timed call
-DONATES its input (fresh perturbed copy each iter, so the relay can't
-serve a memoized execution) and intermediate masters are dropped as soon
-as the next op's master exists -- peak ≈ master + working/output ≈ 2 n².
+Measurement discipline for the axon tunnel (CLAUDE.md):
+* every timed call perturbs its input and host-reads a scalar (the relay
+  memoizes otherwise);
+* the op is repeated BENCH_REPEAT times INSIDE one jit, each repetition
+  data-dependent on the previous result (diagonal nudge), so the ~tens of
+  ms of per-dispatch tunnel latency amortize away -- a single 16k op is
+  ~90 ms of which a large constant chunk is dispatch, not compute;
+* timed inputs are donated; masters are dropped between ops (peak ≈ 2 n²).
 
 Prints one JSON line for the headline (blocked_cholesky TFLOP/s;
 vs_baseline = speedup over stock XLA cholesky) plus per-op detail on
 stderr.
 
-Env overrides: BENCH_N (default 32768), BENCH_NB (4096), BENCH_ITERS (3),
-BENCH_STOCK=0 to skip the (slow) stock-cholesky reference timing.
+Env overrides: BENCH_N (default 16384; 32768 needs ~16 GB for the
+standalone program and OOMs one v5e), BENCH_NB (4096), BENCH_ITERS (3),
+BENCH_REPEAT (4), BENCH_STOCK=0 to skip the stock-cholesky reference.
 """
 
 import json
@@ -31,11 +36,28 @@ import time
 import numpy as np
 
 
-def _time_op(fn, master, iters):
-    """min wall time of jitted+donating ``fn`` over fresh scaled copies of
-    ``master``; host-reads a scalar each call (CLAUDE.md timing quirk)."""
+def _repeat_op(op, n, repeat):
+    """Chain ``repeat`` data-dependent applications of ``op`` in one jit."""
     import jax.numpy as jnp
 
+    def fn(a):
+        out = op(a)
+        idx = jnp.arange(n)
+        for _ in range(repeat - 1):
+            a = a.at[idx, idx].add(1e-9 * out[0, 0])
+            out = op(a)
+        return out
+
+    return fn
+
+
+def _time_op(op, master, iters, repeat):
+    """min wall time per single op application."""
+    import jax
+    import jax.numpy as jnp
+
+    n = master.shape[0]
+    fn = jax.jit(_repeat_op(op, n, repeat), donate_argnums=0)
     out = fn(master * 1.0000001)
     _ = float(jnp.sum(out[:1, :1]))
     del out
@@ -47,7 +69,7 @@ def _time_op(fn, master, iters):
         _ = float(jnp.sum(out[:1, :1]))
         times.append(time.perf_counter() - t0)
         del out
-    return min(times)
+    return min(times) / repeat
 
 
 def main():
@@ -57,9 +79,10 @@ def main():
 
     from gptorch_tpu.ops.blocked import blocked_cholesky, blocked_trtri, tril_square
 
-    n = int(os.environ.get("BENCH_N", 32768))
+    n = int(os.environ.get("BENCH_N", 16384))
     nb = int(os.environ.get("BENCH_NB", 4096))
     iters = int(os.environ.get("BENCH_ITERS", 3))
+    repeat = int(os.environ.get("BENCH_REPEAT", 4))
     time_stock = os.environ.get("BENCH_STOCK", "1") == "1"
 
     # SPD test matrix: RBF gram + noise (the workload's actual spectrum),
@@ -78,28 +101,23 @@ def main():
 
     flops = n**3 / 3.0
 
-    chol = jax.jit(
-        lambda a: blocked_cholesky(a, nb, lower_only=True), donate_argnums=0
+    t_chol = _time_op(
+        lambda a: blocked_cholesky(a, nb, lower_only=True), K, iters, repeat
     )
-    t_chol = _time_op(chol, K, iters)
-
     if time_stock:
-        stock = jax.jit(lambda a: lax.linalg.cholesky(a), donate_argnums=0)
-        t_stock = _time_op(stock, K, iters)
+        t_stock = _time_op(lambda a: lax.linalg.cholesky(a), K, iters, repeat)
     else:
         t_stock = float("nan")
 
     L = jax.jit(lambda a: blocked_cholesky(a, nb, lower_only=True))(K)
     L.block_until_ready()
     del K
-    trtri = jax.jit(lambda l: blocked_trtri(l, min(nb, 1024)), donate_argnums=0)
-    t_trtri = _time_op(trtri, L, iters)
+    t_trtri = _time_op(lambda l: blocked_trtri(l, min(nb, 1024)), L, iters, repeat)
 
     Linv = jax.jit(lambda l: blocked_trtri(l, min(nb, 1024)))(L)
     Linv.block_until_ready()
     del L
-    sq_ = jax.jit(lambda li: tril_square(li, nb), donate_argnums=0)
-    t_sq = _time_op(sq_, Linv, iters)
+    t_sq = _time_op(lambda li: tril_square(li, nb), Linv, iters, repeat)
 
     tf = flops / t_chol / 1e12
     print(
@@ -113,7 +131,7 @@ def main():
         )
     )
     detail = (
-        f"# n={n} nb={nb} backend={jax.default_backend()}\n"
+        f"# n={n} nb={nb} repeat={repeat} backend={jax.default_backend()}\n"
         f"# blocked_cholesky: {t_chol*1e3:.0f} ms = {tf:.1f} TF/s\n"
         f"# blocked_trtri:    {t_trtri*1e3:.0f} ms = {flops/t_trtri/1e12:.1f} TF/s\n"
         f"# tril_square:      {t_sq*1e3:.0f} ms = {flops/t_sq/1e12:.1f} TF/s\n"

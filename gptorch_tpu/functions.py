@@ -120,12 +120,16 @@ def cholesky(a, policy: str | None = None):
                 a.reshape((-1,) + a.shape[-2:])
             ).reshape(a.shape)
         jitter = _select_jitter(a)
-        L0 = _chol_raw(a)
-        # Recompute (differentiably) only when jitter was needed.
+        # BOTH factorizations live inside the cond: lax.cond only executes
+        # (and only differentiates) the taken branch.  Hoisting the bare
+        # attempt out of the cond looks equivalent value-wise but poisons
+        # the GRADIENT whenever jitter engages: the untaken bare branch's
+        # NaN factor still gets a (zero) cotangent, and 0·NaN = NaN in the
+        # Cholesky VJP's triangular solves.
         return lax.cond(
             jitter > 0,
             lambda: _chol_raw(a + jitter * _eye_like(a)),
-            lambda: L0,
+            lambda: _chol_raw(a),
         )
     raise ValueError(f"Unknown jitter policy {policy!r}")
 

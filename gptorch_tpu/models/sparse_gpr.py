@@ -373,7 +373,9 @@ class SVGP(_InducingPointsGP):
         """Initialize q(u) from a ≤100-point exact GPR posterior at Z
         (sparse_gpr.py:310-335).  Host-side, pre-jit."""
         n = self.num_data
-        i = np.random.permutation(n)[: min(n, 100)]
+        # seeded (deterministic) subsample; the reference uses the global
+        # numpy RNG (sparse_gpr.py:318), making inits irreproducible
+        i = np.random.RandomState(0).permutation(n)[: min(n, 100)]
         x = np.asarray(self.X[i])
         # Non-Gaussian likelihoods: seed the latent GP at the likelihood's
         # preferred latent scale (e.g. log counts for Poisson) -- the
@@ -391,6 +393,13 @@ class SVGP(_InducingPointsGP):
         z = self.Z.value
         mean, cov = model.predict_f(z, diag=False)
         mean = mean - self.mean_function(z)
+        # Relative floor on the initial q(u) covariance: the subsampled-GPR
+        # posterior at dense Z is NEAR-SINGULAR (eigenvalues ~1e-7 in f32),
+        # which makes every S-space computation downstream (e.g. natural
+        # gradients) catastrophically conditioned.  1e-6·mean-diag is far
+        # below any statistically meaningful variance.
+        floor = 1e-6 * jnp.mean(jnp.diagonal(cov))
+        cov = cov + floor * jnp.eye(cov.shape[0], dtype=jnp.result_type(cov))
         chol_cov = cholesky(cov)
         return Param(mean), Param(chol_cov, transform=LowerCholesky())
 

@@ -60,9 +60,12 @@ def make_natgrad_step(
     (default Adam 1e-2) on everything else.
 
     Returns (step, values, opt_state) with
-    ``step(values, opt_state, model, key) -> (values, opt_state, loss)``;
-    ``values`` is the trainable dict (q params stored in their usual raw
-    form so checkpoints and other trainers interoperate).
+    ``step(values, opt_state, model, key, nat_lr=None) ->
+    (values, opt_state, loss)``; ``values`` is the trainable dict (q params
+    stored in their usual raw form so checkpoints and other trainers
+    interoperate).  ``nat_lr`` is traced, so callers can anneal or back off
+    without recompiling (see :func:`fit_svgp_natgrad`): too-large steps
+    under minibatch noise can push S⁻¹ - 2γ·(-g_S)/dy indefinite.
     """
     if optimizer is None:
         optimizer = optax.adam(1e-2)
@@ -87,7 +90,8 @@ def make_natgrad_step(
         return with_trainable(model, values)._loss(key=key)
 
     @jax.jit
-    def step(values, opt_state, model, key):
+    def step(values, opt_state, model, key, lr=None):
+        gamma = nat_lr if lr is None else lr
         q, hyper = _split_values(values)
         M = q[_Q_MEAN]
         Lq = chol_bij.forward(q[_Q_CHOL])
@@ -100,24 +104,33 @@ def make_natgrad_step(
         g_M, g_S, g_hyper = grads
         g_S = 0.5 * (g_S + g_S.T)  # symmetrize (jax returns the raw cotangent)
 
-        # natural-gradient update in exponential-family coordinates
-        Sinv = cholesky_inverse(cholesky(S))
-        theta1 = Sinv @ M
+        # natural-gradient update in exponential-family coordinates.
+        # Conditioning: q covariances routinely have κ(S) ~ 1e6+ (tight
+        # posteriors), so everything is computed from TRIANGULAR factors --
+        # never cholesky(S @ anything) of a squared matrix in f32.
+        m_ind = M.shape[0]
+        eye = jnp.eye(m_ind, dtype=M.dtype)
+        Linv_q = trtrs(eye, Lq)  # Lq⁻¹
+        Sinv = Linv_q.T @ Linv_q
+        theta1 = Linv_q.T @ (Linv_q @ M)
         d_eta1 = g_M - (2.0 / dy) * (g_S @ M)
-        theta1_new = theta1 - nat_lr * d_eta1
-        Sinv_new = Sinv + 2.0 * nat_lr * g_S / dy
-        # S_new = Sinv_new⁻¹ and M_new = S_new θ₁ via one factorization
+        theta1_new = theta1 - gamma * d_eta1
+        Sinv_new = Sinv + 2.0 * gamma * g_S / dy
+        Sinv_new = 0.5 * (Sinv_new + Sinv_new.T)
+        # S_new = Sinv_new⁻¹ = Aᵀ A with A = L_si⁻¹ (triangular inverse);
+        # M_new = S_new θ₁ via two GEMMs against A.
         L_sinv = cholesky(Sinv_new)
-        S_new = cholesky_inverse(L_sinv)
-        M_new = jax.scipy.linalg.cho_solve((L_sinv, True), theta1_new)
+        A = trtrs(eye, L_sinv)
+        S_new = A.T @ A
+        M_new = A.T @ (A @ theta1_new)
 
         # ordinary step on the hyperparameters
         updates, opt_state2 = optimizer.update(g_hyper, opt_state, hyper)
         hyper_new = optax.apply_updates(hyper, updates)
 
         values_new = dict(hyper_new)
-        values_new[_Q_MEAN] = M_new
         values_new[_Q_CHOL] = chol_bij.inverse(cholesky(S_new))
+        values_new[_Q_MEAN] = M_new
         return values_new, opt_state2, loss
 
     return step, values0, opt_state
@@ -130,16 +143,42 @@ def fit_svgp_natgrad(
     optimizer: Optional[optax.GradientTransformation] = None,
     key: Optional[jax.Array] = None,
 ):
-    """Convenience loop; returns (trained_model, losses)."""
+    """Convenience loop with automatic step-size backoff; returns
+    (trained_model, losses).
+
+    If a step drives q(u) off the positive-definite cone (non-finite loss
+    at the next evaluation -- the stochastic-natgrad failure mode), the
+    update is rolled back and γ halved; γ is traced, so backoff costs no
+    recompilation."""
     import numpy as np
 
     step, values, opt_state = make_natgrad_step(model, nat_lr, optimizer)
     if key is None:
         key = jax.random.PRNGKey(0)
+    gamma = float(nat_lr)
+    prev = (values, opt_state)
     losses = np.zeros(n_steps)
-    for i in range(n_steps):
-        values, opt_state, loss = step(
-            values, opt_state, model, jax.random.fold_in(key, i)
+    i = 0
+    while i < n_steps:
+        new_values, new_opt_state, loss = step(
+            values, opt_state, model, jax.random.fold_in(key, i),
+            jnp.asarray(gamma),
         )
-        losses[i] = float(loss)
+        lval = float(loss)
+        if not np.isfinite(lval):
+            # current (values) already broken by the previous accept:
+            # roll back one step and halve the natural step size.
+            gamma *= 0.5
+            if gamma < 1e-5:
+                raise FloatingPointError(
+                    "natural-gradient step size collapsed below 1e-5 "
+                    "without recovering a finite loss; check the model/"
+                    "likelihood scales"
+                )
+            values, opt_state = prev
+            continue
+        losses[i] = lval
+        prev = (values, opt_state)
+        values, opt_state = new_values, new_opt_state
+        i += 1
     return with_trainable(model, values), losses

@@ -54,23 +54,32 @@ def squared_distance(x1, x2=None):
     return r2 - jax.lax.stop_gradient(jnp.minimum(r2, 0.0))
 
 
-def kmeans_centers(x: np.ndarray, k: int, perturb_if_fail: bool = False) -> np.ndarray:
+def kmeans_centers(
+    x: np.ndarray, k: int, perturb_if_fail: bool = False, seed: int = 0
+) -> np.ndarray:
     """K-means cluster centers for inducing-point init (reference
     util.py:34-49, used at sparse_gpr.py:60).  Host-side, pre-jit.
 
-    Retries once with perturbed inputs on linalg failure, like the reference.
+    Retries once with perturbed inputs on linalg failure, like the
+    reference.  DELTA vs the reference: seeded (deterministic) by default --
+    the reference inherits numpy's global RNG state, which makes inducing
+    inits (and everything downstream) irreproducible across runs.
     """
     from scipy.cluster.vq import kmeans2
 
     x = np.asarray(x)
+    rng = np.random.RandomState(seed)
+    # minit='++' (k-means++) rather than scipy's default random init: the
+    # default can leave clusters EMPTY, yielding degenerate/duplicated
+    # centers -> singular Kuu -> NaN hyperparameter gradients downstream.
     try:
-        centers = kmeans2(x, k)[0]
+        centers = kmeans2(x, k, minit="++", seed=rng)[0]
     except np.linalg.LinAlgError:
         if not perturb_if_fail:
             raise
         x_scale = x.std(axis=0)
-        x_perturbed = x + 1.0e-4 * x_scale * np.random.randn(*x.shape)
-        centers = kmeans2(x_perturbed, k)[0]
+        x_perturbed = x + 1.0e-4 * x_scale * rng.randn(*x.shape)
+        centers = kmeans2(x_perturbed, k, minit="++", seed=rng)[0]
     return centers
 
 

@@ -104,3 +104,31 @@ def test_cholesky_inverse():
 def test_inverse():
     A = _spd(4)
     assert np.asarray(inverse(jnp.asarray(A))) == pytest.approx(np.linalg.inv(A))
+
+
+class TestAdaptiveJitterGradient:
+    def test_grad_finite_when_jitter_engages_f32(self):
+        """Regression: the bare (non-PD) factorization must live INSIDE the
+        lax.cond -- hoisted outside, its NaN factor receives a zero
+        cotangent and 0*NaN = NaN poisons the gradient even though the
+        VALUE path takes the jittered branch (found via NaN hyperparameter
+        gradients in f32 SVGP training with near-singular Kuu)."""
+        import jax
+
+        # RBF Gram of tightly-spaced points: PD in exact arithmetic,
+        # numerically indefinite in f32.
+        z = jnp.linspace(0.0, 1.0, 30, dtype=jnp.float32)[:, None]
+
+        def loss(log_ell):
+            ell = jnp.exp(log_ell)
+            d2 = (z / ell - (z / ell).T) ** 2
+            K = jnp.exp(-0.5 * d2)
+            from gptorch_tpu import functions as _fn
+
+            L = _fn.cholesky(K, policy="adaptive")
+            return jnp.sum(jnp.log(jnp.diagonal(L)))
+
+        val = loss(jnp.asarray(0.0, jnp.float32))
+        assert bool(jnp.isfinite(val)), "jittered value must be finite"
+        g = jax.grad(loss)(jnp.asarray(0.0, jnp.float32))
+        assert bool(jnp.isfinite(g)), "gradient through engaged jitter must be finite"
