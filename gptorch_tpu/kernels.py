@@ -202,6 +202,33 @@ class Rbf(Stationary):
 SquaredExponential = Rbf
 
 
+class RationalQuadratic(Stationary):
+    """k(r) = σ² (1 + r²/(2α))^(-α) on length-scale-scaled distances --
+    a scale mixture of RBFs over inverse lengthscales.
+
+    (New capability; the reference's README.md:36-44 lists richer kernels
+    as roadmap items.)
+    """
+
+    def __init__(
+        self,
+        input_dim: int,
+        variance: float = 1.0,
+        length_scales=None,
+        alpha: float = 1.0,
+        ARD: bool = False,
+    ):
+        super().__init__(input_dim, variance, length_scales, ARD)
+        self.alpha = positive_param(as_array(float(alpha)))
+
+    def K(self, X, X2=None):
+        r2 = self.squared_dist(X, X2)
+        a = self.alpha.value.reshape(())
+        return self.variance.value.reshape(()) * jnp.power(
+            1.0 + r2 / (2.0 * a), -a
+        )
+
+
 class Periodic(Stationary):
     """PARITY QUIRK: this is the reference's 'Periodic', which is actually a
     cosine kernel k(r) = σ² cos(r) (kernels.py:228-235).  For the standard

@@ -49,3 +49,24 @@ def test_classification_1d():
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert "train accuracy" in result.stdout
+
+
+def test_svgp_natgrad_example():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPTORCH_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(BASE, "examples", "svgp_natgrad.py"),
+            "--no-plot",
+            "--n", "128",
+            "--steps", "30",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "serving: predict_y" in result.stdout

@@ -197,3 +197,48 @@ def test_validate_ard_shape_raises():
     """reference kernels.py:44-64."""
     with pytest.raises(ValueError):
         kernels.Linear(2, variance=np.ones(3))
+
+
+class TestRationalQuadratic:
+    """New kernel (reference roadmap item): scale mixture of RBFs."""
+
+    def test_symmetry_and_diag(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(10, 3)
+        k = kernels.RationalQuadratic(3, variance=1.5, alpha=2.0)
+        K = np.asarray(k.K(jnp.asarray(x)))
+        assert K == pytest.approx(K.T)
+        assert np.diag(K) == pytest.approx(1.5 * np.ones(10))
+        assert np.asarray(k.Kdiag(jnp.asarray(x))) == pytest.approx(np.diag(K))
+
+    def test_large_alpha_approaches_rbf(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(8, 2)
+        rq = kernels.RationalQuadratic(2, alpha=1e6)
+        rbf = kernels.Rbf(2)
+        assert np.asarray(rq.K(jnp.asarray(x))) == pytest.approx(
+            np.asarray(rbf.K(jnp.asarray(x))), rel=1e-5
+        )
+
+    def test_psd_and_ard(self):
+        rng = np.random.RandomState(2)
+        x = rng.randn(20, 2)
+        k = kernels.RationalQuadratic(
+            2, ARD=True, length_scales=[0.5, 2.0], alpha=0.7
+        )
+        K = np.asarray(k.K(jnp.asarray(x)))
+        w = np.linalg.eigvalsh(K)
+        assert w.min() > -1e-10
+
+    def test_trains_in_gpr(self):
+        import jax
+
+        from gptorch_tpu.models import GPR
+
+        rng = np.random.RandomState(3)
+        x = rng.randn(40, 1)
+        y = np.sin(2 * x) + 0.1 * rng.randn(40, 1)
+        m = GPR(x, y, kernels.RationalQuadratic(1))
+        l0 = float(m.loss())
+        m.optimize(method="Adam", max_iter=30, verbose=False)
+        assert float(m.loss()) < l0
