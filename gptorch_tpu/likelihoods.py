@@ -201,3 +201,40 @@ class Poisson(Likelihood):
             targets * mean_f - rate - jax.scipy.special.gammaln(targets + 1.0)
         )
         return jnp.sum(vals)
+
+
+class StudentT(Likelihood):
+    """Student-t observation model -- robust regression under heavy-tailed
+    noise.  (New capability; reference README.md:36-44 lists non-Gaussian
+    likelihoods as roadmap items.)
+
+    p(y | f) = StudentT(y; loc=f, scale=√σ², df=ν); variational
+    expectations and predictive moments come from the base class's
+    Gauss-Hermite fallback.
+    """
+
+    def __init__(self, scale2: float = 1.0, df: float = 4.0):
+        self.scale2 = positive_param(as_array(scale2))
+        self.df = positive_param(as_array(df))
+
+    def logp(self, F, Y):
+        import jax.scipy.special as jsp
+
+        nu = self.df.value.reshape(())
+        s2 = self.scale2.value.reshape(())
+        z2 = jnp.square(Y - F) / s2
+        return (
+            jsp.gammaln(0.5 * (nu + 1.0))
+            - jsp.gammaln(0.5 * nu)
+            - 0.5 * jnp.log(nu * math.pi * s2)
+            - 0.5 * (nu + 1.0) * jnp.log1p(z2 / nu)
+        )
+
+    def conditional_mean(self, F):
+        return F
+
+    def conditional_variance(self, F):
+        # finite for ν > 2: ν σ² / (ν - 2)
+        nu = self.df.value.reshape(())
+        s2 = self.scale2.value.reshape(())
+        return jnp.broadcast_to(nu * s2 / (nu - 2.0), F.shape)

@@ -104,3 +104,74 @@ class TestPoisson:
         # prediction should correlate with the true rate
         corr = np.corrcoef(mean.ravel(), rate.ravel())[0, 1]
         assert corr > 0.7
+
+
+class TestStudentT:
+    def test_logp_matches_scipy(self):
+        from scipy import stats
+
+        from gptorch_tpu.likelihoods import StudentT
+
+        lik = StudentT(scale2=0.49, df=5.0)
+        f = np.linspace(-2, 2, 7)
+        y = np.linspace(-1, 3, 7)
+        got = np.asarray(lik.logp(jnp.asarray(f), jnp.asarray(y)))
+        expected = stats.t.logpdf(y, df=5.0, loc=f, scale=0.7)
+        assert got == pytest.approx(expected, rel=1e-10)
+
+    def test_predictive_moments_quadrature(self):
+        from gptorch_tpu.likelihoods import StudentT
+
+        lik = StudentT(scale2=0.25, df=6.0)
+        mean_f = jnp.asarray([[0.5]])
+        var_f = jnp.asarray([[0.1]])
+        ey, vy = lik.predict_mean_variance(mean_f, var_f)
+        assert float(ey.reshape(())) == pytest.approx(0.5, abs=1e-6)
+        # Var[y] = Var[f] + nu s2/(nu-2)
+        assert float(vy.reshape(())) == pytest.approx(
+            0.1 + 6.0 * 0.25 / 4.0, rel=1e-4
+        )
+
+    def test_svgp_robust_regression_beats_gaussian_on_outliers(self):
+        """Heavy-tailed likelihood shrugs off gross outliers that wreck the
+        Gaussian fit (variational params trained by natural gradient with
+        frozen hyperparameters, so the comparison isolates the likelihood;
+        this also exercises natgrad through a QUADRATURE likelihood)."""
+        import jax
+        import optax
+
+        from gptorch_tpu.likelihoods import StudentT
+        from gptorch_tpu.models import SVGP
+        from gptorch_tpu.module import with_trainable
+        from gptorch_tpu.training.natgrad import make_natgrad_step
+
+        rng = np.random.RandomState(0)
+        x = np.linspace(-3, 3, 80)[:, None]
+        y = np.sin(2 * x) + 0.1 * rng.randn(80, 1)
+        idx = rng.choice(80, 8, replace=False)
+        y[idx] += rng.choice([-4.0, 4.0], size=(8, 1))  # gross outliers
+        clean = np.sin(2 * x)
+        mask = np.ones(80, bool)
+        mask[idx] = False
+
+        def run(lik):
+            m = SVGP(
+                x, y, kernels.Rbf(1, length_scales=0.7),
+                num_inducing_points=16, likelihood=lik,
+            )
+            step, values, opt = make_natgrad_step(
+                m, nat_lr=0.2, optimizer=optax.sgd(0.0)
+            )
+            for i in range(40):
+                values, opt, _ = step(
+                    values, opt, m, jax.random.fold_in(jax.random.PRNGKey(0), i)
+                )
+            mu, _ = with_trainable(m, values).predict_f(x)
+            return np.mean((mu[mask] - clean[mask]) ** 2)
+
+        from gptorch_tpu import likelihoods as _lik
+
+        err_t = run(StudentT(scale2=0.05, df=3.0))
+        err_g = run(_lik.Gaussian(0.05))
+        assert err_t < 0.01, err_t
+        assert err_t < 0.1 * err_g, (err_t, err_g)
