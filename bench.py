@@ -15,7 +15,7 @@ Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Env overrides: BENCH_N (default 32768), BENCH_D (8), BENCH_ITERS (3),
-BENCH_NB (4096, blocked-factorization panel size).
+BENCH_NB (1024, blocked-factorization panel size; measured optimum).
 """
 
 import json
@@ -37,7 +37,7 @@ def main():
     n = int(os.environ.get("BENCH_N", 32768))
     d = int(os.environ.get("BENCH_D", 8))
     iters = int(os.environ.get("BENCH_ITERS", 3))
-    nb = int(os.environ.get("BENCH_NB", 4096))
+    nb = int(os.environ.get("BENCH_NB", 1024))
 
     rng = np.random.RandomState(0)
     x = rng.randn(n, d).astype(np.float32)

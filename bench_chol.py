@@ -24,7 +24,7 @@ vs_baseline = speedup over stock XLA cholesky) plus per-op detail on
 stderr.
 
 Env overrides: BENCH_N (default 16384; 32768 needs ~16 GB for the
-standalone program and OOMs one v5e), BENCH_NB (4096), BENCH_ITERS (3),
+standalone program and OOMs one v5e), BENCH_NB (1024), BENCH_ITERS (3),
 BENCH_REPEAT (4), BENCH_STOCK=0 to skip the stock-cholesky reference.
 """
 
@@ -80,7 +80,7 @@ def main():
     from gptorch_tpu.ops.blocked import blocked_cholesky, blocked_trtri, tril_square
 
     n = int(os.environ.get("BENCH_N", 16384))
-    nb = int(os.environ.get("BENCH_NB", 4096))
+    nb = int(os.environ.get("BENCH_NB", 1024))
     iters = int(os.environ.get("BENCH_ITERS", 3))
     repeat = int(os.environ.get("BENCH_REPEAT", 4))
     time_stock = os.environ.get("BENCH_STOCK", "1") == "1"

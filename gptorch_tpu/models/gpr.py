@@ -60,7 +60,7 @@ class GPR(GPModel):
         likelihood=None,
         name="gpr",
         fast=None,
-        fast_block: int = 2048,
+        fast_block: int = 1024,
         fast_jitter: float = 0.0,
         fast_rel_jitter=None,
     ):

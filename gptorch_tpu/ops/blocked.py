@@ -5,8 +5,10 @@ Motivation (measured on v5e via this repo's bench harness): XLA's stock
 ~110 TF/s.  A right-looking blocked factorization whose trailing updates
 are big GEMMs moves most of the O(n³) work onto the matmul path.
 
-All functions take a static ``nb`` panel size (default 2048 -- large enough
-that the MXU-bound trailing GEMMs dominate the XLA-chol'ed panels) and use
+All functions take a static ``nb`` panel size (default 1024 -- measured
+optimum on v5e at n=16k-32k: the panel triangular solves run ~7x below
+matmul rate, so smaller panels beat bigger GEMM fractions until leaf
+overheads bite at nb<1024) and use
 static slices in an unrolled Python loop, so everything lowers to one clean
 XLA program.  n is padded internally to a multiple of nb.
 
@@ -35,7 +37,7 @@ def _pad_to(a, n_pad):
     return out.at[idx, idx].set(1.0)
 
 
-def blocked_cholesky(a, nb: int = 2048, lower_only: bool = False):
+def blocked_cholesky(a, nb: int = 1024, lower_only: bool = False):
     """Lower Cholesky factor via right-looking blocked factorization.
 
     Panel k: factor the (nb, nb) diagonal block with XLA's cholesky, solve
@@ -88,7 +90,7 @@ def blocked_cholesky(a, nb: int = 2048, lower_only: bool = False):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
-def cholesky_blocked(a, nb: int = 2048):
+def cholesky_blocked(a, nb: int = 1024):
     """:func:`blocked_cholesky` with a closed-form adjoint (Murray 2016):
 
         Ā = ½ L⁻ᵀ (Φ(LᵀL̄) + Φ(LᵀL̄)ᵀ) L⁻¹,   Φ = tril with halved diagonal
@@ -148,7 +150,7 @@ def _trmm_dense_lower(D, T, nb: int):
     return jnp.concatenate(cols, axis=1)
 
 
-def blocked_trtri(L, nb: int = 2048):
+def blocked_trtri(L, nb: int = 1024):
     """Inverse of a lower-triangular matrix, divide and conquer.
 
     [[A, 0], [B, C]]⁻¹ = [[A⁻¹, 0], [-C⁻¹ B A⁻¹, C⁻¹]]; the off-diagonal
@@ -176,7 +178,7 @@ def blocked_trtri(L, nb: int = 2048):
     return jnp.concatenate([top, bottom], axis=0)
 
 
-def tril_square(Linv, nb: int = 2048):
+def tril_square(Linv, nb: int = 1024):
     """A⁻¹ = Linvᵀ Linv for lower-triangular Linv, exploiting triangularity.
 
     Block (i, j) with i ≤ j only sums over k ≥ j:

@@ -178,7 +178,7 @@ def _gram(xs, log_var, kind, diag=None):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7, 8))
 def radial_nlml(
-    kind, log_ell, log_var, log_noise, x, y, jitter=0.0, nb=2048, rel_jitter=0.0
+    kind, log_ell, log_var, log_noise, x, y, jitter=0.0, nb=1024, rel_jitter=0.0
 ):
     """Negative log marginal likelihood of exact GPR with a radial(-ARD)
     kernel (``kind`` in {"rbf", "matern12", "matern32", "matern52"}) and
@@ -312,14 +312,14 @@ def _bwd(kind, jitter, nb, rel_jitter, res, g):
 radial_nlml.defvjp(_fwd, _bwd)
 
 
-def rbf_nlml(log_ell, log_var, log_noise, x, y, jitter=0.0, nb=2048, rel_jitter=0.0):
+def rbf_nlml(log_ell, log_var, log_noise, x, y, jitter=0.0, nb=1024, rel_jitter=0.0):
     """Backward-compatible RBF specialization of :func:`radial_nlml`."""
     return radial_nlml(
         "rbf", log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter
     )
 
 
-def rbf_nlml_value_and_grad(log_ell, log_var, log_noise, x, y, jitter=0.0, nb=2048):
+def rbf_nlml_value_and_grad(log_ell, log_var, log_noise, x, y, jitter=0.0, nb=1024):
     """Convenience wrapper returning (nlml, (d_log_ell, d_log_var,
     d_log_noise))."""
     return jax.value_and_grad(rbf_nlml, argnums=(0, 1, 2))(

@@ -113,7 +113,7 @@ def _contract_body(linv_local, A, x, kernel, *, axis, p, nb, cs, dy):
 
 @lru_cache(maxsize=32)
 def make_distributed_nlml(
-    mesh: Mesh, axis: str = "sp", jitter: float = 0.0, panel_nb: int = 2048
+    mesh: Mesh, axis: str = "sp", jitter: float = 0.0, panel_nb: int = 1024
 ):
     """Build (and cache) the custom-VJP distributed NLML for a mesh axis.
 

@@ -96,7 +96,7 @@ def _local_cholesky_body(a_local, *, axis: str, p: int, nb: int, panel_nb: int):
     return a_local
 
 
-def distributed_cholesky(a, mesh: Mesh, axis: str = "sp", panel_nb: int = 2048):
+def distributed_cholesky(a, mesh: Mesh, axis: str = "sp", panel_nb: int = 1024):
     """Cholesky of row-block-sharded SPD ``a`` (n, n); returns L with the
     same sharding.  n must be divisible by the axis size.
 
