@@ -49,6 +49,14 @@ class GPR(GPModel):
     Matern52 kernel incl. ARD, Zero mean, Exp bijectors) and n ≥
     ``AUTO_FAST_MIN_N``.  ``fast=True`` forces the fused path at any n;
     ``fast=False`` disables it; default ``None`` = auto.
+
+    ``solver="iterative"`` switches eligible configs to the MATRIX-FREE
+    BBMM path (:mod:`gptorch_tpu.ops.iterative`: batched preconditioned CG
+    + stochastic Lanczos quadrature, kernel matrix never materialized) --
+    O(n·probes) memory, for n past the factorization's HBM wall.  The
+    logdet/trace terms are unbiased t-probe estimates with fixed seeds
+    (deterministic objective); ``probes``, ``max_cg_iters``,
+    ``precond_rank``, ``cg_tol``, ``probe_seed`` tune it.
     """
 
     def __init__(
@@ -63,6 +71,13 @@ class GPR(GPModel):
         fast_block: int = 1024,
         fast_jitter: float = 0.0,
         fast_rel_jitter=None,
+        solver: str = "dense",
+        probes: int = 16,
+        max_cg_iters: int = 256,
+        precond_rank: int = 64,
+        cg_tol: float = 1e-6,
+        mvm_slab: int = 2048,
+        probe_seed: int = 0,
     ):
         super().__init__(x, y, kernel, likelihood, mean_function, name)
         self.fast = fast if fast is None else bool(fast)
@@ -75,6 +90,25 @@ class GPR(GPModel):
             is_f32 = jnp.result_type(self.X) == jnp.float32
             fast_rel_jitter = 1e-6 if is_f32 else 0.0
         self.fast_rel_jitter = float(fast_rel_jitter)
+
+        if solver not in ("dense", "iterative"):
+            raise ValueError("solver must be 'dense' or 'iterative'")
+        self.solver = solver
+        self.probes = int(probes)
+        self.max_cg_iters = int(max_cg_iters)
+        self.precond_rank = int(min(precond_rank, self.X.shape[0]))
+        self.cg_tol = float(cg_tol)
+        self.mvm_slab = int(mvm_slab)
+        if solver == "iterative":
+            import numpy as _np
+
+            rng = _np.random.RandomState(probe_seed)
+            # standard-normal seeds, warped to N(0, P) inside the op; fixed
+            # => deterministic, smooth objective (common random numbers)
+            self.probe_seeds = jnp.asarray(
+                rng.randn(self.X.shape[0] + self.precond_rank, self.probes),
+                dtype=jnp.result_type(self.X),
+            )
 
     def _fast_kind(self):
         from .. import kernels as _k
@@ -90,17 +124,27 @@ class GPR(GPModel):
         return None
 
     def _fast_eligible(self, x):
-        from .. import mean_functions as _m
-        from ..bijectors import Exp
-
         if self.fast is False:
             return False
         if self.fast is None and x.shape[0] < AUTO_FAST_MIN_N:
             return False
+        # the fused op interprets raw params as logs (Exp bijector)
+        return self._fast_eligible_config()
+
+    def _iterative_eligible(self, x):
+        return (
+            self.solver == "iterative"
+            and x.shape[0] == self.X.shape[0]
+            and self._fast_eligible_config()
+        )
+
+    def _fast_eligible_config(self):
+        from .. import mean_functions as _m
+        from ..bijectors import Exp
+
         return (
             self._fast_kind() is not None
             and isinstance(self.mean_function, _m.Zero)
-            # the fused op interprets raw params as logs (Exp bijector)
             and isinstance(self.kernel.length_scales.bijector, Exp)
             and isinstance(self.kernel.variance.bijector, Exp)
             and isinstance(self.likelihood.variance.bijector, Exp)
@@ -109,6 +153,26 @@ class GPR(GPModel):
     def log_likelihood(self, x=None, y=None, key=None):
         x = x if x is not None else self.X
         y = y if y is not None else self.Y
+        if self._iterative_eligible(x):
+            import jax.lax as _lax
+
+            from ..ops.iterative import radial_nlml_iterative
+
+            return -radial_nlml_iterative(
+                self._fast_kind(),
+                self.kernel.length_scales.raw,
+                self.kernel.variance.raw.reshape(()),
+                self.likelihood.variance.raw.reshape(()),
+                _lax.stop_gradient(x),
+                _lax.stop_gradient(y),
+                _lax.stop_gradient(self.probe_seeds),
+                self.fast_jitter,
+                self.mvm_slab,
+                self.probes,
+                self.max_cg_iters,
+                self.precond_rank,
+                self.cg_tol,
+            )
         if self._fast_eligible(x):
             import jax.lax as _lax
 
@@ -149,16 +213,23 @@ class GPR(GPModel):
         ) * jnp.eye(n, dtype=jnp.result_type(x))
 
     def posterior(self):
-        """Cached predictive posterior: factorizes Kyy ONCE; each
-        subsequent predict is O(n·n*) (see
-        :mod:`gptorch_tpu.models.posterior`; no reference analog -- the
-        reference re-Choleskys per predict, gpr.py:88-117)."""
+        """Cached predictive posterior: factorizes Kyy ONCE (dense solver)
+        or CG-solves α once (iterative solver); each subsequent predict is
+        O(n·n*) (see :mod:`gptorch_tpu.models.posterior`; no reference
+        analog -- the reference re-Choleskys per predict, gpr.py:88-117)."""
+        if self.solver == "iterative" and self._fast_eligible_config():
+            from .posterior import iterative_gpr_posterior
+
+            return iterative_gpr_posterior(self)
         from .posterior import gpr_posterior
 
         return gpr_posterior(self)
 
     def _predict(self, x_new, diag=True, x=None):
         """Posterior p(f* | y) at x_new (gpr.py:88-117)."""
+        if x is None and self._iterative_eligible(self.X):
+            post = self.posterior()
+            return post._predict(jnp.asarray(x_new), diag=diag)
         x = x if x is not None else self.X
 
         k_ys = self.kernel.K(x, x_new)

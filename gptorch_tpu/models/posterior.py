@@ -140,7 +140,88 @@ class SVGPPosterior(Posterior):
         return mean, var
 
 
+class IterativeGPRPosterior(Posterior):
+    """Matrix-free exact-GP posterior: α = K̂⁻¹(Y - m(X)) obtained by
+    preconditioned CG (cached); predictions never materialize K.
+
+    mean  = K(x*, X) α + m(x*)
+    var   = Kdiag(x*) - Σ (K(X, x*) ⊙ K̂⁻¹K(X, x*))   (diag; CG per call)
+    """
+
+    def __init__(
+        self, kernel, likelihood, mean_function, X, alpha,
+        kind, fast_jitter, mvm_slab, max_cg_iters, cg_tol, Lpc,
+    ):
+        self.kernel = kernel
+        self.likelihood = likelihood
+        self.mean_function = mean_function
+        self.X = X
+        self.alpha = alpha  # (n, dy) = K̂⁻¹ (Y - m(X))
+        self.kind = kind
+        self.fast_jitter = fast_jitter
+        self.mvm_slab = mvm_slab
+        self.max_cg_iters = max_cg_iters
+        self.cg_tol = cg_tol
+        self.Lpc = Lpc  # pivoted-Cholesky preconditioner factor (n, k)
+
+    def _solve(self, B):
+        from ..ops.iterative import mbcg, radial_mvm, woodbury_solve
+
+        le = self.kernel.length_scales.raw
+        lv = self.kernel.variance.raw.reshape(())
+        ln = self.likelihood.variance.raw.reshape(())
+        noise = jnp.exp(ln) + self.fast_jitter
+        X, *_ = mbcg(
+            lambda V: radial_mvm(
+                self.kind, le, lv, ln, self.X, V, self.fast_jitter,
+                self.mvm_slab,
+            ),
+            lambda V: woodbury_solve(self.Lpc, noise, V),
+            B,
+            self.max_cg_iters,
+            self.cg_tol,
+        )
+        return X
+
+    def _predict(self, x_new, diag=True):
+        k_xs = self.kernel.K(self.X, x_new)  # (n, n*)
+        mean = k_xs.T @ self.alpha + self.mean_function(x_new)
+        W = self._solve(k_xs)  # K̂⁻¹ K(X, x*)
+        if diag:
+            var = jnp.broadcast_to(
+                (self.kernel.Kdiag(x_new) - jnp.sum(k_xs * W, axis=0))[:, None],
+                mean.shape,
+            )
+        else:
+            var = self.kernel.K(x_new) - k_xs.T @ W
+        return mean, var
+
+
 # -- builders (attached to the model classes as .posterior()) -------------------
+
+
+def iterative_gpr_posterior(model) -> IterativeGPRPosterior:
+    from ..ops.iterative import pivoted_cholesky
+
+    kind = model._fast_kind()
+    le = model.kernel.length_scales.raw
+    lv = model.kernel.variance.raw.reshape(())
+    Lpc = pivoted_cholesky(kind, le, lv, model.X, model.precond_rank)
+    post = IterativeGPRPosterior(
+        model.kernel,
+        model.likelihood,
+        model.mean_function,
+        model.X,
+        jnp.zeros_like(model.Y),
+        kind,
+        model.fast_jitter,
+        model.mvm_slab,
+        model.max_cg_iters,
+        model.cg_tol,
+        Lpc,
+    )
+    post.alpha = post._solve(model.Y - model.mean_function(model.X))
+    return post
 
 
 def gpr_posterior(model) -> GPRPosterior:
