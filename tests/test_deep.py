@@ -91,7 +91,9 @@ class TestDeepGP:
         x = np.linspace(-1, 1, 80)[:, None]
         y = np.where(x > 0, 1.0, -1.0) + 0.05 * rng.randn(80, 1)
         model = DeepGP(x, y, widths=(1,), num_inducing=20)
-        model.fit_scan(method="Adam", max_iter=1500, key=jax.random.PRNGKey(0))
+        # 3000 iters: the seeded kmeans++ inducing init (round 2) converges
+        # more slowly on this seed than the old unseeded init did
+        model.fit_scan(method="Adam", max_iter=3000, key=jax.random.PRNGKey(0))
         mean, _ = model._predict(
             jnp.asarray(np.asarray([[-0.5], [0.5]])),
             key=jax.random.PRNGKey(5),
