@@ -133,8 +133,22 @@ class GPModel(Module):
         if params is not None:
             from ..module import with_trainable
 
-            return with_trainable(self, params)._loss(x=x, y=y, key=key)
-        return self._loss(x=x, y=y, key=key)
+            out = with_trainable(self, params)._loss(x=x, y=y, key=key)
+        else:
+            out = self._loss(x=x, y=y, key=key)
+        # Eager-side guard (cannot run on traced values): a non-finite loss
+        # on the f32 fused path usually means the noise variance sits below
+        # the factorization floor -- raise the actionable diagnosis instead
+        # of returning a silent NaN (the fit loops have the same guard).
+        import jax as _jax
+
+        if not isinstance(out, _jax.core.Tracer) and not bool(
+            jnp.isfinite(out)
+        ):
+            from ..training.fit import _nonfinite_loss_error
+
+            raise _nonfinite_loss_error()
+        return out
 
     # -- training ------------------------------------------------------------------
 

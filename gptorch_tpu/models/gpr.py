@@ -156,7 +156,9 @@ class GPR(GPModel):
         if self._iterative_eligible(x):
             import jax.lax as _lax
 
-            from ..ops.iterative import radial_nlml_iterative
+            from ..ops.iterative import (
+                radial_nlml_iterative_jit as radial_nlml_iterative,
+            )
 
             return -radial_nlml_iterative(
                 self._fast_kind(),
@@ -176,12 +178,13 @@ class GPR(GPModel):
         if self._fast_eligible(x):
             import jax.lax as _lax
 
-            from ..ops.gpr_fast import radial_nlml
+            from ..ops.gpr_fast import radial_nlml_jit as radial_nlml
 
             # The fused op's custom VJP only computes hyperparameter
             # gradients; stop_gradient on (x, y) makes "no data gradients"
             # explicit at the trace level rather than silently returning
             # zeros to a caller differentiating w.r.t. the inputs.
+            # (jitted entry: eager model.loss() at n=32k OOMs otherwise)
             return -radial_nlml(
                 self._fast_kind(),
                 self.kernel.length_scales.raw,

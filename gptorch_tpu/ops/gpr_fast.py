@@ -312,6 +312,13 @@ def _bwd(kind, jitter, nb, rel_jitter, res, g):
 radial_nlml.defvjp(_fwd, _bwd)
 
 
+#: Jitted entry point (nested jit is a no-op under an outer trace, and
+#: EAGER calls get the fused/compiled program -- without it, an eager
+#: ``model.loss()`` materializes every Gram intermediate separately and
+#: OOMs at n=32k where the compiled program fits comfortably).
+radial_nlml_jit = jax.jit(radial_nlml, static_argnums=(0, 6, 7, 8))
+
+
 def rbf_nlml(log_ell, log_var, log_noise, x, y, jitter=0.0, nb=1024, rel_jitter=0.0):
     """Backward-compatible RBF specialization of :func:`radial_nlml`."""
     return radial_nlml(

@@ -443,3 +443,9 @@ def _it_bwd(kind, jitter, slab, probes, max_iters, precond_rank, tol, res, g):
 
 
 radial_nlml_iterative.defvjp(_it_fwd, _it_bwd)
+
+#: Jitted entry point (see ops/gpr_fast.radial_nlml_jit rationale: eager
+#: calls must not materialize per-op intermediates).
+radial_nlml_iterative_jit = jax.jit(
+    radial_nlml_iterative, static_argnums=(0, 7, 8, 9, 10, 11, 12)
+)

@@ -202,10 +202,15 @@ def fit_scan(
     return with_trainable(model, values), losses
 
 
-def _nonfinite_loss_error(idx: int) -> FloatingPointError:
+def _nonfinite_loss_error(idx=None) -> FloatingPointError:
     """Actionable diagnosis instead of a silent NaN training run."""
+    where = (
+        f"became non-finite at iteration {idx}"
+        if idx is not None
+        else "is non-finite"
+    )
     return FloatingPointError(
-        f"Loss became non-finite at iteration {idx}. On the float32 fused "
+        f"Loss {where}. On the float32 fused "
         "exact-GPR path this usually means the Gaussian noise variance is "
         "below the f32 factorization floor (~0.05 at n=32k: trailing "
         "blocked-Cholesky rounding makes K numerically indefinite). "
