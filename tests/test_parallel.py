@@ -322,3 +322,46 @@ class Test2DMesh:
         svgp = SVGP(x, y, kernels.Rbf(2), num_inducing_points=8)
         dp = float(dp_svgp_loss(svgp, svgp.X, svgp.Y, mesh2d, axis="dp"))
         assert np.isfinite(dp)
+
+
+class TestShardedIterativeGPR:
+    """The matrix-free BBMM path composes with GSPMD: row-shard X/Y (and
+    the probe seeds) over the mesh and jit -- XLA partitions the slab
+    GEMMs and inserts the collectives.  Third scaling route next to the
+    explicit shard_map stack (exact GPs at n bounded by O(n·probes)
+    vectors per device, not O(n²))."""
+
+    def test_sharded_inputs_match_single_device(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rng = np.random.RandomState(13)
+        n, d = 1024, 3
+        x = rng.randn(n, d)
+        y = np.sin(x[:, :1]) + 0.1 * rng.randn(n, 1)
+        mk = lambda xx, yy: GPR(
+            xx, yy, kernels.Rbf(d), likelihood=likelihoods.Gaussian(0.1),
+            solver="iterative", probes=16, max_cg_iters=150,
+            precond_rank=32, cg_tol=1e-12, mvm_slab=128,
+        )
+        single = mk(x, y)
+        shard = NamedSharding(mesh, P("sp", None))
+        sharded = mk(
+            jax.device_put(single.X, shard), jax.device_put(single.Y, shard)
+        )
+        sharded.probe_seeds = single.probe_seeds
+
+        ref = float(single.loss())
+        values = get_trainable(sharded)
+        loss, grads = jax.jit(
+            lambda v, m: jax.value_and_grad(
+                lambda v: with_trainable(m, v)._loss()
+            )(v)
+        )(values, sharded)
+        assert float(loss) == pytest.approx(ref, rel=1e-9)
+        g_ref = jax.grad(lambda v: with_trainable(single, v)._loss())(
+            get_trainable(single)
+        )
+        for k in g_ref:
+            assert np.asarray(grads[k]) == pytest.approx(
+                np.asarray(g_ref[k]), rel=1e-7, abs=1e-9
+            )
