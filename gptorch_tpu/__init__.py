@@ -34,6 +34,7 @@ from .param import Param, positive_param
 
 from . import ekernels  # noqa: E402  (after kernels)
 from . import models  # noqa: E402
+from . import sampling  # noqa: E402
 
 __all__ = [
     "bijectors",
@@ -46,6 +47,7 @@ __all__ = [
     "module",
     "param",
     "priors",
+    "sampling",
     "settings",
     "util",
     "Module",
