@@ -35,7 +35,11 @@ import jax.numpy as jnp
 from .functions import cholesky, trtrs
 from .kernels import Rbf
 
-__all__ = ["RandomFourierFeatures", "pathwise_svgp_samples"]
+__all__ = [
+    "RandomFourierFeatures",
+    "pathwise_svgp_samples",
+    "pathwise_gpr_samples",
+]
 
 
 class RandomFourierFeatures:
@@ -121,6 +125,70 @@ def pathwise_svgp_samples(
     Ksz = model.kernel.K(x_star, z)  # (n*, m)
     update = jnp.einsum("nm,smo->sno", Ksz, v)
 
+    out = f_prior_star + update + model.mean_function(x_star)[None]
+    if from_numpy:
+        return np.asarray(out)
+    return out
+
+
+def pathwise_gpr_samples(
+    model,
+    x_star,
+    num_samples: int = 10,
+    num_features: int = 1024,
+    key: Optional[jax.Array] = None,
+):
+    """Posterior function samples for EXACT GPR via the Matheron rule:
+
+        f_post(·) = f_prior(·) + K(·, X) K̂⁻¹ (y - m(X) - f_prior(X) - ε),
+        ε ~ N(0, σ²I)
+
+    with RFF prior paths.  The K̂⁻¹ application reuses the model's cached
+    posterior solver -- the dense Cholesky for ``solver="dense"``, batched
+    preconditioned CG for ``solver="iterative"`` (so function draws work at
+    the matrix-free path's n=65k+ scale, where the O(n*³) joint Cholesky of
+    ``predict_f_samples`` is unthinkable).
+
+    :return: (num_samples, n*, dy) latent-function samples.
+    """
+    import numpy as np
+
+    if key is None:
+        from . import settings as _settings
+
+        key = _settings.next_default_key()
+    from_numpy = isinstance(x_star, np.ndarray)
+    x_star = jnp.asarray(x_star, dtype=jnp.result_type(model.X))
+
+    k_feat, k_w, k_eps = jax.random.split(key, 3)
+    phi = RandomFourierFeatures(model.kernel, num_features, k_feat)
+
+    X = model.X
+    n, dy = model.Y.shape
+    dtype = jnp.result_type(X)
+    noise = model.likelihood.variance.value.reshape(())
+
+    W = jax.random.normal(k_w, (num_samples, num_features, dy), dtype)
+    f_prior_star = jnp.einsum("sfo,nf->sno", W, phi(x_star))
+    f_prior_X = jnp.einsum("sfo,nf->sno", W, phi(X))
+    eps = jnp.sqrt(noise) * jax.random.normal(
+        k_eps, (num_samples, n, dy), dtype
+    )
+
+    resid = (model.Y - model.mean_function(X))[None] - f_prior_X - eps
+    # one batched K̂⁻¹ application over all samples/output dims
+    B = jnp.moveaxis(resid, 0, -1).reshape(n, dy * num_samples)
+
+    post = model.posterior()
+    if hasattr(post, "_solve"):  # IterativeGPRPosterior: CG
+        V = post._solve(B)
+    else:  # GPRPosterior: cached Cholesky factor
+        t = trtrs(B, post.L)
+        V = jax.scipy.linalg.solve_triangular(post.L.T, t, lower=False)
+    V = jnp.moveaxis(V.reshape(n, dy, num_samples), -1, 0)  # (S, n, dy)
+
+    Ksx = model.kernel.K(x_star, X)  # (n*, n)
+    update = jnp.einsum("nm,smo->sno", Ksx, V)
     out = f_prior_star + update + model.mean_function(x_star)[None]
     if from_numpy:
         return np.asarray(out)

@@ -68,3 +68,45 @@ class TestPathwiseSVGP:
         x_star = np.random.RandomState(4).randn(7, 1)
         S = pathwise_svgp_samples(model, x_star, 5, 128, jax.random.PRNGKey(0))
         assert isinstance(S, np.ndarray) and S.shape == (5, 7, 1)
+
+
+class TestPathwiseGPR:
+    @pytest.fixture(scope="class")
+    def model(self):
+        rng = np.random.RandomState(5)
+        x = np.linspace(-2, 2, 50)[:, None]
+        y = np.sin(2 * x) + 0.1 * rng.randn(50, 1)
+        from gptorch_tpu.models import GPR
+
+        m = GPR(x, y, kernels.Rbf(1, length_scales=0.6),
+                likelihood=likelihoods.Gaussian(0.05))
+        return m
+
+    def test_moments_match_predictive(self, model):
+        from gptorch_tpu.sampling import pathwise_gpr_samples
+
+        x_star = np.linspace(-1.8, 1.8, 20)[:, None]
+        S = pathwise_gpr_samples(
+            model, x_star, num_samples=3000, num_features=4096,
+            key=jax.random.PRNGKey(6),
+        )
+        mu_mc = np.asarray(S).mean(0)
+        var_mc = np.asarray(S).var(0)
+        mu, var = model.predict_f(x_star)
+        assert mu_mc == pytest.approx(np.asarray(mu), abs=0.08)
+        assert var_mc == pytest.approx(np.asarray(var), abs=0.08, rel=0.3)
+
+    def test_iterative_solver_path(self):
+        from gptorch_tpu.models import GPR
+        from gptorch_tpu.sampling import pathwise_gpr_samples
+
+        rng = np.random.RandomState(7)
+        x = rng.randn(200, 2)
+        y = np.sin(x[:, :1]) + 0.1 * rng.randn(200, 1)
+        m = GPR(x, y, kernels.Rbf(2), likelihood=likelihoods.Gaussian(0.05),
+                solver="iterative", probes=8, max_cg_iters=150,
+                precond_rank=32, cg_tol=1e-10, mvm_slab=64)
+        dense = GPR(x, y, kernels.Rbf(2), likelihood=likelihoods.Gaussian(0.05))
+        S = pathwise_gpr_samples(m, x[:5], 2000, 4096, jax.random.PRNGKey(8))
+        mu, var = dense.predict_f(x[:5])
+        assert np.asarray(S).mean(0) == pytest.approx(np.asarray(mu), abs=0.1)
