@@ -298,6 +298,52 @@ class Linear(Kernel):
         return jnp.sum(X * X * self.variance.value, axis=1)
 
 
+class ActiveDims(Kernel):
+    """Evaluate a base kernel on a static subset of the input columns:
+
+        k(x, x') = base(x[dims], x'[dims])
+
+    enabling composites over feature subsets, e.g. for inputs with 3
+    columns::
+
+        ActiveDims(Linear(1), [0], 3) + ActiveDims(Rbf(2), [1, 2], 3)
+
+    ``dims`` is compile-time static, so the column gather fuses into the
+    Gram assembly under jit.  (New capability: the reference's kernels
+    always consume every input column.)
+
+    :param base: the wrapped kernel; ``base.input_dim`` must equal
+        ``len(dims)``.
+    :param dims: column indices of the full input the base kernel sees.
+    :param input_dim: dimension of the full input (defaults to
+        ``max(dims) + 1``).
+    """
+
+    def __init__(self, base: Kernel, dims, input_dim: int | None = None):
+        dims = tuple(int(d) for d in dims)
+        if len(dims) != base.input_dim:
+            raise ValueError(
+                f"len(dims)={len(dims)} must match the wrapped kernel's "
+                f"input_dim={base.input_dim}"
+            )
+        super().__init__(max(dims) + 1 if input_dim is None else input_dim)
+        if dims and max(dims) >= self.input_dim:
+            raise ValueError("dims out of range for input_dim")
+        self.base = base
+        self.dims = dims
+
+    def _slice(self, X):
+        if X is None:
+            return None
+        return jnp.take(X, np.asarray(self.dims), axis=1)
+
+    def K(self, X, X2=None):
+        return self.base.K(self._slice(X), self._slice(X2))
+
+    def Kdiag(self, X):
+        return self.base.Kdiag(self._slice(X))
+
+
 class Combination(Kernel):
     """Pair combination (kernels.py:268-284)."""
 

@@ -86,6 +86,23 @@ class Likelihood(Module):
         )
         return jnp.sum(vals)
 
+    def predict_log_density(self, mean_f, var_f, targets):
+        """Pointwise log predictive density
+
+            log p(y*) = log ∫ p(y* | f) N(f; mean_f, var_f) df
+
+        (the held-out density metric).  Log-domain quadrature fallback
+        (stable in the tails); conjugate likelihoods override in closed
+        form.  Returns an array shaped like ``targets``."""
+        from .quadrature import gauss_hermite_log
+
+        return gauss_hermite_log(
+            lambda f: self.logp(f, targets[None, ...]),
+            mean_f,
+            var_f,
+            self.quadrature_order,
+        )
+
 
 class Gaussian(Likelihood):
     """Spherical Gaussian likelihood (likelihoods.py:81-144)."""
@@ -125,6 +142,15 @@ class Gaussian(Likelihood):
         return -0.5 * (
             n * (math.log(2.0 * math.pi) + jnp.log(s))
             + (jnp.sum(jnp.square(targets - mean_f)) + jnp.sum(var_f)) / s
+        )
+
+    def predict_log_density(self, mean_f, var_f, targets):
+        """Closed form: p(y*) = N(y*; mean_f, var_f + σ²)."""
+        v = var_f + self.variance.value.reshape(())
+        return -0.5 * (
+            math.log(2.0 * math.pi)
+            + jnp.log(v)
+            + jnp.square(targets - mean_f) / v
         )
 
 
@@ -174,6 +200,17 @@ class Bernoulli(Likelihood):
             )
             return p, p * (1.0 - p)
         return super().predict_mean_variance(mean_f, var_f)
+
+    def predict_log_density(self, mean_f, var_f, targets):
+        if self.link == "probit":
+            # closed form: p(y*=±1) = Φ(± μ / √(1 + s)), stable log
+            y_sign = jnp.where(targets > 0.5, 1.0, -1.0).astype(
+                jnp.result_type(mean_f)
+            )
+            return jax.scipy.stats.norm.logcdf(
+                y_sign * mean_f / jnp.sqrt(1.0 + var_f)
+            )
+        return super().predict_log_density(mean_f, var_f, targets)
 
 
 class Poisson(Likelihood):

@@ -230,6 +230,23 @@ class GPModel(Module):
         return self.likelihood.predict_mean_covariance(mean_f, cov_f)
 
     @_coerce_io
+    def predict_log_density(self, input_new, y_new, **kwargs):
+        """Pointwise held-out log predictive density
+
+            log p(y* | X, Y, x*) = log ∫ p(y* | f*) p(f* | X, Y, x*) df*
+
+        at (input_new, y_new); shape [n*, dy].  Closed form for Gaussian
+        (and probit-Bernoulli) likelihoods, log-domain Gauss-Hermite
+        quadrature otherwise.  The standard test-set metric the reference
+        leaves to the user (its predict_y returns only moments,
+        models/base.py:348-360)."""
+        mean_f, var_f = self._predict(input_new, diag=True, **kwargs)
+        y_new = jnp.asarray(y_new, dtype=jnp.result_type(mean_f))
+        if y_new.ndim == 1:
+            y_new = y_new[:, None]
+        return self.likelihood.predict_log_density(mean_f, var_f, y_new)
+
+    @_coerce_io
     def predict_f_samples(self, input_new, n_samples=1, key=None, **kwargs):
         """[n_samples, n, dy] draws from the latent posterior
         (models/base.py:362-375)."""

@@ -71,6 +71,7 @@ class GPR(GPModel):
         fast_block: int = 1024,
         fast_jitter: float = 0.0,
         fast_rel_jitter=None,
+        objective: str = "nlml",
         solver: str = "dense",
         probes: int = 16,
         max_cg_iters: int = 256,
@@ -91,6 +92,9 @@ class GPR(GPModel):
             fast_rel_jitter = 1e-6 if is_f32 else 0.0
         self.fast_rel_jitter = float(fast_rel_jitter)
 
+        if objective not in ("nlml", "loo"):
+            raise ValueError("objective must be 'nlml' or 'loo'")
+        self.objective = objective
         if solver not in ("dense", "iterative"):
             raise ValueError("solver must be 'dense' or 'iterative'")
         self.solver = solver
@@ -206,6 +210,37 @@ class GPR(GPModel):
             - dim_output * lt_log_determinant(L)
             + const
         )
+
+    def loo_log_likelihood(self, x=None, y=None):
+        """Leave-one-out log predictive probability (GPML §5.4.2, eqs
+        5.10-5.12): Σᵢ log p(yᵢ | X, y₋ᵢ, θ) from ONE factorization:
+
+            α = K⁻¹(y − m(X)),  c = diag(K⁻¹) = Σₖ (L⁻¹)ₖᵢ²
+            yᵢ − μ₋ᵢ = αᵢ / cᵢ,   σ²₋ᵢ = 1 / cᵢ
+
+        so each point's contribution is −½log 2π + ½log cᵢ − αᵢ²/(2cᵢ).
+        Differentiable in the hyperparameters; construct the model with
+        ``objective="loo"`` to train on it instead of the marginal
+        likelihood (more robust under model misspecification, GPML
+        §5.4.3).  New capability -- no reference analog."""
+        x = x if x is not None else self.X
+        y = y if y is not None else self.Y
+        r = y - self.mean_function(x)
+        L = cholesky(self._compute_kyy(x=x))
+        eye = jnp.eye(x.shape[0], dtype=jnp.result_type(x))
+        l_inv = trtrs(eye, L)
+        c = jnp.sum(jnp.square(l_inv), axis=0)[:, None]  # diag(K⁻¹), [n, 1]
+        alpha = l_inv.T @ (l_inv @ r)  # K⁻¹ r, [n, dy]
+        return jnp.sum(
+            -0.5 * math.log(2.0 * math.pi)
+            + 0.5 * jnp.log(c)
+            - jnp.square(alpha) / (2.0 * c)
+        )
+
+    def _loss(self, x=None, y=None, key=None):
+        if self.objective == "loo":
+            return -(self.loo_log_likelihood(x=x, y=y) + self.log_prior())
+        return super()._loss(x=x, y=y, key=key)
 
     def _compute_kyy(self, x=None):
         """K(X,X) + σ²I (gpr.py:69-86)."""

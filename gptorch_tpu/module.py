@@ -79,16 +79,23 @@ class Module:
             self._dynamic.pop(name, None)
             self._static[name] = value
 
+    def __getattribute__(self, name: str):
+        # Routed (instance) attributes must SHADOW class-level defaults --
+        # plain __getattr__ is only called when normal lookup fails, so a
+        # class attribute like ``Likelihood.quadrature_order = 20`` would
+        # silently win over an instance override stored in _static.
+        if not name.startswith("__") and name not in ("_dynamic", "_static"):
+            d = object.__getattribute__(self, "__dict__")
+            dyn = d.get("_dynamic")
+            if dyn is not None and name in dyn:
+                return dyn[name]
+            sta = d.get("_static")
+            if sta is not None and name in sta:
+                return sta[name]
+        return object.__getattribute__(self, name)
+
     def __getattr__(self, name: str):
         # Only called when normal lookup fails.
-        if name in ("_dynamic", "_static"):
-            raise AttributeError(name)
-        dyn = object.__getattribute__(self, "_dynamic")
-        if name in dyn:
-            return dyn[name]
-        sta = object.__getattribute__(self, "_static")
-        if name in sta:
-            return sta[name]
         raise AttributeError(f"{type(self).__name__} has no attribute {name!r}")
 
     def __delattr__(self, name: str):

@@ -17,6 +17,7 @@ from __future__ import annotations
 import math
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,3 +43,18 @@ def gauss_hermite(g, mean, var, order: int = 20):
     )
     vals = g(f)
     return jnp.tensordot(w, vals, axes=(0, 0))
+
+
+def gauss_hermite_log(log_g, mean, var, order: int = 20):
+    """log <g(f)>_{f ~ N(mean, var)} from LOG-domain integrand values:
+    logsumexp(log w_k + log_g(f_k)).  Stable for densities g that underflow
+    in linear space (e.g. predictive log-densities far in the tails).
+    """
+    z, w = _nodes_weights(order)
+    z = jnp.asarray(z, dtype=jnp.result_type(mean))
+    logw = jnp.log(jnp.asarray(w, dtype=jnp.result_type(mean)))
+    f = mean[None, ...] + jnp.sqrt(jnp.maximum(var, 0.0))[None, ...] * z.reshape(
+        (-1,) + (1,) * jnp.ndim(mean)
+    )
+    vals = log_g(f) + logw.reshape((-1,) + (1,) * jnp.ndim(mean))
+    return jax.scipy.special.logsumexp(vals, axis=0)

@@ -242,3 +242,45 @@ class TestRationalQuadratic:
         l0 = float(m.loss())
         m.optimize(method="Adam", max_iter=30, verbose=False)
         assert float(m.loss()) < l0
+
+
+class TestActiveDims:
+    """Column-subset wrapper kernel (new capability)."""
+
+    def test_matches_manual_slice(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(9, 4)
+        x2 = rng.randn(5, 4)
+        k = kernels.ActiveDims(kernels.Rbf(2, ARD=True), [1, 3], 4)
+        ref = kernels.Rbf(2, ARD=True)
+        assert np.asarray(k.K(jnp.asarray(x), jnp.asarray(x2))) == pytest.approx(
+            np.asarray(ref.K(jnp.asarray(x[:, [1, 3]]), jnp.asarray(x2[:, [1, 3]])))
+        )
+        assert np.asarray(k.Kdiag(jnp.asarray(x))) == pytest.approx(
+            np.asarray(ref.Kdiag(jnp.asarray(x[:, [1, 3]])))
+        )
+
+    def test_composite_over_feature_subsets(self):
+        """Linear on column 0 + Rbf on columns 1-2, through a GPR fit."""
+        from gptorch_tpu.models import GPR
+
+        rng = np.random.RandomState(1)
+        x = rng.randn(40, 3)
+        y = (0.5 * x[:, :1] + np.sin(2 * x[:, 1:2]) + 0.05 * rng.randn(40, 1))
+        k = kernels.ActiveDims(kernels.Linear(1), [0], 3) + kernels.ActiveDims(
+            kernels.Rbf(2), [1, 2], 3
+        )
+        m = GPR(x, y, k)
+        l0 = float(m.loss())
+        m.optimize(method="L-BFGS-B", max_iter=30, verbose=False)
+        assert float(m.loss()) < l0
+        mu, _ = m.predict_f(x)
+        assert np.mean((mu - y) ** 2) < 0.1
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            kernels.ActiveDims(kernels.Rbf(2), [0])  # len(dims) != input_dim
+        with pytest.raises(ValueError):
+            kernels.ActiveDims(kernels.Rbf(2), [0, 5], 3)  # out of range
+        # default input_dim = max(dims) + 1
+        assert kernels.ActiveDims(kernels.Rbf(2), [0, 2]).input_dim == 3

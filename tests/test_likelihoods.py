@@ -48,6 +48,40 @@ class TestGaussian:
         expected = np.asarray(cov) + EXPECTED_VARIANCE * np.eye(3)
         assert np.asarray(cov_out) == pytest.approx(expected)
 
+    def test_predict_log_density_closed_form(self):
+        """log ∫ N(y|f, σ²) N(f|μ, s) df = log N(y; μ, s + σ²)."""
+        from scipy.stats import norm
+
+        lik = _standard_likelihood()
+        mu = jnp.asarray([0.3, -1.0])
+        s = jnp.asarray([0.7, 0.2])
+        y = jnp.asarray([-0.2, 2.5])
+        lpd = np.asarray(lik.predict_log_density(mu, s, y))
+        expected = norm.logpdf(
+            np.asarray(y), np.asarray(mu), np.sqrt(np.asarray(s) + EXPECTED_VARIANCE)
+        )
+        assert lpd == pytest.approx(expected, rel=1e-12)
+
+    def test_predict_log_density_quadrature_agrees(self):
+        """The base class's log-domain quadrature fallback must agree with
+        the Gaussian closed form (validates the fallback every non-conjugate
+        likelihood relies on).  Quadrature regime note: Gauss-Hermite places
+        nodes by the LATENT spread, so a likelihood much narrower than q(f)
+        (σ_lik ≪ √s) is under-resolved at any practical order -- the test
+        uses comparable scales, which is also the regime that matters after
+        fitting (the likelihood absorbs residual noise of the same order as
+        the posterior variance)."""
+        lik = likelihoods.Gaussian(variance=0.25)
+        lik.quadrature_order = 64
+        mu = jnp.asarray([0.3])
+        s = jnp.asarray([0.7])
+        y = jnp.asarray([-0.2])
+        closed = float(lik.predict_log_density(mu, s, y)[0])
+        fallback = float(
+            likelihoods.Likelihood.predict_log_density(lik, mu, s, y)[0]
+        )
+        assert fallback == pytest.approx(closed, rel=1e-8)
+
     def test_propagate_log_matches_quadrature(self):
         """Closed-form <log N(y|f, s_lik)>_{N(f|mu, s)} vs brute-force
         Gauss-Hermite integration."""

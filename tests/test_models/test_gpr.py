@@ -148,6 +148,70 @@ class TestGPR:
         losses = model.fit_scan(method="Adam", max_iter=30)
         assert float(losses[-1]) < l0
 
+    def test_predict_log_density_closed_form(self):
+        """Gaussian predict_log_density == N(y*; mean_y, var_y) logpdf."""
+        from scipy.stats import norm
+
+        x, y = _data()
+        model = GPR(x, y, kernels.Rbf(2), likelihood=likelihoods.Gaussian(0.1))
+        rng = np.random.RandomState(1)
+        x_test, y_test = rng.randn(5, 2), rng.randn(5, 1)
+        lpd = model.predict_log_density(x_test, y_test)
+        mu_y, var_y = model.predict_y(x_test)
+        assert lpd.shape == (5, 1)
+        assert lpd == pytest.approx(norm.logpdf(y_test, mu_y, np.sqrt(var_y)))
+
+    def test_loo_matches_brute_force(self):
+        """loo_log_likelihood (one factorization, GPML 5.10-5.12) must equal
+        the literal sum of held-out predictive log-densities from n refits."""
+        x, y = _data()
+        lik = likelihoods.Gaussian(0.1)
+        model = GPR(x, y, kernels.Rbf(2), likelihood=lik)
+        loo = float(model.loo_log_likelihood())
+
+        brute = 0.0
+        n = x.shape[0]
+        for i in range(n):
+            keep = np.arange(n) != i
+            sub = GPR(x[keep], y[keep], kernels.Rbf(2), likelihood=lik)
+            brute += float(model.likelihood.predict_log_density(
+                *sub.predict_f(jnp.asarray(x[i : i + 1])),
+                jnp.asarray(y[i : i + 1]),
+            ).reshape(()))
+        assert loo == pytest.approx(brute, rel=1e-8)
+
+    def test_loo_with_mean_function(self):
+        """LOO handles non-zero means through the residual formulation."""
+        x, y = _data()
+        y = y + 3.0
+        lik = likelihoods.Gaussian(0.1)
+        mean = mean_functions.Constant(1, val=np.array([3.0]))
+        model = GPR(x, y, kernels.Rbf(2), likelihood=lik, mean_function=mean)
+        loo = float(model.loo_log_likelihood())
+
+        brute = 0.0
+        n = x.shape[0]
+        for i in range(n):
+            keep = np.arange(n) != i
+            sub = GPR(
+                x[keep], y[keep], kernels.Rbf(2), likelihood=lik, mean_function=mean
+            )
+            brute += float(model.likelihood.predict_log_density(
+                *sub.predict_f(jnp.asarray(x[i : i + 1])),
+                jnp.asarray(y[i : i + 1]),
+            ).reshape(()))
+        assert loo == pytest.approx(brute, rel=1e-8)
+
+    def test_loo_objective_trains(self):
+        x, y = _data()
+        model = GPR(x, y, kernels.Rbf(2), objective="loo")
+        l0 = float(model.loss())
+        assert l0 == pytest.approx(-float(model.loo_log_likelihood()))
+        model.optimize(method="L-BFGS-B", max_iter=30, verbose=False)
+        assert float(model.loss()) < l0
+        with pytest.raises(ValueError):
+            GPR(x, y, kernels.Rbf(2), objective="nope")
+
     def test_mean_function_trains(self):
         """The Constant mean must receive gradients and move toward the data
         offset (exact value is weakly identified vs the kernel posterior, so

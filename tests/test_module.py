@@ -122,3 +122,20 @@ def test_loss_params_injection():
     assert float(model.loss(params=d2)) != pytest.approx(base)
     # model itself unchanged
     assert float(model.loss()) == pytest.approx(base)
+
+
+def test_instance_override_shadows_class_default():
+    """An instance assignment routed to _static must SHADOW a same-named
+    class attribute (e.g. Likelihood.quadrature_order), and must survive
+    pytree flatten/unflatten (jit boundaries)."""
+    import jax
+
+    from gptorch_tpu import likelihoods
+
+    lik = likelihoods.Gaussian(variance=0.1)
+    assert lik.quadrature_order == 20  # class default visible
+    lik.quadrature_order = 64
+    assert lik.quadrature_order == 64  # instance override wins
+    leaves, treedef = jax.tree_util.tree_flatten(lik)
+    rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert rebuilt.quadrature_order == 64  # survives jit boundaries

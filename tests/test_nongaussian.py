@@ -50,6 +50,21 @@ class TestBernoulli:
         f = jnp.asarray([0.0])
         assert float(lik.logp(f, jnp.asarray([1.0]))[0]) == pytest.approx(np.log(0.5))
 
+    def test_predict_log_density_probit_closed_form_vs_quadrature(self):
+        lik = likelihoods.Bernoulli(link="probit")
+        mu = jnp.asarray([0.0, 1.0, -2.0])
+        var = jnp.asarray([0.5, 1.0, 2.0])
+        y = jnp.asarray([1.0, 0.0, 1.0])
+        closed = np.asarray(lik.predict_log_density(mu, var, y))
+        fallback = np.asarray(
+            likelihoods.Likelihood.predict_log_density(lik, mu, var, y)
+        )
+        assert closed == pytest.approx(fallback, rel=1e-6)
+        # y=1 and y=0 must be complementary in probability space
+        p1 = np.exp(np.asarray(lik.predict_log_density(mu, var, jnp.ones(3))))
+        p0 = np.exp(np.asarray(lik.predict_log_density(mu, var, jnp.zeros(3))))
+        assert p0 + p1 == pytest.approx(np.ones(3), rel=1e-6)
+
     def test_svgp_classification(self):
         """SVGP + Bernoulli learns a 1-d step function."""
         rng = np.random.RandomState(0)
