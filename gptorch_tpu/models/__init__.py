@@ -6,7 +6,7 @@ from .base import GPModel
 from .gpr import GPR
 from .gplvm import GPLVM
 from .kronecker import GridGPR
-from .multioutput import ICM
+from .multioutput import ICM, LMC
 from .warped import WarpedGPR
 from .deep import DeepGP
 from .posterior import Posterior
@@ -14,5 +14,5 @@ from .sparse_gpr import FITC, SVGP, VFE
 
 __all__ = [
     "GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM",
-    "WarpedGPR", "DeepGP", "Posterior",
+    "LMC", "WarpedGPR", "DeepGP", "Posterior",
 ]

@@ -1,7 +1,17 @@
-"""Correlated-output GP regression (intrinsic coregionalization model).
+"""Correlated-output GP regression: exact ICM and sparse-variational LMC.
 
 A reference ROADMAP item (reference README.md:43, "Correlated outputs")
-never implemented there.  The ICM places one latent GP structure across all
+never implemented there.  Two models:
+
+* :class:`ICM` -- exact inference for the intrinsic coregionalization
+  model via Kronecker eigen-identities (fully-observed outputs, O(n³)).
+* :class:`LMC` -- the linear model of coregionalization with
+  sparse-variational inference (Hensman-style per-latent q(u), shared
+  inducing inputs): y(x) = W g(x) + ε with L independent latent GPs
+  g_l ~ GP(0, k_l).  Scales past the ICM's n³ wall via minibatching and
+  supports any likelihood through the marginal latent moments.
+
+The ICM places one latent GP structure across all
 outputs:
 
     cov(y_q(x), y_{q'}(x')) = B_{q q'} · k(x, x'),
@@ -22,14 +32,40 @@ models share kernel hyperparameters but model zero output correlation.
 
 from __future__ import annotations
 
+import copy
 import math
+from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..bijectors import LowerCholesky
+from ..functions import cholesky, lt_log_determinant, trtrs
+from ..module import Module
 from ..param import Param, positive_param
-from ..util import as_array
+from ..util import as_array, kmeans_centers
 from .base import GPModel
+
+
+class _KernelList(Module):
+    """Pytree container for a list of kernels (lists are not pytree
+    children in the Module system, so latents are registered as k0, k1,
+    ... attributes)."""
+
+    def __init__(self, kernels):
+        self.n = len(kernels)
+        for i, k in enumerate(kernels):
+            setattr(self, f"k{i}", k)
+
+    def __len__(self):
+        return self.n
+
+    def __iter__(self):
+        return (getattr(self, f"k{i}") for i in range(self.n))
+
+    def __getitem__(self, i):
+        return getattr(self, f"k{int(i)}")
 
 
 class ICM(GPModel):
@@ -107,3 +143,180 @@ class ICM(GPModel):
         explained = Wx2.T @ inv @ Wb2  # (nt, p)
         var = jnp.maximum(ktt[:, None] * jnp.diag(B)[None, :] - explained, 0.0)
         return mean, var
+
+
+class LMC(GPModel):
+    """Sparse-variational linear model of coregionalization.
+
+        y(x) = W g(x) + ε,    g_l ~ GP(0, k_l) independent, W: (p, L)
+
+    with shared inducing inputs Z (m, d) and per-latent Gaussian
+    variational posteriors q(u_l) = N(m_l, S_l) (Hensman-style SVGP per
+    latent).  The expected log-likelihood needs only the marginal moments
+    of f(x) = W g(x):
+
+        E[f_id] = Σ_l W_dl μ_li,    Var[f_id] = Σ_l W_dl² s_li
+
+    so ANY likelihood supported by :class:`gptorch_tpu.likelihoods`
+    works (closed form for Gaussian, quadrature otherwise), and the ELBO
+    minibatches exactly like SVGP.  Complements :class:`ICM`: that model
+    is exact but O(n³) and Gaussian-only; this one is O(n_b·m²·L) per
+    step.  (New capability; correlated outputs are a reference ROADMAP
+    item, README.md:43.)
+
+    :param kernels: list of L latent-GP kernels, or a single kernel to be
+        replicated ``num_latents`` times (independently trained copies).
+    :param num_latents: L (only needed with a single kernel; default 1).
+    """
+
+    def __init__(
+        self,
+        x,
+        y,
+        kernels,
+        num_latents: Optional[int] = None,
+        num_inducing_points: Optional[int] = None,
+        inducing_points=None,
+        likelihood=None,
+        mean_function=None,
+        batch_size: Optional[int] = None,
+        jitter: float = 1e-6,
+        name: str = "lmc",
+    ):
+        if isinstance(kernels, (list, tuple)):
+            if num_latents is not None and num_latents != len(kernels):
+                raise ValueError("num_latents != len(kernels)")
+            kernels = list(kernels)
+        else:
+            kernels = [
+                copy.deepcopy(kernels) for _ in range(num_latents or 1)
+            ]
+        super().__init__(
+            x, y, _KernelList(kernels), likelihood, mean_function, name
+        )
+        L = len(kernels)
+        p = self.output_dimension
+        self.jitter = float(jitter)
+        self.batch_size = batch_size
+
+        if inducing_points is None:
+            if num_inducing_points is None:
+                num_inducing_points = int(
+                    np.clip(np.asarray(x).shape[0] // 10, 1, 100)
+                )
+            inducing_points = kmeans_centers(
+                np.asarray(x, dtype=float).reshape(len(x), -1),
+                num_inducing_points,
+                perturb_if_fail=True,
+            )
+        self.Z = Param(as_array(np.asarray(inducing_points)))
+        m = self.Z.shape[0]
+
+        # Mixing matrix: PCA directions of Y scaled by their stds for the
+        # first min(L, p) columns (captures output correlations at init),
+        # small random for any extras.
+        yc = np.asarray(y) - np.asarray(y).mean(0)
+        evals, evecs = np.linalg.eigh(np.cov(yc.T).reshape(p, p))
+        order = np.argsort(evals)[::-1]
+        rng = np.random.RandomState(0)
+        W0 = 0.1 * rng.randn(p, L)
+        for l in range(min(L, p)):
+            W0[:, l] = evecs[:, order[l]] * math.sqrt(max(evals[order[l]], 1e-12))
+        self.W = Param(as_array(W0))
+
+        # Prior-matched q(u) init: m_l = 0, S_l = Kuu_l  (KL = 0).
+        self.q_mu = Param(as_array(np.zeros((m, L))))
+        chols = [
+            np.asarray(cholesky(self._kuu(self.Z.value, k)))
+            for k in self.kernels
+        ]
+        self.q_chol = Param(
+            as_array(np.stack(chols)), transform=LowerCholesky()
+        )
+
+    @property
+    def kernels(self) -> _KernelList:
+        return self.kernel
+
+    @property
+    def num_latents(self) -> int:
+        return len(self.kernel)
+
+    @property
+    def num_inducing(self) -> int:
+        return self.Z.shape[0]
+
+    def _kuu(self, z, k):
+        Kuu = k.K(z)
+        if self.jitter:
+            scale = jnp.mean(jnp.diagonal(Kuu))
+            Kuu = Kuu + self.jitter * scale * jnp.eye(
+                Kuu.shape[0], dtype=jnp.result_type(Kuu)
+            )
+        return Kuu
+
+    def _latent_moments(self, x_new):
+        """Per-latent marginal posterior moments μ (n, L), s (n, L) and the
+        per-latent KL terms (same identities as SVGP._predict/_kl)."""
+        z = self.Z.value
+        mus, svars, kls = [], [], []
+        for l, k in enumerate(self.kernels):
+            Lu = cholesky(self._kuu(z, k))
+            alpha = trtrs(k.K(z, x_new), Lu).T  # (n, m)
+            m_l = self.q_mu.value[:, l : l + 1]
+            Lq = self.q_chol.value[l]
+            beta = trtrs(Lq, Lu)
+            gamma = alpha @ beta
+            mus.append((alpha @ trtrs(m_l, Lu))[:, 0])
+            svars.append(
+                k.Kdiag(x_new)
+                - jnp.sum(jnp.square(alpha), axis=1)
+                + jnp.sum(jnp.square(gamma), axis=1)
+            )
+            kls.append(
+                lt_log_determinant(Lu)
+                - lt_log_determinant(Lq)
+                + 0.5
+                * (
+                    jnp.sum(jnp.square(beta))
+                    - self.num_inducing
+                    + jnp.sum(jnp.square(trtrs(m_l, Lu)))
+                )
+            )
+        mu = jnp.stack(mus, axis=1)  # (n, L)
+        s = jnp.stack(svars, axis=1)  # (n, L)
+        return mu, s, sum(kls)
+
+    def log_likelihood(self, x=None, y=None, key=None):
+        """Minibatched ELBO (SVGP pattern, per-latent KL)."""
+        if x is None:
+            if self.batch_size is not None:
+                if key is None:
+                    from .. import settings as _settings
+
+                    key = _settings.next_default_key()
+                idx = jax.random.choice(
+                    key, self.num_data, (self.batch_size,), replace=False
+                )
+                x, y = self.X[idx, :], self.Y[idx, :]
+            else:
+                x, y = self.X, self.Y
+        elif y is None:
+            raise ValueError("Provide y together with x")
+
+        mu, s, kl = self._latent_moments(x)
+        W = self.W.value
+        mean_f = mu @ W.T + self.mean_function(x)  # (n, p)
+        var_f = s @ jnp.square(W).T  # (n, p)
+        mll = self.likelihood.propagate_log(mean_f, var_f, y)
+        mll = mll * (self.num_data / x.shape[0])
+        return mll - kl
+
+    def _predict(self, x_new, diag=True):
+        """Marginal posterior over all p outputs: mean (n*, p), var (n*, p)."""
+        if not diag:
+            raise NotImplementedError("LMC full joint covariance: use diag")
+        x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
+        mu, s, _ = self._latent_moments(x_new)
+        W = self.W.value
+        return mu @ W.T + self.mean_function(x_new), s @ jnp.square(W).T

@@ -153,6 +153,11 @@ def _use_streaming(x):
 def _r2_full(xs):
     x1s = jnp.sum(xs * xs, axis=1, keepdims=True)
     r2 = x1s + x1s.T - 2.0 * jnp.matmul(xs, xs.T, preferred_element_type=xs.dtype)
+    # Zero the diagonal EXACTLY: the matmul identity leaves ±O(eps·‖x‖²)
+    # there with a reduction-order-dependent sign, and kinked radials
+    # (matern12: √r²) amplify +eps to √eps -- a 1e-6 jit-vs-eager NLML
+    # shift in f64, worse in f32.  True self-distance is identically 0.
+    r2 = r2 * (1.0 - jnp.eye(xs.shape[0], dtype=r2.dtype))
     return jnp.maximum(r2, 0.0)
 
 
@@ -259,6 +264,10 @@ def _contractions(Kinv, A, xs, log_var, dy, kind):
                 + xsn[None, :]
                 - 2.0 * jnp.matmul(xs_s, xs.T, preferred_element_type=xs.dtype)
             )
+            # zero the slab's self-distance entries (row i ↔ column lo+i)
+            # exactly, as in _r2_full
+            ridx = jnp.arange(slab)
+            r2 = r2.at[ridx, lo + ridx].set(0.0)
             G_s, E_s = _RADIALS[kind](jnp.maximum(r2, 0.0), var)
         W_s = dy * lax.slice(Kinv, (lo, 0), (lo + slab, n)) - jnp.matmul(
             lax.slice(A, (lo, 0), (lo + slab, A.shape[1])),

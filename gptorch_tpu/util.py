@@ -40,9 +40,28 @@ def squared_distance(x1, x2=None):
 
     The inner product hits the MXU; pass float32/bfloat16 inputs on TPU for
     speed, float64 (x64 mode) for parity.
+
+    One-argument (self-Gram) calls additionally zero the DIAGONAL exactly:
+    the matmul identity leaves ±O(eps·‖x‖²) rounding there, whose sign
+    depends on XLA's reduction order (jit vs eager reassociate differently),
+    and kernels with a √r² kink (Exp/Matern12) amplify a +eps diagonal to
+    √eps -- observed as a 1e-6 jit-vs-eager NLML shift in float64.  The true
+    self-distance (and its input gradient) is identically 0.
     """
     if x2 is None:
-        x2 = x1
+        x1s = jnp.sum(jnp.square(x1), axis=-1, keepdims=True)
+        r2 = (
+            x1s
+            + jnp.swapaxes(x1s, -1, -2)
+            - 2.0
+            * jnp.matmul(
+                x1, jnp.swapaxes(x1, -1, -2), preferred_element_type=x1.dtype
+            )
+        )
+        n = r2.shape[-1]
+        eye = jnp.eye(n, dtype=jnp.result_type(r2))
+        r2 = r2 * (1.0 - eye)
+        return r2 - jax.lax.stop_gradient(jnp.minimum(r2, 0.0))
     x1s = jnp.sum(jnp.square(x1), axis=-1, keepdims=True)
     x2s = jnp.sum(jnp.square(x2), axis=-1, keepdims=True)
     r2 = (

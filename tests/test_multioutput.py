@@ -111,3 +111,89 @@ class TestICM:
         )
         mean_ind, _ = decorr.predict_f(x_test)
         assert not np.allclose(mean_corr, mean_ind)
+
+
+class TestLMC:
+    """Sparse-variational linear model of coregionalization."""
+
+    @staticmethod
+    def _correlated_data(n=120, noise=0.05):
+        rng = np.random.RandomState(0)
+        x = np.linspace(-3, 3, n)[:, None]
+        f = np.sin(1.5 * x)
+        y = np.concatenate(
+            [f + noise * rng.randn(n, 1), -2.0 * f + noise * rng.randn(n, 1)],
+            axis=1,
+        )
+        return x, y
+
+    def test_degenerate_parity_with_svgp(self):
+        """L=1, p=1, W=1, identical q(u) => LMC ELBO == SVGP ELBO exactly
+        (validates every term of the bound against the anchored SVGP)."""
+        from gptorch_tpu.bijectors import LowerCholesky
+        from gptorch_tpu.models import SVGP
+        from gptorch_tpu.models.multioutput import LMC
+        from gptorch_tpu.param import Param
+
+        rng = np.random.RandomState(1)
+        x, y = rng.randn(30, 2), rng.randn(30, 1)
+        z = rng.randn(7, 2)
+        lik = likelihoods.Gaussian(variance=0.1)
+
+        lmc = LMC(x, y, kernels.Rbf(2), inducing_points=z, jitter=0.0,
+                  likelihood=lik)
+        lmc.W = Param(jnp.ones((1, 1)))
+        svgp = SVGP(x, y, kernels.Rbf(2), inducing_points=z, jitter=0.0,
+                    likelihood=lik)
+        svgp.induced_output_mean = Param(lmc.q_mu.value)
+        svgp.induced_output_chol_cov = Param(
+            lmc.q_chol.value[0], transform=LowerCholesky()
+        )
+        assert float(lmc.log_likelihood()) == pytest.approx(
+            float(svgp.log_likelihood()), rel=1e-10
+        )
+
+    def test_trains_and_recovers_mixing(self):
+        """Two outputs driven by ONE latent: y2 = -2 y1.  After training, the
+        fit is good and the learned mixing column has ratio ~ -2."""
+        from gptorch_tpu.models.multioutput import LMC
+
+        x, y = self._correlated_data()
+        m = LMC(x, y, kernels.Rbf(1), num_latents=1, num_inducing_points=16)
+        l0 = float(m.loss())
+        m.fit_scan(method="Adam", max_iter=1500)
+        assert float(m.loss()) < l0
+        mu, var = m.predict_y(x)
+        assert mu.shape == (len(x), 2) and var.shape == (len(x), 2)
+        assert np.mean((mu - y) ** 2) < 0.05
+        W = np.asarray(m.W.value)
+        assert W[1, 0] / W[0, 0] == pytest.approx(-2.0, abs=0.2)
+
+    def test_full_batch_minibatch_consistency(self):
+        """batch_size == n draws a permutation -> identical ELBO."""
+        import jax
+
+        from gptorch_tpu.models.multioutput import LMC
+
+        x, y = self._correlated_data(n=40)
+        m = LMC(x, y, kernels.Rbf(1), num_latents=2, num_inducing_points=8)
+        full = float(m.log_likelihood())
+        m.batch_size = len(x)
+        batched = float(m.log_likelihood(key=jax.random.PRNGKey(0)))
+        assert batched == pytest.approx(full, rel=1e-8)
+
+    def test_predict_log_density_and_kernel_list(self):
+        from gptorch_tpu.models.multioutput import LMC
+
+        x, y = self._correlated_data(n=30)
+        m = LMC(
+            x, y, [kernels.Rbf(1), kernels.Matern32(1)],
+            num_inducing_points=8,
+        )
+        assert m.num_latents == 2
+        names = [n for n, _ in m.named_parameters()]
+        assert "kernel.k0.variance" in names and "kernel.k1.length_scales" in names
+        lpd = m.predict_log_density(x[:5], y[:5])
+        assert lpd.shape == (5, 2) and np.isfinite(lpd).all()
+        with pytest.raises(ValueError):
+            LMC(x, y, [kernels.Rbf(1)], num_latents=2)
