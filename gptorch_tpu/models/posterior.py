@@ -270,8 +270,13 @@ def fitc_posterior(model) -> LowRankPosterior:
 def svgp_posterior(model) -> SVGPPosterior:
     z = model.Z.value
     L = cholesky(model._kuu(z))
-    Linv_m = trtrs(model.induced_output_mean.value, L)
-    beta = trtrs(model.induced_output_chol_cov.value, L)
+    if getattr(model, "whiten", False):
+        # whitened q is already in L⁻¹-space (sparse_gpr.SVGP docstring)
+        Linv_m = model.induced_output_mean.value
+        beta = model.induced_output_chol_cov.value
+    else:
+        Linv_m = trtrs(model.induced_output_mean.value, L)
+        beta = trtrs(model.induced_output_chol_cov.value, L)
     return SVGPPosterior(
         model.kernel, model.likelihood, model.mean_function, z, L, Linv_m, beta
     )

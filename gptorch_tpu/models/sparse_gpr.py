@@ -279,7 +279,16 @@ class FITC(_InducingPointsGP):
 
 class SVGP(_InducingPointsGP):
     """Stochastic variational GP (Hensman et al. 2013/2015)
-    (sparse_gpr.py:219-381)."""
+    (sparse_gpr.py:219-381).
+
+    ``whiten=True`` switches to the whitened parameterization
+    q(v) = N(m, S) with u = L₀ v, L₀ = chol(Kuu): the prior on v is N(0, I)
+    so the KL no longer involves Kuu, and the variational geometry is far
+    better conditioned when Z moves or Kuu is near-singular.  Default False
+    = the reference's direct u-space parameterization (sparse_gpr.py:
+    256-261); both parameterizations represent the same posterior family
+    and are initialized to the same distribution.
+    """
 
     def __init__(
         self,
@@ -292,6 +301,7 @@ class SVGP(_InducingPointsGP):
         likelihood=None,
         batch_size: Optional[int] = None,
         jitter: float = 0.0,
+        whiten: bool = False,
         name: str = "svgp",
     ):
         if likelihood is None:
@@ -309,6 +319,7 @@ class SVGP(_InducingPointsGP):
             name=name,
         )
         self.batch_size = batch_size
+        self.whiten = bool(whiten)
         mean_init, chol_init = self._init_posterior()
         self.induced_output_mean = mean_init
         self.induced_output_chol_cov = chol_init
@@ -354,14 +365,23 @@ class SVGP(_InducingPointsGP):
 
             KL = d·[Σlog diag L₀ - Σlog diag L_q + ½(‖L₀⁻¹L_q‖² - m)]
                  + ½ Σ_i ‖L₀⁻¹ m_i‖²
+
+        Whitened (q over v, prior N(0, I)): the L₀ solves and the prior
+        log-determinant drop out entirely:
+
+            KL = d·[-Σlog diag L_q + ½(‖L_q‖² - m)] + ½ Σ_i ‖m_i‖²
         """
         m = self.num_inducing
         d_out = self.output_dimension
         Lq = self.induced_output_chol_cov.value
-        L0 = chol_kuu
 
-        logdet0 = lt_log_determinant(L0)
         logdetq = lt_log_determinant(Lq)
+        if self.whiten:
+            trace = jnp.sum(jnp.square(Lq))
+            mahal = jnp.sum(jnp.square(self.induced_output_mean.value))
+            return d_out * (-logdetq + 0.5 * (trace - m)) + 0.5 * mahal
+        L0 = chol_kuu
+        logdet0 = lt_log_determinant(L0)
         Linv_Lq = trtrs(Lq, L0)
         trace = jnp.sum(jnp.square(Linv_Lq))
         mahal = jnp.sum(jnp.square(trtrs(self.induced_output_mean.value, L0)))
@@ -401,6 +421,12 @@ class SVGP(_InducingPointsGP):
         floor = 1e-6 * jnp.mean(jnp.diagonal(cov))
         cov = cov + floor * jnp.eye(cov.shape[0], dtype=jnp.result_type(cov))
         chol_cov = cholesky(cov)
+        if self.whiten:
+            # same initial DISTRIBUTION, expressed in v-space: u = L₀ v
+            # => m_v = L₀⁻¹ m_u, chol(S_v) = L₀⁻¹ chol(S_u).
+            L0 = cholesky(self._kuu(z))
+            mean = trtrs(mean, L0)
+            chol_cov = trtrs(chol_cov, L0)
         return Param(mean), Param(chol_cov, transform=LowerCholesky())
 
     # -- prediction -------------------------------------------------------------------
@@ -413,15 +439,23 @@ class SVGP(_InducingPointsGP):
 
     def _predict(self, x_new, diag=True, chol_kuu=None, **kwargs):
         """Posterior via inducing outputs as sufficient statistics
-        (sparse_gpr.py:337-381)."""
+        (sparse_gpr.py:337-381).  Whitened: with u = L₀ v the projector
+        Kfu Kuu⁻¹ L₀ = alphaᵀ, so the L₀ solves against the q params drop
+        out -- f_mean = alpha·m_v, covariance term alpha·L_qv."""
         z = self.Z.value
         chol_kuu = cholesky(self._kuu(z)) if chol_kuu is None else chol_kuu
         kuf = self.kernel.K(z, x_new)
         alpha = trtrs(kuf, chol_kuu).T
-        beta = trtrs(self.induced_output_chol_cov.value, chol_kuu)
         mu_x = self.mean_function(x_new)
 
-        f_mean = alpha @ trtrs(self.induced_output_mean.value, chol_kuu) + mu_x
+        if self.whiten:
+            beta = self.induced_output_chol_cov.value
+            f_mean = alpha @ self.induced_output_mean.value + mu_x
+        else:
+            beta = trtrs(self.induced_output_chol_cov.value, chol_kuu)
+            f_mean = (
+                alpha @ trtrs(self.induced_output_mean.value, chol_kuu) + mu_x
+            )
         gamma = alpha @ beta
 
         if diag:

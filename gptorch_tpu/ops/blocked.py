@@ -37,19 +37,56 @@ def _pad_to(a, n_pad):
     return out.at[idx, idx].set(1.0)
 
 
-def blocked_cholesky(a, nb: int = 1024, lower_only: bool = False):
+def _panel_trsm(lkk, a_panel, nb2: int):
+    """L_panel = A_panel · L_kk⁻ᵀ, i.e. solve X L_kkᵀ = A_panel row-wise,
+    as a BLOCKED forward substitution over nb2-wide column blocks:
+
+        X[:, j] = (A[:, j] - X[:, :j] @ L[j, :j]ᵀ) · L[j, j]⁻ᵀ
+
+    XLA's triangular solve runs ~7x below matmul rate on the TPU, so only
+    the r·nb·nb2 flops of the per-block solves stay slow -- the remaining
+    ~r·nb² flops become GEMMs.  This is the textbook blocked TRSM (exactly
+    LAPACK's), so it keeps the monolithic solve's backward stability --
+    UNLIKE the explicitly-inverted-panel GEMM, which was measured to drive
+    later panels indefinite in f32 at n=32k.
+    """
+    nb = lkk.shape[0]
+    if nb2 <= 0 or nb <= nb2 or nb % nb2 != 0:
+        return solve_triangular(lkk, a_panel.T, lower=True, trans=0).T
+    out = jnp.zeros_like(a_panel)
+    for lo in range(0, nb, nb2):
+        hi = lo + nb2
+        rhs = a_panel[:, lo:hi]
+        if lo:
+            rhs = rhs - jnp.matmul(
+                out[:, :lo],
+                lkk[lo:hi, :lo].T,
+                preferred_element_type=rhs.dtype,
+            )
+        sol = solve_triangular(
+            lkk[lo:hi, lo:hi], rhs.T, lower=True, trans=0
+        ).T
+        out = out.at[:, lo:hi].set(sol)
+    return out
+
+
+def blocked_cholesky(
+    a, nb: int = 1024, lower_only: bool = False, solve_block: int = 256
+):
     """Lower Cholesky factor via right-looking blocked factorization.
 
     Panel k: factor the (nb, nb) diagonal block with XLA's cholesky, solve
-    the (r, nb) sub-column with one triangular solve, then apply the (r, r)
-    trailing update as a single GEMM -- the GEMM is >90% of the flops for
-    nb << n and runs at matmul rate.
+    the (r, nb) sub-column with a blocked TRSM (:func:`_panel_trsm`), then
+    apply the (r, r) trailing update as a single GEMM -- the GEMM is >90%
+    of the flops for nb << n and runs at matmul rate.
 
     ``lower_only=True`` skips the final ``tril`` cleanup: the strict upper
     triangle then contains leftovers of ``a``.  Safe (and 4 GB cheaper at
     n=32k) when every consumer only reads the lower triangle -- true for
     ``solve_triangular(lower=True)``, ``blocked_trtri``, and diagonal
     reductions.
+
+    ``solve_block`` is the TRSM sub-block width (0 = monolithic solve).
     """
     n = a.shape[0]
     if n <= nb:
@@ -65,12 +102,8 @@ def blocked_cholesky(a, nb: int = 1024, lower_only: bool = False):
         lkk = lax.linalg.cholesky(akk)
         K = K.at[lo:hi, lo:hi].set(lkk)
         if hi < n_pad:
-            # L_panel = A_panel L_kk^{-T}.  NOTE: computing this as a GEMM
-            # against an explicitly inverted panel is ~2% faster end-to-end
-            # but loses enough accuracy in f32 to drive later panels
-            # indefinite at n=32k -- keep the backward-stable solve.
             a_panel = K[hi:, lo:hi]
-            l_panel = solve_triangular(lkk, a_panel.T, lower=True, trans=0).T
+            l_panel = _panel_trsm(lkk, a_panel, solve_block)
             K = K.at[hi:, lo:hi].set(l_panel)
             # Trailing syrk A22 -= L_panel L_panelᵀ, LOWER blocks only
             # (upper trailing blocks are never read; this halves the GEMM

@@ -68,6 +68,11 @@ def _gram_slab(xs, xsn, lo, slab, kind, var):
         + xsn[None, :]
         - 2.0 * jnp.matmul(xs_s, xs.T, preferred_element_type=xs.dtype)
     )
+    # zero the slab's self-distance entries (row i ↔ column lo+i) exactly;
+    # kinked radials amplify the matmul identity's ±eps rounding to √eps
+    # (see ops/gpr_fast._r2_full)
+    ridx = jnp.arange(slab)
+    r2 = r2.at[ridx, lo + ridx].set(0.0)
     G, _ = _RADIALS[kind](jnp.maximum(r2, 0.0), var)
     return G
 

@@ -99,6 +99,11 @@ def pathwise_svgp_samples(
     z = model.Z.value
     m_u = model.induced_output_mean.value  # (m, dy), relative to mean fn
     Lq = model.induced_output_chol_cov.value  # (m, m)
+    if getattr(model, "whiten", False):
+        # whitened q is over v with u = L₀ v: map back to u-space once
+        L0 = cholesky(model._kuu(z))
+        m_u = L0 @ m_u
+        Lq = L0 @ Lq
     m, dy = m_u.shape
     dtype = jnp.result_type(model.X)
 

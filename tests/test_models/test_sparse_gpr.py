@@ -280,3 +280,60 @@ class TestSparseMeanFunctions:
             mean_function=mean_functions.Zero(1),
         )
         assert float(a.loss()) == float(b.loss())
+
+
+class TestWhitenedSVGP:
+    """whiten=True: q over v with u = L0 v (prior N(0, I)).  Must represent
+    the SAME initial distribution as the direct parameterization, so every
+    quantity below agrees with whiten=False at init."""
+
+    @staticmethod
+    def _pair():
+        x, y = _xy()
+        z = _z()
+        lik = likelihoods.Gaussian(variance=0.1)
+        kern = kernels.Rbf(x.shape[1])
+        a = SVGP(x, y, kern, inducing_points=z, likelihood=lik)
+        b = SVGP(x, y, kern, inducing_points=z, likelihood=lik, whiten=True)
+        return a, b
+
+    def test_elbo_matches_at_init(self):
+        a, b = self._pair()
+        assert float(b.log_likelihood()) == pytest.approx(
+            float(a.log_likelihood()), rel=1e-9
+        )
+
+    def test_predict_matches_at_init(self):
+        a, b = self._pair()
+        x_test = np.random.RandomState(3).randn(7, a.X.shape[1])
+        ma, va = a.predict_f(x_test)
+        mb, vb = b.predict_f(x_test)
+        assert mb == pytest.approx(ma, rel=1e-7, abs=1e-9)
+        assert vb == pytest.approx(va, rel=1e-6, abs=1e-9)
+
+    def test_posterior_matches_at_init(self):
+        a, b = self._pair()
+        x_test = np.random.RandomState(4).randn(6, a.X.shape[1])
+        pa, pb = a.posterior(), b.posterior()
+        ma, va = pa.predict_f(jnp.asarray(x_test))
+        mb, vb = pb.predict_f(jnp.asarray(x_test))
+        assert np.asarray(mb) == pytest.approx(np.asarray(ma), rel=1e-7, abs=1e-9)
+        assert np.asarray(vb) == pytest.approx(np.asarray(va), rel=1e-6, abs=1e-9)
+
+    def test_trains(self):
+        _, b = self._pair()
+        l0 = float(b.loss())
+        b.fit_scan(method="Adam", max_iter=200)
+        assert float(b.loss()) < l0
+
+    def test_pathwise_samples_match_moments(self):
+        from gptorch_tpu.sampling import pathwise_svgp_samples
+
+        _, b = self._pair()
+        x_test = np.random.RandomState(5).randn(5, b.X.shape[1])
+        mu, var = b.predict_f(x_test)
+        s = pathwise_svgp_samples(
+            b, jnp.asarray(x_test), num_samples=3000,
+            num_features=512, key=jax.random.PRNGKey(0),
+        )
+        assert np.asarray(s).mean(axis=0) == pytest.approx(mu, abs=0.15)

@@ -95,3 +95,25 @@ class TestNatGrad:
         )
         trained, losses = fit_svgp_natgrad(svgp, n_steps=20, nat_lr=0.2)
         assert np.all(np.isfinite(losses))
+
+
+def test_one_full_step_reaches_vfe_bound_whitened():
+    """Natural gradients are parameterization-invariant: one γ=1 full-batch
+    step must land on the VFE-optimal q in the WHITENED parameterization
+    too (q over v, u = L0 v)."""
+    import optax
+
+    x, y = _data()
+    z = x[:10].copy()
+    kern = kernels.Rbf(2, ARD=True)
+    lik = likelihoods.Gaussian(variance=0.1)
+    svgp = SVGP(x, y, kern, inducing_points=z, likelihood=lik, whiten=True)
+    vfe = VFE(x, y, kern, inducing_points=z, likelihood=lik)
+
+    step, values, opt_state = make_natgrad_step(
+        svgp, nat_lr=1.0, optimizer=optax.sgd(0.0)
+    )
+    values, opt_state, _ = step(values, opt_state, svgp, jax.random.PRNGKey(0))
+    elbo_after = -float(with_trainable(svgp, values)._loss())
+    vfe_bound = float(vfe.log_likelihood())
+    assert elbo_after == pytest.approx(vfe_bound, rel=1e-9, abs=1e-8)
