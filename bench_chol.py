@@ -117,7 +117,7 @@ def main():
     Linv = jax.jit(lambda l: blocked_trtri(l, min(nb, 1024)))(L)
     Linv.block_until_ready()
     del L
-    t_sq = _time_op(lambda li: tril_square(li, nb), Linv, iters, repeat)
+    t_sq = _time_op(lambda li: tril_square(li, min(nb, 512)), Linv, iters, repeat)
 
     tf = flops / t_chol / 1e12
     print(

@@ -71,7 +71,7 @@ def _panel_trsm(lkk, a_panel, nb2: int):
 
 
 def blocked_cholesky(
-    a, nb: int = 1024, lower_only: bool = False, solve_block: int = 256
+    a, nb: int = 1024, lower_only: bool = False, solve_block: int = 128
 ):
     """Lower Cholesky factor via right-looking blocked factorization.
 

@@ -157,8 +157,12 @@ def _r2_full(xs):
     # there with a reduction-order-dependent sign, and kinked radials
     # (matern12: √r²) amplify +eps to √eps -- a 1e-6 jit-vs-eager NLML
     # shift in f64, worse in f32.  True self-distance is identically 0.
-    r2 = r2 * (1.0 - jnp.eye(xs.shape[0], dtype=r2.dtype))
-    return jnp.maximum(r2, 0.0)
+    # where-on-iota (not a mask matrix / scatter): fuses into the same
+    # elementwise kernel, no extra n² buffer -- this program runs at the
+    # HBM edge at n=32k.
+    i = lax.broadcasted_iota(jnp.int32, r2.shape, 0)
+    j = lax.broadcasted_iota(jnp.int32, r2.shape, 1)
+    return jnp.where(i == j, 0.0, jnp.maximum(r2, 0.0))
 
 
 def _gram_xla(xs, log_var, kind, diag=None):
@@ -265,9 +269,10 @@ def _contractions(Kinv, A, xs, log_var, dy, kind):
                 - 2.0 * jnp.matmul(xs_s, xs.T, preferred_element_type=xs.dtype)
             )
             # zero the slab's self-distance entries (row i ↔ column lo+i)
-            # exactly, as in _r2_full
-            ridx = jnp.arange(slab)
-            r2 = r2.at[ridx, lo + ridx].set(0.0)
+            # exactly, as in _r2_full (where-on-iota: fuses, no scatter)
+            ii = lax.broadcasted_iota(jnp.int32, r2.shape, 0)
+            jj = lax.broadcasted_iota(jnp.int32, r2.shape, 1)
+            r2 = jnp.where(jj == ii + lo, 0.0, r2)
             G_s, E_s = _RADIALS[kind](jnp.maximum(r2, 0.0), var)
         W_s = dy * lax.slice(Kinv, (lo, 0), (lo + slab, n)) - jnp.matmul(
             lax.slice(A, (lo, 0), (lo + slab, A.shape[1])),
@@ -286,9 +291,10 @@ def _bwd(kind, jitter, nb, rel_jitter, res, g):
 
     # Consume L completely before allocating Kinv so its buffer is reusable.
     A = solve_triangular(L, alpha, lower=True, trans=1)  # L⁻ᵀα = K⁻¹Y
-    # deeper trtri recursion => leaf solves become GEMM-dominated
+    # per-op measured panel optima on v5e at n=16k (bench_chol.py):
+    # trtri 82 TF/s @1024, tril_square 50 TF/s @512
     Linv = blocked_trtri(L, min(nb, 1024))
-    Kinv = tril_square(Linv, nb)
+    Kinv = tril_square(Linv, min(nb, 512))
 
     xs = _scaled(x, log_ell)
     svar, rowsum, MX = _contractions(Kinv, A, xs, log_var, dy, kind)

@@ -70,9 +70,10 @@ def _gram_slab(xs, xsn, lo, slab, kind, var):
     )
     # zero the slab's self-distance entries (row i ↔ column lo+i) exactly;
     # kinked radials amplify the matmul identity's ±eps rounding to √eps
-    # (see ops/gpr_fast._r2_full)
-    ridx = jnp.arange(slab)
-    r2 = r2.at[ridx, lo + ridx].set(0.0)
+    # (see ops/gpr_fast._r2_full; where-on-iota fuses, no scatter)
+    ii = lax.broadcasted_iota(jnp.int32, r2.shape, 0)
+    jj = lax.broadcasted_iota(jnp.int32, r2.shape, 1)
+    r2 = jnp.where(jj == ii + lo, 0.0, r2)
     G, _ = _RADIALS[kind](jnp.maximum(r2, 0.0), var)
     return G
 

@@ -58,9 +58,11 @@ def squared_distance(x1, x2=None):
                 x1, jnp.swapaxes(x1, -1, -2), preferred_element_type=x1.dtype
             )
         )
-        n = r2.shape[-1]
-        eye = jnp.eye(n, dtype=jnp.result_type(r2))
-        r2 = r2 * (1.0 - eye)
+        # where-on-iota (not a mask matrix): fuses into the elementwise
+        # chain with no extra n² buffer
+        i = jax.lax.broadcasted_iota(jnp.int32, r2.shape, r2.ndim - 2)
+        j = jax.lax.broadcasted_iota(jnp.int32, r2.shape, r2.ndim - 1)
+        r2 = jnp.where(i == j, 0.0, r2)
         return r2 - jax.lax.stop_gradient(jnp.minimum(r2, 0.0))
     x1s = jnp.sum(jnp.square(x1), axis=-1, keepdims=True)
     x2s = jnp.sum(jnp.square(x2), axis=-1, keepdims=True)

@@ -70,3 +70,24 @@ def test_svgp_natgrad_example():
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert "serving: predict_y" in result.stdout
+
+
+def test_multioutput_example():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPTORCH_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(BASE, "examples", "multioutput.py"),
+            "--no-plot",
+            "--n", "80",
+            "--steps", "200",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "LMC mixing ratio" in result.stdout
