@@ -320,3 +320,10 @@ class LMC(GPModel):
         mu, s, _ = self._latent_moments(x_new)
         W = self.W.value
         return mu @ W.T + self.mean_function(x_new), s @ jnp.square(W).T
+
+    def posterior(self):
+        """Cached predictive posterior (factorize the L latents once,
+        predict many -- :mod:`gptorch_tpu.models.posterior`)."""
+        from .posterior import lmc_posterior
+
+        return lmc_posterior(self)

@@ -46,6 +46,17 @@ class Posterior(Module):
             return tuple(np.asarray(o) for o in out)
         return out
 
+    def predict_log_density(self, x_new, y_new):
+        """Held-out log predictive density at (x_new, y_new); same
+        semantics as ``GPModel.predict_log_density``, amortized."""
+        from_numpy = isinstance(x_new, np.ndarray)
+        mean_f, var_f = self._predict(jnp.asarray(x_new), diag=True)
+        y_new = jnp.asarray(y_new, dtype=jnp.result_type(mean_f))
+        if y_new.ndim == 1:
+            y_new = y_new[:, None]
+        out = self.likelihood.predict_log_density(mean_f, var_f, y_new)
+        return np.asarray(out) if from_numpy else out
+
 
 class GPRPosterior(Posterior):
     """Exact-GP posterior with cached L = chol(Kyy) and V = L⁻¹(Y - m(X)).
@@ -138,6 +149,61 @@ class SVGPPosterior(Posterior):
         else:
             var = self.kernel.K(x_new) - alpha @ alpha.T + gamma @ gamma.T
         return mean, var
+
+
+class LMCPosterior(Posterior):
+    """LMC posterior: per-latent cached (chol(Kuu_l), L⁻¹m_l, L⁻¹L_ql)
+    mixed by W.  Each predict is O(L·m²·n*)."""
+
+    def __init__(
+        self, kernels, likelihood, mean_function, Z, Ls, Linv_ms, betas, W
+    ):
+        self.kernels = kernels  # _KernelList module
+        self.likelihood = likelihood
+        self.mean_function = mean_function
+        self.Z = Z
+        self.Ls = Ls  # (L, m, m)
+        self.Linv_ms = Linv_ms  # (m, L)
+        self.betas = betas  # (L, m, m)
+        self.W = W  # (p, L)
+
+    def _predict(self, x_new, diag=True):
+        if not diag:
+            raise NotImplementedError("LMC full joint covariance: use diag")
+        mus, svars = [], []
+        for l, k in enumerate(self.kernels):
+            alpha = trtrs(k.K(self.Z, x_new), self.Ls[l]).T  # (n*, m)
+            gamma = alpha @ self.betas[l]
+            mus.append(alpha @ self.Linv_ms[:, l])
+            svars.append(
+                k.Kdiag(x_new)
+                - jnp.sum(jnp.square(alpha), axis=1)
+                + jnp.sum(jnp.square(gamma), axis=1)
+            )
+        mu = jnp.stack(mus, axis=1)  # (n*, L)
+        s = jnp.stack(svars, axis=1)
+        mean = mu @ self.W.T + self.mean_function(x_new)
+        return mean, s @ jnp.square(self.W).T
+
+
+def lmc_posterior(model) -> LMCPosterior:
+    z = model.Z.value
+    Ls, Linv_ms, betas = [], [], []
+    for l, k in enumerate(model.kernels):
+        L = cholesky(model._kuu(z, k))
+        Ls.append(L)
+        Linv_ms.append(trtrs(model.q_mu.value[:, l : l + 1], L)[:, 0])
+        betas.append(trtrs(model.q_chol.value[l], L))
+    return LMCPosterior(
+        model.kernels,
+        model.likelihood,
+        model.mean_function,
+        z,
+        jnp.stack(Ls),
+        jnp.stack(Linv_ms, axis=1),
+        jnp.stack(betas),
+        model.W.value,
+    )
 
 
 class IterativeGPRPosterior(Posterior):

@@ -127,9 +127,11 @@ def _scaled(x, log_ell):
 
 
 def _use_pallas(x, kind="rbf"):
-    # Opt-in: the Pallas gram kernel saves one n² HBM buffer and a pass of
-    # bandwidth, but Mosaic compiles take minutes through remote-compile
-    # tunnels, so the default stays on the XLA gram + slab streaming.
+    # Opt-in only, and MEASURED SLOWER on v5e: with the Pallas gram the
+    # full 32k NLML+grad step is 1.96 s vs 0.48 s on the XLA gram (the
+    # separate Mosaic kernel cannot fuse with the factorization /
+    # contraction chain, and Mosaic compiles take minutes through
+    # remote-compile tunnels).  Kept as a reference implementation.
     import os
 
     return (

@@ -197,3 +197,20 @@ class TestLMC:
         assert lpd.shape == (5, 2) and np.isfinite(lpd).all()
         with pytest.raises(ValueError):
             LMC(x, y, [kernels.Rbf(1)], num_latents=2)
+
+    def test_posterior_matches_model(self):
+        """Cached LMC posterior == model predictions; log-density too."""
+        from gptorch_tpu.models.multioutput import LMC
+
+        x, y = self._correlated_data(n=40)
+        m = LMC(x, y, [kernels.Rbf(1), kernels.Matern32(1)],
+                num_inducing_points=8)
+        x_test = np.random.RandomState(7).randn(6, 1)
+        post = m.posterior()
+        mu_m, var_m = m.predict_f(x_test)
+        mu_p, var_p = post.predict_f(x_test)
+        assert mu_p == pytest.approx(mu_m, rel=1e-6, abs=1e-10)
+        assert var_p == pytest.approx(var_m, rel=1e-6, abs=1e-10)
+        lpd_m = m.predict_log_density(x_test, y[:6])
+        lpd_p = post.predict_log_density(x_test, y[:6])
+        assert lpd_p == pytest.approx(np.asarray(lpd_m), rel=1e-6)
