@@ -46,7 +46,8 @@ class GPR(GPModel):
     NLML with a closed-form custom VJP that is both faster (GEMM-dominated)
     and far leaner in memory than autodiff (fits n=32k on one v5e chip) --
     whenever the configuration is eligible (Rbf / Matern12 / Matern32 /
-    Matern52 kernel incl. ARD, Zero mean, Exp bijectors) and n ≥
+    Matern52 / RationalQuadratic kernel incl. ARD, Zero mean, Exp
+    bijectors) and n ≥
     ``AUTO_FAST_MIN_N``.  ``fast=True`` forces the fused path at any n;
     ``fast=False`` disables it; default ``None`` = auto.
 
@@ -122,6 +123,7 @@ class GPR(GPModel):
             ("matern12", _k.Matern12),
             ("matern32", _k.Matern32),
             ("matern52", _k.Matern52),
+            ("rq", _k.RationalQuadratic),
         ):
             if type(self.kernel) is cls:
                 return kind
@@ -140,19 +142,25 @@ class GPR(GPModel):
             self.solver == "iterative"
             and x.shape[0] == self.X.shape[0]
             and self._fast_eligible_config()
+            # the matrix-free MVMs cover the classic 3-hyperparameter
+            # radials only (ops/iterative shares _RADIALS, not _RADIALS_X)
+            and self._fast_kind() != "rq"
         )
 
     def _fast_eligible_config(self):
         from .. import mean_functions as _m
         from ..bijectors import Exp
 
-        return (
+        ok = (
             self._fast_kind() is not None
             and isinstance(self.mean_function, _m.Zero)
             and isinstance(self.kernel.length_scales.bijector, Exp)
             and isinstance(self.kernel.variance.bijector, Exp)
             and isinstance(self.likelihood.variance.bijector, Exp)
         )
+        if ok and self._fast_kind() == "rq":
+            ok = isinstance(self.kernel.alpha.bijector, Exp)
+        return ok
 
     def log_likelihood(self, x=None, y=None, key=None):
         x = x if x is not None else self.X
@@ -189,8 +197,12 @@ class GPR(GPModel):
             # explicit at the trace level rather than silently returning
             # zeros to a caller differentiating w.r.t. the inputs.
             # (jitted entry: eager model.loss() at n=32k OOMs otherwise)
+            kind = self._fast_kind()
+            log_extra = (
+                self.kernel.alpha.raw.reshape((1,)) if kind == "rq" else None
+            )
             return -radial_nlml(
-                self._fast_kind(),
+                kind,
                 self.kernel.length_scales.raw,
                 self.kernel.variance.raw.reshape(()),
                 self.likelihood.variance.raw.reshape(()),
@@ -199,6 +211,7 @@ class GPR(GPModel):
                 self.fast_jitter,
                 self.fast_block,
                 self.fast_rel_jitter,
+                log_extra,
             )
         num_input, dim_output = y.shape
 

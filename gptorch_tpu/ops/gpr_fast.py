@@ -8,8 +8,9 @@ primitives in :mod:`gptorch_tpu.ops.blocked`.
 
 Supported kernels ("kind"): any isotropic/ARD radial k(r) = σ²·f(r) with
 closed-form radial derivative -- ``rbf``, ``matern12`` (= Exp),
-``matern32``, ``matern52``.  r² is computed on length-scale-pre-scaled
-inputs x̃ = x/ℓ.
+``matern32``, ``matern52``, and ``rq`` (RationalQuadratic, which carries
+a 4th hyperparameter log α through ``log_extra`` / ``_RADIALS_X``).
+r² is computed on length-scale-pre-scaled inputs x̃ = x/ℓ.
 
 forward:   K = σ²·f(r_ij) + (σ_n² + jitter)·I
            L = blocked_cholesky(K),  α = L⁻¹ Y
@@ -119,6 +120,25 @@ _RADIALS = {
 }
 
 
+def _radial_rq(r2, var, log_extra):
+    """RationalQuadratic: k = σ²·u^(−α), u = 1 + r²/(2α), α = exp(extra).
+
+    Returns (G, E, F): E = −2·dk/dr² = σ²·u^(−α−1) (the ∂/∂log ℓ_q map,
+    same convention as _RADIALS), F = ∂k/∂log α = k·(r²/(2u) − α·ln u).
+    """
+    a = jnp.exp(log_extra).reshape(())
+    u = 1.0 + r2 / (2.0 * a)
+    G = var * jnp.power(u, -a)
+    E = var * jnp.power(u, -(a + 1.0))
+    F = G * (r2 / (2.0 * u) - a * jnp.log(u))
+    return G, E, F
+
+
+#: Radial kernels with ONE extra scalar hyperparameter beyond (ℓ, σ²):
+#: signature (r2, var, log_extra) -> (G, E, F) with F = ∂K/∂log_extra.
+_RADIALS_X = {"rq": _radial_rq}
+
+
 def _scaled(x, log_ell):
     # Divide (not multiply by the reciprocal): bit-identical to the model
     # path's X/ℓ, which matters for the non-smooth Materns where a 1-ulp
@@ -167,14 +187,17 @@ def _r2_full(xs):
     return jnp.where(i == j, 0.0, jnp.maximum(r2, 0.0))
 
 
-def _gram_xla(xs, log_var, kind, diag=None):
-    G, _ = _RADIALS[kind](_r2_full(xs), jnp.exp(log_var))
+def _gram_xla(xs, log_var, kind, diag=None, log_extra=None):
+    if kind in _RADIALS_X:
+        G, _, _ = _RADIALS_X[kind](_r2_full(xs), jnp.exp(log_var), log_extra)
+    else:
+        G, _ = _RADIALS[kind](_r2_full(xs), jnp.exp(log_var))
     if diag is not None:
         G = G + diag * jnp.eye(xs.shape[0], dtype=G.dtype)
     return G
 
 
-def _gram(xs, log_var, kind, diag=None):
+def _gram(xs, log_var, kind, diag=None, log_extra=None):
     """Noiseless (diag=None) or noisy symmetric Gram on pre-scaled inputs."""
     if _use_pallas(xs, kind):
         return rbf_gram(
@@ -184,16 +207,34 @@ def _gram(xs, log_var, kind, diag=None):
             diag=jnp.zeros((), xs.dtype) if diag is None else diag,
             tile=_TILE,
         )
-    return _gram_xla(xs, log_var, kind, diag)
+    return _gram_xla(xs, log_var, kind, diag, log_extra)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7, 8))
+def _radial_nlml_core(
+    kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter, log_extra
+):
+    nlml, _ = _fwd_impl(
+        kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter, log_extra
+    )
+    return nlml
+
+
 def radial_nlml(
-    kind, log_ell, log_var, log_noise, x, y, jitter=0.0, nb=1024, rel_jitter=0.0
+    kind,
+    log_ell,
+    log_var,
+    log_noise,
+    x,
+    y,
+    jitter=0.0,
+    nb=1024,
+    rel_jitter=0.0,
+    log_extra=None,
 ):
     """Negative log marginal likelihood of exact GPR with a radial(-ARD)
-    kernel (``kind`` in {"rbf", "matern12", "matern32", "matern52"}) and
-    zero mean.
+    kernel (``kind`` in {"rbf", "matern12", "matern32", "matern52", "rq"})
+    and zero mean.
 
     :param kind: static kernel family name.
     :param log_ell: log length scales, scalar () / (1,) or ARD (d,).
@@ -205,16 +246,23 @@ def radial_nlml(
     :param rel_jitter: static RELATIVE jitter, added as rel_jitter·σ² to the
         diagonal (tracks the Gram's diagonal magnitude; treated as constant
         in the adjoint).
+    :param log_extra: extra scalar hyperparameter for kinds in
+        ``_RADIALS_X`` (rq: log α), shape (1,); omit for classic kinds.
     """
-    nlml, _ = _fwd_impl(kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter)
-    return nlml
+    if log_extra is None:
+        log_extra = jnp.zeros((0,), dtype=jnp.result_type(x))
+    return _radial_nlml_core(
+        kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter, log_extra
+    )
 
 
-def _fwd_impl(kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter):
+def _fwd_impl(
+    kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter, log_extra
+):
     n, dy = y.shape
     xs = _scaled(x, log_ell)
     diag = jnp.exp(log_noise) + jitter + rel_jitter * jnp.exp(log_var)
-    K = _gram(xs, log_var, kind, diag)
+    K = _gram(xs, log_var, kind, diag, log_extra)
     L = blocked_cholesky(K, nb, lower_only=True)
     alpha = solve_triangular(L, y, lower=True)
     nlml = (
@@ -222,36 +270,48 @@ def _fwd_impl(kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter):
         + dy * jnp.sum(jnp.log(jnp.diagonal(L)))
         + 0.5 * n * dy * math.log(2.0 * math.pi)
     )
-    return nlml, (log_ell, log_var, log_noise, x, y, L, alpha)
+    return nlml, (log_ell, log_var, log_noise, x, y, L, alpha, log_extra)
 
 
-def _fwd(kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter):
-    return _fwd_impl(kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter)
+def _fwd(kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter, log_extra):
+    return _fwd_impl(
+        kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter, log_extra
+    )
 
 
-def _contractions(Kinv, A, xs, log_var, dy, kind):
+def _contractions(Kinv, A, xs, log_var, dy, kind, log_extra):
     """Streamed contractions of W = dy·Kinv - A Aᵀ against the radial maps:
 
         svar   = Σ (W ⊙ G)                (for ∂/∂log σ²)
         rowsum = (W ⊙ E) 1                (n,)
         MX     = (W ⊙ E) x̃               (n, d)
+        sextra = Σ (W ⊙ F)                (∂/∂log_extra kinds only)
 
-    G/E tiles are RECOMPUTED per row slab so they never materialize."""
+    G/E(/F) tiles are RECOMPUTED per row slab so they never materialize."""
     n, d = xs.shape
     var = jnp.exp(log_var)
     J = jnp.concatenate([jnp.ones((n, 1), xs.dtype), xs], axis=1)
+    has_extra = kind in _RADIALS_X
+
+    def _maps(r2):
+        if has_extra:
+            return _RADIALS_X[kind](r2, var, log_extra)
+        G, E = _RADIALS[kind](r2, var)
+        return G, E, None
 
     if not _use_streaming(xs):
-        G, E = _RADIALS[kind](_r2_full(xs), var)
+        G, E, F = _maps(_r2_full(xs))
         W = dy * Kinv - jnp.matmul(A, A.T, preferred_element_type=A.dtype)
         svar = jnp.sum(W * G)
         P = jnp.matmul(W * E, J, preferred_element_type=xs.dtype)
-        return svar, P[:, 0], P[:, 1:]
+        sextra = jnp.sum(W * F) if has_extra else jnp.zeros((), xs.dtype)
+        return svar, P[:, 0], P[:, 1:], sextra
 
     slab = 4096 if n % 4096 == 0 else _TILE
     xsn = jnp.sum(xs * xs, axis=1)  # (n,)
     out = jnp.zeros((n, d + 1), dtype=xs.dtype)
     svar = jnp.zeros((), dtype=xs.dtype)
+    sextra = jnp.zeros((), dtype=xs.dtype)
     for s in range(n // slab):
         lo = s * slab
         xs_s = lax.slice(xs, (lo, 0), (lo + slab, d))
@@ -263,7 +323,7 @@ def _contractions(Kinv, A, xs, log_var, dy, kind):
                 log_var=log_var,
                 tile=min(_TILE, slab),
             )
-            E_s = G_s
+            E_s, F_s = G_s, None
         else:
             r2 = (
                 jnp.sum(xs_s * xs_s, axis=1, keepdims=True)
@@ -275,20 +335,22 @@ def _contractions(Kinv, A, xs, log_var, dy, kind):
             ii = lax.broadcasted_iota(jnp.int32, r2.shape, 0)
             jj = lax.broadcasted_iota(jnp.int32, r2.shape, 1)
             r2 = jnp.where(jj == ii + lo, 0.0, r2)
-            G_s, E_s = _RADIALS[kind](jnp.maximum(r2, 0.0), var)
+            G_s, E_s, F_s = _maps(jnp.maximum(r2, 0.0))
         W_s = dy * lax.slice(Kinv, (lo, 0), (lo + slab, n)) - jnp.matmul(
             lax.slice(A, (lo, 0), (lo + slab, A.shape[1])),
             A.T,
             preferred_element_type=A.dtype,
         )
         svar = svar + jnp.sum(W_s * G_s)
+        if has_extra:
+            sextra = sextra + jnp.sum(W_s * F_s)
         P_s = jnp.matmul(W_s * E_s, J, preferred_element_type=xs.dtype)
         out = lax.dynamic_update_slice(out, P_s, (lo, 0))
-    return svar, out[:, 0], out[:, 1:]
+    return svar, out[:, 0], out[:, 1:], sextra
 
 
 def _bwd(kind, jitter, nb, rel_jitter, res, g):
-    log_ell, log_var, log_noise, x, y, L, alpha = res
+    log_ell, log_var, log_noise, x, y, L, alpha, log_extra = res
     n, dy = y.shape
 
     # Consume L completely before allocating Kinv so its buffer is reusable.
@@ -299,7 +361,9 @@ def _bwd(kind, jitter, nb, rel_jitter, res, g):
     Kinv = tril_square(Linv, min(nb, 512))
 
     xs = _scaled(x, log_ell)
-    svar, rowsum, MX = _contractions(Kinv, A, xs, log_var, dy, kind)
+    svar, rowsum, MX, sextra = _contractions(
+        Kinv, A, xs, log_var, dy, kind, log_extra
+    )
 
     d_log_var = 0.5 * svar
 
@@ -317,16 +381,24 @@ def _bwd(kind, jitter, nb, rel_jitter, res, g):
     tr_W = dy * jnp.trace(Kinv) - jnp.sum(jnp.square(A))
     d_log_noise = 0.5 * noise * tr_W
 
+    if jnp.size(log_extra):
+        d_log_extra = jnp.broadcast_to(
+            0.5 * sextra, jnp.shape(log_extra)
+        ).astype(jnp.result_type(log_extra))
+    else:
+        d_log_extra = jnp.zeros_like(log_extra)
+
     return (
         g * d_log_ell,
         g * jnp.reshape(d_log_var, jnp.shape(log_var)),
         g * jnp.reshape(d_log_noise, jnp.shape(log_noise)),
         jnp.zeros_like(x),
         jnp.zeros_like(y),
+        g * d_log_extra,
     )
 
 
-radial_nlml.defvjp(_fwd, _bwd)
+_radial_nlml_core.defvjp(_fwd, _bwd)
 
 
 #: Jitted entry point (nested jit is a no-op under an outer trace, and

@@ -213,6 +213,7 @@ class TestRadialNLML:
         "matern12": kernels.Matern12,
         "matern32": kernels.Matern32,
         "matern52": kernels.Matern52,
+        "rq": kernels.RationalQuadratic,
     }
 
     @pytest.mark.parametrize("kind", ["matern12", "matern32", "matern52"])
@@ -258,7 +259,58 @@ class TestRadialNLML:
             float(g_ref["likelihood.variance"][0]), rel=1e-6
         )
 
-    @pytest.mark.parametrize("kind", ["matern12", "matern32", "matern52"])
+    def test_rq_value_and_grads_match_autodiff(self):
+        """RationalQuadratic: the 4th hyperparameter (log α) flows through
+        the extra-map contraction (_RADIALS_X)."""
+        from gptorch_tpu.ops.gpr_fast import radial_nlml
+
+        rng = np.random.RandomState(7)
+        x = rng.randn(150, 3)
+        y = rng.randn(150, 2)
+        ell = np.asarray([0.9, 1.2, 0.7])
+        var, noise, alpha = 1.4, 0.08, 0.6
+
+        model = GPR(
+            x,
+            y,
+            kernels.RationalQuadratic(
+                3, ARD=True, length_scales=ell, variance=var, alpha=alpha
+            ),
+            likelihood=likelihoods.Gaussian(noise),
+            fast=False,
+        )
+        d = get_trainable(model)
+        loss_ref, g_ref = jax.value_and_grad(
+            lambda d: with_trainable(model, d)._loss()
+        )(d)
+
+        v, g = jax.value_and_grad(radial_nlml, argnums=(1, 2, 3, 9))(
+            "rq",
+            jnp.asarray(np.log(ell)),
+            jnp.asarray(np.log(var)),
+            jnp.asarray(np.log(noise)),
+            jnp.asarray(x),
+            jnp.asarray(y),
+            0.0,
+            64,
+            0.0,
+            jnp.asarray([np.log(alpha)]),
+        )
+        assert float(v) == pytest.approx(float(loss_ref), rel=1e-10)
+        assert np.asarray(g[0]) == pytest.approx(
+            np.asarray(g_ref["kernel.length_scales"]), rel=1e-6, abs=1e-9
+        )
+        assert float(g[1]) == pytest.approx(
+            float(g_ref["kernel.variance"][0]), rel=1e-6
+        )
+        assert float(g[2]) == pytest.approx(
+            float(g_ref["likelihood.variance"][0]), rel=1e-6
+        )
+        assert float(g[3][0]) == pytest.approx(
+            float(g_ref["kernel.alpha"][0]), rel=1e-6
+        )
+
+    @pytest.mark.parametrize("kind", ["matern12", "matern32", "matern52", "rq"])
     def test_fast_model_path_matches_generic(self, kind):
         rng = np.random.RandomState(8)
         x = rng.randn(128, 2)
@@ -355,3 +407,37 @@ class TestAutoFastRouting:
         v_rel = radial_nlml("rbf", *args, 0.0, 64, 1e-3)
         v_abs = radial_nlml("rbf", *args, 1e-3 * var, 64, 0.0)
         assert float(v_rel) == pytest.approx(float(v_abs), rel=1e-12)
+
+
+class TestStreamedContractions:
+    """Force the slab-streamed backward contraction on CPU (it is
+    TPU-gated in production) and check gradients against the dense branch."""
+
+    @pytest.mark.parametrize("kind,alpha", [("rbf", None), ("rq", 0.7)])
+    def test_streamed_matches_dense(self, kind, alpha, monkeypatch):
+        from gptorch_tpu.ops import gpr_fast
+
+        rng = np.random.RandomState(11)
+        n = 1024  # multiple of _TILE so the slab loop engages
+        x = rng.randn(n, 2)
+        y = rng.randn(n, 1)
+        if kind == "rq":
+            args = (
+                jnp.zeros(2), jnp.zeros(()), jnp.asarray(np.log(0.1)),
+                jnp.asarray(x), jnp.asarray(y), 0.0, 256, 0.0,
+                jnp.asarray([np.log(alpha)]),
+            )
+            argnums = (0, 1, 2, 8)
+        else:
+            args = (
+                jnp.zeros(2), jnp.zeros(()), jnp.asarray(np.log(0.1)),
+                jnp.asarray(x), jnp.asarray(y), 0.0, 256, 0.0,
+            )
+            argnums = (0, 1, 2)
+        f = lambda *a: gpr_fast.radial_nlml(kind, *a)
+        v_d, g_d = jax.value_and_grad(f, argnums=argnums)(*args)
+        monkeypatch.setattr(gpr_fast, "_use_streaming", lambda xs: True)
+        v_s, g_s = jax.value_and_grad(f, argnums=argnums)(*args)
+        assert float(v_s) == pytest.approx(float(v_d), rel=1e-12)
+        for a, b in zip(g_s, g_d):
+            assert np.asarray(a) == pytest.approx(np.asarray(b), rel=1e-8, abs=1e-12)
