@@ -6,6 +6,7 @@ from .base import GPModel
 from .gpr import GPR
 from .gplvm import GPLVM
 from .kronecker import GridGPR
+from .heteroscedastic import HeteroscedasticSVGP
 from .multioutput import ICM, LMC
 from .warped import WarpedGPR
 from .deep import DeepGP
@@ -14,5 +15,5 @@ from .sparse_gpr import FITC, SVGP, VFE
 
 __all__ = [
     "GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM",
-    "LMC", "WarpedGPR", "DeepGP", "Posterior",
+    "LMC", "HeteroscedasticSVGP", "WarpedGPR", "DeepGP", "Posterior",
 ]
