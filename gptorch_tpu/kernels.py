@@ -326,6 +326,11 @@ class ActiveDims(Kernel):
                 f"len(dims)={len(dims)} must match the wrapped kernel's "
                 f"input_dim={base.input_dim}"
             )
+        if dims and min(dims) < 0:
+            raise ValueError(
+                "dims must be non-negative column indices (negative "
+                "indices would silently gather via wrap-around)"
+            )
         super().__init__(max(dims) + 1 if input_dim is None else input_dim)
         if dims and max(dims) >= self.input_dim:
             raise ValueError("dims out of range for input_dim")

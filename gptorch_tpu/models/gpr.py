@@ -268,7 +268,7 @@ class GPR(GPModel):
         or CG-solves α once (iterative solver); each subsequent predict is
         O(n·n*) (see :mod:`gptorch_tpu.models.posterior`; no reference
         analog -- the reference re-Choleskys per predict, gpr.py:88-117)."""
-        if self.solver == "iterative" and self._fast_eligible_config():
+        if self._iterative_eligible(self.X):
             from .posterior import iterative_gpr_posterior
 
             return iterative_gpr_posterior(self)

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bijectors import LowerCholesky
-from ..functions import cholesky, lt_log_determinant, trtrs
+from ..functions import cholesky
 from ..param import Param
 from ..util import as_array, kmeans_centers
 from .base import GPModel
@@ -125,40 +125,18 @@ class HeteroscedasticSVGP(GPModel):
         return self.Z.shape[0]
 
     def _kuu(self, z, k):
-        Kuu = k.K(z)
-        if self.jitter:
-            scale = jnp.mean(jnp.diagonal(Kuu))
-            Kuu = Kuu + self.jitter * scale * jnp.eye(
-                Kuu.shape[0], dtype=jnp.result_type(Kuu)
-            )
-        return Kuu
+        from .sparse_gpr import kuu_with_jitter
+
+        return kuu_with_jitter(k, z, self.jitter)
 
     def _latent(self, x_new, k, q_mu, q_chol):
-        """SVGP marginal moments + KL for one latent (sparse_gpr
-        identities)."""
-        z = self.Z.value
-        Lu = cholesky(self._kuu(z, k))
-        alpha = trtrs(k.K(z, x_new), Lu).T  # (n, m)
-        Lq = q_chol.value
-        beta = trtrs(Lq, Lu)
-        gamma = alpha @ beta
-        mu = (alpha @ trtrs(q_mu.value, Lu))[:, 0]
-        s = (
-            k.Kdiag(x_new)
-            - jnp.sum(jnp.square(alpha), axis=1)
-            + jnp.sum(jnp.square(gamma), axis=1)
+        """SVGP marginal moments + KL for one latent (the shared
+        single-latent identities, sparse_gpr.latent_marginals)."""
+        from .sparse_gpr import latent_marginals
+
+        return latent_marginals(
+            k, self.Z.value, q_mu.value, q_chol.value, x_new, self.jitter
         )
-        kl = (
-            lt_log_determinant(Lu)
-            - lt_log_determinant(Lq)
-            + 0.5
-            * (
-                jnp.sum(jnp.square(beta))
-                - self.num_inducing
-                + jnp.sum(jnp.square(trtrs(q_mu.value, Lu)))
-            )
-        )
-        return mu, s, kl
 
     def _moments(self, x_new):
         mu_f, s_f, kl_f = self._latent(
@@ -178,10 +156,9 @@ class HeteroscedasticSVGP(GPModel):
                     from .. import settings as _settings
 
                     key = _settings.next_default_key()
-                idx = jax.random.choice(
-                    key, self.num_data, (self.batch_size,), replace=False
-                )
-                x, y = self.X[idx, :], self.Y[idx, :]
+                from .sparse_gpr import draw_minibatch
+
+                x, y = draw_minibatch(key, self.X, self.Y, self.batch_size)
             else:
                 x, y = self.X, self.Y
         elif y is None:

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bijectors import LowerCholesky
-from ..functions import cholesky, lt_log_determinant, trtrs
+from ..functions import cholesky
 from ..module import Module
 from ..param import Param, positive_param
 from ..util import as_array, kmeans_centers
@@ -247,42 +247,30 @@ class LMC(GPModel):
         return self.Z.shape[0]
 
     def _kuu(self, z, k):
-        Kuu = k.K(z)
-        if self.jitter:
-            scale = jnp.mean(jnp.diagonal(Kuu))
-            Kuu = Kuu + self.jitter * scale * jnp.eye(
-                Kuu.shape[0], dtype=jnp.result_type(Kuu)
-            )
-        return Kuu
+        from .sparse_gpr import kuu_with_jitter
+
+        return kuu_with_jitter(k, z, self.jitter)
 
     def _latent_moments(self, x_new):
         """Per-latent marginal posterior moments μ (n, L), s (n, L) and the
-        per-latent KL terms (same identities as SVGP._predict/_kl)."""
+        per-latent KL terms (the shared single-latent SVGP identities,
+        :func:`gptorch_tpu.models.sparse_gpr.latent_marginals`)."""
+        from .sparse_gpr import latent_marginals
+
         z = self.Z.value
         mus, svars, kls = [], [], []
         for l, k in enumerate(self.kernels):
-            Lu = cholesky(self._kuu(z, k))
-            alpha = trtrs(k.K(z, x_new), Lu).T  # (n, m)
-            m_l = self.q_mu.value[:, l : l + 1]
-            Lq = self.q_chol.value[l]
-            beta = trtrs(Lq, Lu)
-            gamma = alpha @ beta
-            mus.append((alpha @ trtrs(m_l, Lu))[:, 0])
-            svars.append(
-                k.Kdiag(x_new)
-                - jnp.sum(jnp.square(alpha), axis=1)
-                + jnp.sum(jnp.square(gamma), axis=1)
+            mu_l, s_l, kl_l = latent_marginals(
+                k,
+                z,
+                self.q_mu.value[:, l : l + 1],
+                self.q_chol.value[l],
+                x_new,
+                self.jitter,
             )
-            kls.append(
-                lt_log_determinant(Lu)
-                - lt_log_determinant(Lq)
-                + 0.5
-                * (
-                    jnp.sum(jnp.square(beta))
-                    - self.num_inducing
-                    + jnp.sum(jnp.square(trtrs(m_l, Lu)))
-                )
-            )
+            mus.append(mu_l)
+            svars.append(s_l)
+            kls.append(kl_l)
         mu = jnp.stack(mus, axis=1)  # (n, L)
         s = jnp.stack(svars, axis=1)  # (n, L)
         return mu, s, sum(kls)
@@ -295,10 +283,9 @@ class LMC(GPModel):
                     from .. import settings as _settings
 
                     key = _settings.next_default_key()
-                idx = jax.random.choice(
-                    key, self.num_data, (self.batch_size,), replace=False
-                )
-                x, y = self.X[idx, :], self.Y[idx, :]
+                from .sparse_gpr import draw_minibatch
+
+                x, y = draw_minibatch(key, self.X, self.Y, self.batch_size)
             else:
                 x, y = self.X, self.Y
         elif y is None:

@@ -47,6 +47,63 @@ from .base import GPModel
 from .gpr import GPR
 
 
+def kuu_with_jitter(kernel, z, jitter: float):
+    """K(Z, Z) with an optional always-on RELATIVE diagonal floor (scaled
+    to the mean diagonal).  Shared by every inducing-point model in the
+    package (SVGP/VFE/FITC, LMC, HeteroscedasticSVGP); default 0 keeps the
+    reference's jitter-on-failure-only behavior (functions.py:20-43)."""
+    Kuu = kernel.K(z)
+    if jitter:
+        scale = jnp.mean(jnp.diagonal(Kuu))
+        Kuu = Kuu + jitter * scale * jnp.eye(
+            Kuu.shape[0], dtype=jnp.result_type(Kuu)
+        )
+    return Kuu
+
+
+def latent_marginals(kernel, z, q_mu, q_chol, x_new, jitter: float):
+    """Marginal posterior moments and KL of ONE non-whitened SVGP latent:
+
+        q(u) = N(q_mu, q_chol q_cholᵀ),  p(u) = N(0, Kuu)
+        mu(x) = Kxu Kuu⁻¹ q_mu,  s(x) = Kxx_diag − ‖α‖² + ‖αᵀβ‖²
+
+    (the sparse_gpr.SVGP._predict/_kl identities, single-column).  Shared
+    by the multi-latent models (LMC, HeteroscedasticSVGP).
+
+    :param q_mu: (m, 1).  :param q_chol: (m, m) lower.
+    :return: (mu (n,), s (n,), kl scalar).
+    """
+    Lu = cholesky(kuu_with_jitter(kernel, z, jitter))
+    alpha = trtrs(kernel.K(z, x_new), Lu).T  # (n, m)
+    beta = trtrs(q_chol, Lu)
+    gamma = alpha @ beta
+    mu = (alpha @ trtrs(q_mu, Lu))[:, 0]
+    s = (
+        kernel.Kdiag(x_new)
+        - jnp.sum(jnp.square(alpha), axis=1)
+        + jnp.sum(jnp.square(gamma), axis=1)
+    )
+    kl = (
+        lt_log_determinant(Lu)
+        - lt_log_determinant(q_chol)
+        + 0.5
+        * (
+            jnp.sum(jnp.square(beta))
+            - z.shape[0]
+            + jnp.sum(jnp.square(trtrs(q_mu, Lu)))
+        )
+    )
+    return mu, s, kl
+
+
+def draw_minibatch(key, X, Y, batch_size: int):
+    """Without-replacement minibatch via a threaded PRNG key (replaces the
+    reference's host-side @minibatch, sparse_gpr.py:198-216); shared by
+    every minibatched model."""
+    idx = jax.random.choice(key, X.shape[0], (batch_size,), replace=False)
+    return X[idx, :], Y[idx, :]
+
+
 class _InducingPointsGP(GPModel):
     """Parent for GPs with inducing points (sparse_gpr.py:24-73)."""
 
@@ -81,13 +138,7 @@ class _InducingPointsGP(GPModel):
 
     def _kuu(self, z):
         """K(Z, Z) (+ the optional relative floor jitter)."""
-        Kuu = self.kernel.K(z)
-        if self.jitter:
-            scale = jnp.mean(jnp.diagonal(Kuu))
-            Kuu = Kuu + self.jitter * scale * jnp.eye(
-                Kuu.shape[0], dtype=jnp.result_type(Kuu)
-            )
-        return Kuu
+        return kuu_with_jitter(self.kernel, z, self.jitter)
 
     @property
     def num_inducing(self) -> int:
@@ -339,10 +390,7 @@ class SVGP(_InducingPointsGP):
                     from .. import settings as _settings
 
                     key = _settings.next_default_key()
-                idx = jax.random.choice(
-                    key, self.num_data, (self.batch_size,), replace=False
-                )
-                x, y = self.X[idx, :], self.Y[idx, :]
+                x, y = draw_minibatch(key, self.X, self.Y, self.batch_size)
             else:
                 x, y = self.X, self.Y
         elif y is None:

@@ -97,13 +97,13 @@ def pathwise_svgp_samples(
     phi = RandomFourierFeatures(model.kernel, num_features, k_feat)
 
     z = model.Z.value
+    L = cholesky(model._kuu(z))  # chol(Kuu): Matheron solves + un-whitening
     m_u = model.induced_output_mean.value  # (m, dy), relative to mean fn
     Lq = model.induced_output_chol_cov.value  # (m, m)
     if getattr(model, "whiten", False):
         # whitened q is over v with u = L₀ v: map back to u-space once
-        L0 = cholesky(model._kuu(z))
-        m_u = L0 @ m_u
-        Lq = L0 @ Lq
+        m_u = L @ m_u
+        Lq = L @ Lq
     m, dy = m_u.shape
     dtype = jnp.result_type(model.X)
 
@@ -119,8 +119,6 @@ def pathwise_svgp_samples(
     u = m_u[None] + jnp.einsum("mk,sko->smo", Lq, zeta)
 
     # Matheron update: K(x*, Z) Kuu⁻¹ (u - f_prior(Z))
-    Kuu = model._kuu(z)
-    L = cholesky(Kuu)
     resid = u - f_prior_z  # (S, m, dy)
     # Kuu⁻¹ resid via two triangular solves, batched over samples
     t1 = jax.vmap(lambda r: trtrs(r, L))(resid)

@@ -223,3 +223,16 @@ class TestGPR:
         assert float(model.mean_function.val.value[0]) > 2.0
         mu, _ = model.predict_f(x)
         assert np.abs(mu - y).max() < 0.5
+
+    def test_iterative_rq_posterior_falls_back_to_dense(self):
+        """solver='iterative' + RationalQuadratic: the iterative engine
+        covers the classic radials only, so posterior() (like the loss)
+        must fall back to the dense path instead of crashing."""
+        x, y = _data()
+        m = GPR(x, y, kernels.RationalQuadratic(2), solver="iterative")
+        post = m.posterior()  # must not raise
+        mu, var = post.predict_f(jnp.asarray(x[:3]))
+        assert np.isfinite(np.asarray(mu)).all()
+        assert float(m.loss()) == pytest.approx(
+            float(GPR(x, y, kernels.RationalQuadratic(2)).loss())
+        )
