@@ -77,7 +77,11 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from gptorch_tpu.ops.blocked import blocked_cholesky, blocked_trtri, tril_square
+    from gptorch_tpu.ops.blocked import (
+        blocked_cholesky,
+        blocked_trtri,
+        tril_square_rec,
+    )
 
     n = int(os.environ.get("BENCH_N", 16384))
     nb = int(os.environ.get("BENCH_NB", 1024))
@@ -117,7 +121,9 @@ def main():
     Linv = jax.jit(lambda l: blocked_trtri(l, min(nb, 1024)))(L)
     Linv.block_until_ready()
     del L
-    t_sq = _time_op(lambda li: tril_square(li, min(nb, 512)), Linv, iters, repeat)
+    t_sq = _time_op(
+        lambda li: tril_square_rec(li, min(nb, 512), 4096), Linv, iters, repeat
+    )
 
     tf = flops / t_chol / 1e12
     print(

@@ -211,6 +211,55 @@ def blocked_trtri(L, nb: int = 1024):
     return jnp.concatenate([top, bottom], axis=0)
 
 
+def _syrk_lower(B, nb: int):
+    """LOWER triangle of BᵀB for dense B (k, m), block-column-wise: block
+    column j only multiplies against columns ≥ j — half the dense GEMM
+    flops; the strict upper blocks are left ZERO."""
+    m = B.shape[1]
+    if m <= nb:
+        return jnp.matmul(B.T, B, preferred_element_type=B.dtype)
+    cols = []
+    for lo in range(0, m, nb):
+        hi = min(m, lo + nb)
+        col = jnp.matmul(
+            B[:, lo:].T, B[:, lo:hi], preferred_element_type=B.dtype
+        )
+        cols.append(
+            jnp.concatenate(
+                [jnp.zeros((lo, hi - lo), dtype=B.dtype), col], axis=0
+            )
+        )
+    return jnp.concatenate(cols, axis=1)
+
+
+def tril_square_rec(Linv, nb: int = 512, leaf: int = 4096):
+    """LᵀL for lower-triangular L, divide and conquer (LAUUM-style):
+
+        [[A,0],[B,C]]ᵀ[[A,0],[B,C]] = [[AᵀA + BᵀB, BᵀC], [CᵀB, CᵀC]]
+
+    — the two diagonal blocks recurse, BᵀB is a half-flop syrk, BᵀC a
+    triangular-aware trmm; same n³/3 total flops as :func:`tril_square`
+    but with larger, squarer GEMMs at the top of the recursion.  Returns
+    the FULL symmetric matrix (mirrored like tril_square).
+    """
+    n = Linv.shape[0]
+    if n <= leaf:
+        return tril_square(Linv, nb)
+    m = ((n // 2) // nb) * nb or nb
+    A = Linv[:m, :m]
+    B = Linv[m:, :m]
+    C = Linv[m:, m:]
+    TL = tril_square_rec(A, nb, leaf)
+    BR = tril_square_rec(C, nb, leaf)
+    BtB = jnp.tril(_syrk_lower(B, nb))  # diag blocks carry upper halves:
+    BtB = BtB + jnp.tril(BtB, -1).T  # keep tril only, then mirror
+    TL = TL + BtB
+    TR = _trmm_dense_lower(B.T, C, nb)  # (m, n-m) = Bᵀ C
+    top = jnp.concatenate([TL, TR], axis=1)
+    bottom = jnp.concatenate([TR.T, BR], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
 def tril_square(Linv, nb: int = 1024):
     """A⁻¹ = Linvᵀ Linv for lower-triangular Linv, exploiting triangularity.
 

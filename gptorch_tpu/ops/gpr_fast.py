@@ -62,7 +62,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.linalg import solve_triangular
 
-from .blocked import blocked_cholesky, blocked_trtri, tril_square
+from .blocked import blocked_cholesky, blocked_trtri, tril_square_rec
 from .pallas_gram import rbf_gram
 
 _TILE = 512  # pallas gram tile edge
@@ -356,9 +356,10 @@ def _bwd(kind, jitter, nb, rel_jitter, res, g):
     # Consume L completely before allocating Kinv so its buffer is reusable.
     A = solve_triangular(L, alpha, lower=True, trans=1)  # L⁻ᵀα = K⁻¹Y
     # per-op measured panel optima on v5e at n=16k (bench_chol.py):
-    # trtri 82 TF/s @1024, tril_square 50 TF/s @512
+    # trtri 82 TF/s @1024; tril_square_rec 56 TF/s @(512, leaf 4096)
+    # (divide-and-conquer beats the flat loop's skinny GEMMs, 48 TF/s)
     Linv = blocked_trtri(L, min(nb, 1024))
-    Kinv = tril_square(Linv, min(nb, 512))
+    Kinv = tril_square_rec(Linv, min(nb, 512), 4096)
 
     xs = _scaled(x, log_ell)
     svar, rowsum, MX, sextra = _contractions(

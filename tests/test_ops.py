@@ -441,3 +441,14 @@ class TestStreamedContractions:
         assert float(v_s) == pytest.approx(float(v_d), rel=1e-12)
         for a, b in zip(g_s, g_d):
             assert np.asarray(a) == pytest.approx(np.asarray(b), rel=1e-8, abs=1e-12)
+
+
+class TestTrilSquareRec:
+    @pytest.mark.parametrize("n,nb,leaf", [(100, 64, 64), (300, 64, 128), (500, 128, 256)])
+    def test_matches_flat(self, n, nb, leaf):
+        from gptorch_tpu.ops.blocked import tril_square_rec
+
+        A = _spd(n)
+        Li = np.linalg.inv(np.linalg.cholesky(A))
+        out = np.asarray(tril_square_rec(jnp.asarray(Li), nb, leaf))
+        assert out == pytest.approx(np.linalg.inv(A), abs=1e-10)
