@@ -37,27 +37,81 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..functions import cholesky, cholesky_inverse, trtrs
+from ..functions import trtrs
 from ..module import get_trainable, with_trainable
 
 _Q_MEAN = "induced_output_mean"
 _Q_CHOL = "induced_output_chol_cov"
 
 
-def _split_values(values):
-    q = {k: values[k] for k in (_Q_MEAN, _Q_CHOL)}
-    hyper = {k: v for k, v in values.items() if k not in q}
+def _default_q_groups(values):
+    """(mean_name, chol_name) q-parameter pairs by model convention:
+    SVGP (shared-S across outputs), LMC (stacked per-latent chols), and
+    HeteroscedasticSVGP (two independent latents)."""
+    if _Q_MEAN in values and _Q_CHOL in values:
+        return [(_Q_MEAN, _Q_CHOL)]
+    if "q_mu" in values and "q_chol" in values:
+        return [("q_mu", "q_chol")]
+    groups = []
+    if "qf_mu" in values and "qf_chol" in values:
+        groups.append(("qf_mu", "qf_chol"))
+    if "qg_mu" in values and "qg_chol" in values:
+        groups.append(("qg_mu", "qg_chol"))
+    if groups:
+        return groups
+    raise ValueError(
+        "make_natgrad_step expects a model with Gaussian variational "
+        "parameters (SVGP induced_output_*, LMC q_mu/q_chol, or "
+        "HeteroscedasticSVGP qf_*/qg_* trainables)"
+    )
+
+
+def _split_values(values, groups):
+    qnames = {name for g in groups for name in g}
+    q = {k: values[k] for k in qnames}
+    hyper = {k: v for k, v in values.items() if k not in qnames}
     return q, hyper
+
+
+def _nat_update(M, S, Lq, g_M, g_S, gamma):
+    """One natural-gradient step for q = Π_i N(M[:, i], S) (shared S over
+    M's columns).  Conditioning: q covariances routinely have κ(S) ~ 1e6+
+    (tight posteriors), so everything is computed from TRIANGULAR factors
+    -- never cholesky(S @ anything) of a squared matrix in f32."""
+    dy = M.shape[1]
+    g_S = 0.5 * (g_S + g_S.T)  # symmetrize (jax returns the raw cotangent)
+    m_ind = M.shape[0]
+    eye = jnp.eye(m_ind, dtype=M.dtype)
+    Linv_q = trtrs(eye, Lq)  # Lq⁻¹
+    Sinv = Linv_q.T @ Linv_q
+    theta1 = Linv_q.T @ (Linv_q @ M)
+    d_eta1 = g_M - (2.0 / dy) * (g_S @ M)
+    theta1_new = theta1 - gamma * d_eta1
+    Sinv_new = Sinv + 2.0 * gamma * g_S / dy
+    Sinv_new = 0.5 * (Sinv_new + Sinv_new.T)
+    # S_new = Sinv_new⁻¹ = Aᵀ A with A = L_si⁻¹ (triangular inverse);
+    # M_new = S_new θ₁ via two GEMMs against A.
+    L_sinv = jnp.linalg.cholesky(Sinv_new)
+    A = trtrs(eye, L_sinv)
+    S_new = A.T @ A
+    M_new = A.T @ (A @ theta1_new)
+    return M_new, S_new
 
 
 def make_natgrad_step(
     model,
     nat_lr: float = 0.1,
     optimizer: Optional[optax.GradientTransformation] = None,
+    q_groups=None,
 ):
-    """Build a jitted combined step for an :class:`~gptorch_tpu.models.
-    sparse_gpr.SVGP`: natural gradient on (m, S), ordinary ``optimizer``
-    (default Adam 1e-2) on everything else.
+    """Build a jitted combined step: natural gradient on every Gaussian
+    variational distribution, ordinary ``optimizer`` (default Adam 1e-2)
+    on everything else.  Works for :class:`~gptorch_tpu.models.sparse_gpr.
+    SVGP` (shared S over outputs), :class:`~gptorch_tpu.models.multioutput.
+    LMC` (stacked per-latent q, vmapped updates), and :class:`~gptorch_tpu.
+    models.heteroscedastic.HeteroscedasticSVGP` (two latents) --
+    auto-detected from the trainable names, or pass ``q_groups`` as a list
+    of (mean_name, chol_name) pairs.
 
     Returns (step, values, opt_state) with
     ``step(values, opt_state, model, key, nat_lr=None) ->
@@ -71,66 +125,80 @@ def make_natgrad_step(
         optimizer = optax.adam(1e-2)
 
     values0 = get_trainable(model)
-    if _Q_MEAN not in values0 or _Q_CHOL not in values0:
-        raise ValueError("make_natgrad_step expects an SVGP-like model "
-                         f"with {_Q_MEAN!r} and {_Q_CHOL!r} trainables")
-    chol_bij = None
+    groups = q_groups if q_groups is not None else _default_q_groups(values0)
+    chol_bijs = {}
     for path, p in model.named_parameters():
-        if path == _Q_CHOL:
-            chol_bij = p.bijector
-    _, hyper0 = _split_values(values0)
+        for _, cn in groups:
+            if path == cn:
+                chol_bijs[cn] = p.bijector
+    _, hyper0 = _split_values(values0, groups)
     opt_state = optimizer.init(hyper0)
 
-    def loss_ms(M, S, hyper, model, key):
-        """Loss as a function of the DISTRIBUTION parameters (M, S)."""
-        Lq = cholesky(S)
+    def loss_ms(Ms, Ss, hyper, model, key):
+        """Loss as a function of the DISTRIBUTION parameters per group."""
         values = dict(hyper)
-        values[_Q_MEAN] = M
-        values[_Q_CHOL] = chol_bij.inverse(Lq)
+        for (mn, cn), M, S in zip(groups, Ms, Ss):
+            Lq = jnp.linalg.cholesky(S)  # batched for stacked latents
+            values[mn] = M
+            values[cn] = chol_bijs[cn].inverse(Lq)
         return with_trainable(model, values)._loss(key=key)
 
     @jax.jit
     def step(values, opt_state, model, key, lr=None):
         gamma = nat_lr if lr is None else lr
-        q, hyper = _split_values(values)
-        M = q[_Q_MEAN]
-        Lq = chol_bij.forward(q[_Q_CHOL])
-        S = Lq @ Lq.T
-        dy = M.shape[1]
+        q, hyper = _split_values(values, groups)
+        Ms, Ss, Lqs = [], [], []
+        for mn, cn in groups:
+            M = q[mn]
+            Lq = chol_bijs[cn].forward(q[cn])
+            S = (
+                Lq @ jnp.swapaxes(Lq, -1, -2)
+                if Lq.ndim == 3
+                else Lq @ Lq.T
+            )
+            Ms.append(M)
+            Ss.append(S)
+            Lqs.append(Lq)
 
         loss, grads = jax.value_and_grad(loss_ms, argnums=(0, 1, 2))(
-            M, S, hyper, model, key
+            Ms, Ss, hyper, model, key
         )
-        g_M, g_S, g_hyper = grads
-        g_S = 0.5 * (g_S + g_S.T)  # symmetrize (jax returns the raw cotangent)
+        g_Ms, g_Ss, g_hyper = grads
 
-        # natural-gradient update in exponential-family coordinates.
-        # Conditioning: q covariances routinely have κ(S) ~ 1e6+ (tight
-        # posteriors), so everything is computed from TRIANGULAR factors --
-        # never cholesky(S @ anything) of a squared matrix in f32.
-        m_ind = M.shape[0]
-        eye = jnp.eye(m_ind, dtype=M.dtype)
-        Linv_q = trtrs(eye, Lq)  # Lq⁻¹
-        Sinv = Linv_q.T @ Linv_q
-        theta1 = Linv_q.T @ (Linv_q @ M)
-        d_eta1 = g_M - (2.0 / dy) * (g_S @ M)
-        theta1_new = theta1 - gamma * d_eta1
-        Sinv_new = Sinv + 2.0 * gamma * g_S / dy
-        Sinv_new = 0.5 * (Sinv_new + Sinv_new.T)
-        # S_new = Sinv_new⁻¹ = Aᵀ A with A = L_si⁻¹ (triangular inverse);
-        # M_new = S_new θ₁ via two GEMMs against A.
-        L_sinv = cholesky(Sinv_new)
-        A = trtrs(eye, L_sinv)
-        S_new = A.T @ A
-        M_new = A.T @ (A @ theta1_new)
+        values_new = {}
+        for (mn, cn), M, S, Lq, g_M, g_S in zip(
+            groups, Ms, Ss, Lqs, g_Ms, g_Ss
+        ):
+            if Lq.ndim == 3:
+                # stacked per-latent q: M (m, L), chol (L, m, m) -- each
+                # latent is an independent dy=1 distribution; vmap the
+                # shared-S update over the latent axis.
+                M_new, S_new = jax.vmap(
+                    lambda Ml, Sl, Ll, gMl, gSl: _nat_update(
+                        Ml, Sl, Ll, gMl, gSl, gamma
+                    )
+                )(
+                    M.T[:, :, None],
+                    S,
+                    Lq,
+                    g_M.T[:, :, None],
+                    g_S,
+                )
+                values_new[mn] = M_new[:, :, 0].T
+                values_new[cn] = chol_bijs[cn].inverse(
+                    jnp.linalg.cholesky(S_new)
+                )
+            else:
+                M_new, S_new = _nat_update(M, S, Lq, g_M, g_S, gamma)
+                values_new[mn] = M_new
+                values_new[cn] = chol_bijs[cn].inverse(
+                    jnp.linalg.cholesky(S_new)
+                )
 
         # ordinary step on the hyperparameters
         updates, opt_state2 = optimizer.update(g_hyper, opt_state, hyper)
         hyper_new = optax.apply_updates(hyper, updates)
-
-        values_new = dict(hyper_new)
-        values_new[_Q_CHOL] = chol_bij.inverse(cholesky(S_new))
-        values_new[_Q_MEAN] = M_new
+        values_new.update(hyper_new)
         return values_new, opt_state2, loss
 
     return step, values0, opt_state

@@ -119,3 +119,41 @@ class TestGradcheck:
     def test_module_gradcheck(self):
         model = _model()
         assert model.gradcheck(atol=1e-4, rtol=1e-2)
+
+
+def test_checkpoint_roundtrip_new_model_families(tmp_path):
+    """LMC and HeteroscedasticSVGP are pytrees like everything else: full
+    save/load must reproduce losses and predictions exactly."""
+    import numpy as np
+
+    from gptorch_tpu import kernels
+    from gptorch_tpu.models import LMC, HeteroscedasticSVGP
+    from gptorch_tpu.training import checkpoint
+
+    rng = np.random.RandomState(0)
+    x = np.linspace(-2, 2, 50)[:, None]
+    f = np.sin(2 * x)
+    y2 = np.concatenate([f, -f], axis=1) + 0.05 * rng.randn(50, 2)
+
+    lmc = LMC(x, y2, kernels.Rbf(1), num_latents=2, num_inducing_points=8)
+    lmc.optimize(method="Adam", max_iter=20, verbose=False)
+    p = str(tmp_path / "lmc.npz")
+    checkpoint.save(p, lmc)
+    fresh = LMC(x, y2, kernels.Rbf(1), num_latents=2, num_inducing_points=8)
+    restored = checkpoint.load(p, fresh)
+    assert float(restored.loss()) == pytest.approx(float(lmc.loss()), rel=1e-12)
+
+    het = HeteroscedasticSVGP(
+        x, y2[:, :1], kernels.Rbf(1), num_inducing_points=8
+    )
+    het.optimize(method="Adam", max_iter=20, learning_rate=0.005, verbose=False)
+    p2 = str(tmp_path / "het.npz")
+    checkpoint.save(p2, het)
+    fresh2 = HeteroscedasticSVGP(
+        x, y2[:, :1], kernels.Rbf(1), num_inducing_points=8
+    )
+    restored2 = checkpoint.load(p2, fresh2)
+    assert float(restored2.loss()) == pytest.approx(float(het.loss()), rel=1e-12)
+    a = het.predict_y(x[:5])[0]
+    b = restored2.predict_y(x[:5])[0]
+    assert b == pytest.approx(a)
