@@ -41,7 +41,7 @@ import numpy as np
 from ..bijectors import LowerCholesky
 from ..functions import cholesky
 from ..param import Param
-from ..util import as_array, kmeans_centers
+from ..util import as_array
 from .base import GPModel
 
 
@@ -92,17 +92,11 @@ class HeteroscedasticSVGP(GPModel):
         self.jitter = float(jitter)
         self.batch_size = batch_size
 
-        if inducing_points is None:
-            if num_inducing_points is None:
-                num_inducing_points = int(
-                    np.clip(np.asarray(x).shape[0] // 10, 1, 100)
-                )
-            inducing_points = kmeans_centers(
-                np.asarray(x, dtype=float).reshape(len(x), -1),
-                num_inducing_points,
-                perturb_if_fail=True,
-            )
-        self.Z = Param(as_array(np.asarray(inducing_points)))
+        from .sparse_gpr import init_inducing_points
+
+        self.Z = Param(
+            as_array(init_inducing_points(x, num_inducing_points, inducing_points))
+        )
         m = self.Z.shape[0]
 
         if noise_mean_init is None:
@@ -119,6 +113,11 @@ class HeteroscedasticSVGP(GPModel):
         self.qg_chol = Param(
             cholesky(self._kuu(z, self.noise_kernel)), transform=LowerCholesky()
         )
+        # natural-gradient protocol (training.natgrad): two latents
+        self.variational_groups = (
+            ("qf_mu", "qf_chol"),
+            ("qg_mu", "qg_chol"),
+        )
 
     @property
     def num_inducing(self) -> int:
@@ -129,23 +128,28 @@ class HeteroscedasticSVGP(GPModel):
 
         return kuu_with_jitter(k, z, self.jitter)
 
-    def _latent(self, x_new, k, q_mu, q_chol):
-        """SVGP marginal moments + KL for one latent (the shared
-        single-latent identities, sparse_gpr.latent_marginals)."""
+    def _latent(self, x_new, k, q_mu, q_chol, diag=True):
+        """SVGP moments + KL for one latent (the shared single-latent
+        identities, sparse_gpr.latent_marginals)."""
         from .sparse_gpr import latent_marginals
 
         return latent_marginals(
-            k, self.Z.value, q_mu.value, q_chol.value, x_new, self.jitter
+            k, self.Z.value, q_mu.value, q_chol.value, x_new, self.jitter,
+            diag=diag,
         )
 
+    def _latent_f(self, x_new, diag=True):
+        return self._latent(x_new, self.kernel, self.qf_mu, self.qf_chol, diag)
+
+    def _latent_g(self, x_new, diag=True):
+        mu, s, kl = self._latent(
+            x_new, self.noise_kernel, self.qg_mu, self.qg_chol, diag
+        )
+        return mu + self.noise_mean.value.reshape(()), s, kl
+
     def _moments(self, x_new):
-        mu_f, s_f, kl_f = self._latent(
-            x_new, self.kernel, self.qf_mu, self.qf_chol
-        )
-        mu_g, s_g, kl_g = self._latent(
-            x_new, self.noise_kernel, self.qg_mu, self.qg_chol
-        )
-        mu_g = mu_g + self.noise_mean.value.reshape(())
+        mu_f, s_f, kl_f = self._latent_f(x_new)
+        mu_g, s_g, kl_g = self._latent_g(x_new)
         return mu_f, s_f, mu_g, s_g, kl_f + kl_g
 
     def log_likelihood(self, x=None, y=None, key=None):
@@ -175,25 +179,51 @@ class HeteroscedasticSVGP(GPModel):
         return mll - kl
 
     def _predict(self, x_new, diag=True):
-        """Observation-space moments by default is predict_y's job; this
-        returns the LATENT f moments (n*, 1) like every other model."""
-        if not diag:
-            raise NotImplementedError(
-                "HeteroscedasticSVGP full covariance: use diag"
-            )
+        """LATENT f moments (n*, 1) like every other model (diag) or the
+        full (n*, n*) latent covariance; the g latent is not evaluated."""
         x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
-        mu_f, s_f, _, _, _ = self._moments(x_new)
-        return mu_f[:, None], s_f[:, None]
+        mu_f, s_f, _ = self._latent_f(x_new, diag=diag)
+        if diag:
+            return mu_f[:, None], s_f[:, None]
+        return mu_f[:, None], s_f
 
     def predict_noise(self, x_new):
         """Moments of the log-noise latent g at x_new: (mean, var), each
         (n*,).  exp(mean + var/2) is the expected noise VARIANCE."""
         from_numpy = isinstance(x_new, np.ndarray)
         x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
-        _, _, mu_g, s_g, _ = self._moments(x_new)
+        mu_g, s_g, _ = self._latent_g(x_new)
         if from_numpy:
             return np.asarray(mu_g), np.asarray(s_g)
         return mu_g, s_g
+
+    def _sample(self, input_new, n_samples, key, observed, **kwargs):
+        """Joint posterior samples: f and g drawn with their FULL latent
+        covariances; observed samples add the pointwise noise
+        y = f + e^{g/2}·ε.  (Overrides the base: the placeholder
+        likelihood must never supply observation noise.)"""
+        if key is None:
+            from .. import settings as _settings
+
+            key = _settings.next_default_key()
+        x_new = jnp.asarray(input_new, dtype=jnp.result_type(self.X))
+        n = x_new.shape[0]
+        mu_f, Cf, _ = self._latent_f(x_new, diag=False)
+        kf, kg, ke = jax.random.split(key, 3)
+        dtype = jnp.result_type(mu_f)
+        Lf = cholesky(Cf)
+        f = mu_f[None, :] + (
+            Lf @ jax.random.normal(kf, (n_samples, n, 1), dtype)[..., 0].T
+        ).T
+        if not observed:
+            return f[:, :, None]
+        mu_g, Cg, _ = self._latent_g(x_new, diag=False)
+        Lg = cholesky(Cg)
+        g = mu_g[None, :] + (
+            Lg @ jax.random.normal(kg, (n_samples, n, 1), dtype)[..., 0].T
+        ).T
+        eps = jax.random.normal(ke, (n_samples, n), dtype)
+        return (f + jnp.exp(0.5 * g) * eps)[:, :, None]
 
     def predict_y(self, input_new, diag=True, **kwargs):
         """E[y*] = μ_f, Var[y*] = s_f + E[e^g] = s_f + e^{μ_g + s_g/2}."""

@@ -36,7 +36,6 @@ import copy
 import math
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,7 +43,7 @@ from ..bijectors import LowerCholesky
 from ..functions import cholesky
 from ..module import Module
 from ..param import Param, positive_param
-from ..util import as_array, kmeans_centers
+from ..util import as_array
 from .base import GPModel
 
 
@@ -199,17 +198,11 @@ class LMC(GPModel):
         self.jitter = float(jitter)
         self.batch_size = batch_size
 
-        if inducing_points is None:
-            if num_inducing_points is None:
-                num_inducing_points = int(
-                    np.clip(np.asarray(x).shape[0] // 10, 1, 100)
-                )
-            inducing_points = kmeans_centers(
-                np.asarray(x, dtype=float).reshape(len(x), -1),
-                num_inducing_points,
-                perturb_if_fail=True,
-            )
-        self.Z = Param(as_array(np.asarray(inducing_points)))
+        from .sparse_gpr import init_inducing_points
+
+        self.Z = Param(
+            as_array(init_inducing_points(x, num_inducing_points, inducing_points))
+        )
         m = self.Z.shape[0]
 
         # Mixing matrix: PCA directions of Y scaled by their stds for the
@@ -233,6 +226,8 @@ class LMC(GPModel):
         self.q_chol = Param(
             as_array(np.stack(chols)), transform=LowerCholesky()
         )
+        # natural-gradient protocol (training.natgrad): stacked per-latent q
+        self.variational_groups = (("q_mu", "q_chol"),)
 
     @property
     def kernels(self) -> _KernelList:

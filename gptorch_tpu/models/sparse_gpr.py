@@ -61,8 +61,8 @@ def kuu_with_jitter(kernel, z, jitter: float):
     return Kuu
 
 
-def latent_marginals(kernel, z, q_mu, q_chol, x_new, jitter: float):
-    """Marginal posterior moments and KL of ONE non-whitened SVGP latent:
+def latent_marginals(kernel, z, q_mu, q_chol, x_new, jitter: float, diag=True):
+    """Posterior moments and KL of ONE non-whitened SVGP latent:
 
         q(u) = N(q_mu, q_chol q_cholᵀ),  p(u) = N(0, Kuu)
         mu(x) = Kxu Kuu⁻¹ q_mu,  s(x) = Kxx_diag − ‖α‖² + ‖αᵀβ‖²
@@ -71,18 +71,22 @@ def latent_marginals(kernel, z, q_mu, q_chol, x_new, jitter: float):
     by the multi-latent models (LMC, HeteroscedasticSVGP).
 
     :param q_mu: (m, 1).  :param q_chol: (m, m) lower.
-    :return: (mu (n,), s (n,), kl scalar).
+    :return: (mu (n,), s, kl scalar) with s the (n,) marginal variances
+        (``diag=True``) or the (n, n) full covariance.
     """
     Lu = cholesky(kuu_with_jitter(kernel, z, jitter))
     alpha = trtrs(kernel.K(z, x_new), Lu).T  # (n, m)
     beta = trtrs(q_chol, Lu)
     gamma = alpha @ beta
     mu = (alpha @ trtrs(q_mu, Lu))[:, 0]
-    s = (
-        kernel.Kdiag(x_new)
-        - jnp.sum(jnp.square(alpha), axis=1)
-        + jnp.sum(jnp.square(gamma), axis=1)
-    )
+    if diag:
+        s = (
+            kernel.Kdiag(x_new)
+            - jnp.sum(jnp.square(alpha), axis=1)
+            + jnp.sum(jnp.square(gamma), axis=1)
+        )
+    else:
+        s = kernel.K(x_new) - alpha @ alpha.T + gamma @ gamma.T
     kl = (
         lt_log_determinant(Lu)
         - lt_log_determinant(q_chol)
@@ -94,6 +98,21 @@ def latent_marginals(kernel, z, q_mu, q_chol, x_new, jitter: float):
         )
     )
     return mu, s, kl
+
+
+def init_inducing_points(x, num_inducing_points=None, inducing_points=None):
+    """Inducing-input initialization shared by every inducing-point model:
+    explicit points win; otherwise k-means centers with the reference's
+    default count M = clip(n//10, 1, 100) (sparse_gpr.py:59-61)."""
+    if inducing_points is not None:
+        return np.asarray(inducing_points)
+    if num_inducing_points is None:
+        num_inducing_points = int(np.clip(np.asarray(x).shape[0] // 10, 1, 100))
+    return kmeans_centers(
+        np.asarray(x, dtype=float).reshape(len(x), -1),
+        num_inducing_points,
+        perturb_if_fail=True,
+    )
 
 
 def draw_minibatch(key, X, Y, batch_size: int):
@@ -126,15 +145,9 @@ class _InducingPointsGP(GPModel):
         # can drive Kuu near-singular (cf. models/gplvm.py).
         self.jitter = float(jitter)
 
-        if inducing_points is None:
-            if num_inducing_points is None:
-                num_inducing_points = int(np.clip(np.asarray(x).shape[0] // 10, 1, 100))
-            inducing_points = kmeans_centers(
-                np.asarray(x, dtype=float).reshape(len(x), -1),
-                num_inducing_points,
-                perturb_if_fail=True,
-            )
-        self.Z = Param(as_array(np.asarray(inducing_points)))
+        self.Z = Param(
+            as_array(init_inducing_points(x, num_inducing_points, inducing_points))
+        )
 
     def _kuu(self, z):
         """K(Z, Z) (+ the optional relative floor jitter)."""
@@ -374,6 +387,11 @@ class SVGP(_InducingPointsGP):
         mean_init, chol_init = self._init_posterior()
         self.induced_output_mean = mean_init
         self.induced_output_chol_cov = chol_init
+        # (mean, chol) trainable names of each Gaussian variational
+        # distribution -- the protocol training.natgrad consumes.
+        self.variational_groups = (
+            ("induced_output_mean", "induced_output_chol_cov"),
+        )
 
     # -- ELBO ------------------------------------------------------------------
 

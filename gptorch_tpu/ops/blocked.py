@@ -243,7 +243,9 @@ def tril_square_rec(Linv, nb: int = 512, leaf: int = 4096):
     the FULL symmetric matrix (mirrored like tril_square).
     """
     n = Linv.shape[0]
-    if n <= leaf:
+    if n <= leaf or n <= nb:
+        # n <= nb would make the midpoint split degenerate (m == n, no
+        # progress -> infinite recursion); the flat loop handles it.
         return tril_square(Linv, nb)
     m = ((n // 2) // nb) * nb or nb
     A = Linv[:m, :m]

@@ -250,6 +250,11 @@ def radial_nlml(
         ``_RADIALS_X`` (rq: log α), shape (1,); omit for classic kinds.
     """
     if log_extra is None:
+        if kind in _RADIALS_X:
+            raise ValueError(
+                f"kind={kind!r} carries an extra hyperparameter: pass "
+                "log_extra (rq: log alpha, shape (1,))"
+            )
         log_extra = jnp.zeros((0,), dtype=jnp.result_type(x))
     return _radial_nlml_core(
         kind, log_ell, log_var, log_noise, x, y, jitter, nb, rel_jitter, log_extra

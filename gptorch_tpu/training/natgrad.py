@@ -37,32 +37,36 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..functions import trtrs
+from ..functions import cholesky, trtrs
 from ..module import get_trainable, with_trainable
 
 _Q_MEAN = "induced_output_mean"
 _Q_CHOL = "induced_output_chol_cov"
 
 
-def _default_q_groups(values):
-    """(mean_name, chol_name) q-parameter pairs by model convention:
-    SVGP (shared-S across outputs), LMC (stacked per-latent chols), and
-    HeteroscedasticSVGP (two independent latents)."""
+def _default_q_groups(model, values):
+    """(mean_name, chol_name) q-parameter pairs.  Models DECLARE their
+    Gaussian variational distributions via a ``variational_groups``
+    attribute (SVGP/LMC/HeteroscedasticSVGP all do); the legacy
+    name-sniffing fallback covers external Modules that predate the
+    protocol."""
+    declared = getattr(model, "variational_groups", None)
+    if declared:
+        groups = [tuple(g) for g in declared]
+        missing = [n for g in groups for n in g if n not in values]
+        if missing:
+            raise ValueError(
+                f"variational_groups names {missing} are not trainable "
+                "parameters of the model"
+            )
+        return groups
     if _Q_MEAN in values and _Q_CHOL in values:
         return [(_Q_MEAN, _Q_CHOL)]
-    if "q_mu" in values and "q_chol" in values:
-        return [("q_mu", "q_chol")]
-    groups = []
-    if "qf_mu" in values and "qf_chol" in values:
-        groups.append(("qf_mu", "qf_chol"))
-    if "qg_mu" in values and "qg_chol" in values:
-        groups.append(("qg_mu", "qg_chol"))
-    if groups:
-        return groups
     raise ValueError(
-        "make_natgrad_step expects a model with Gaussian variational "
-        "parameters (SVGP induced_output_*, LMC q_mu/q_chol, or "
-        "HeteroscedasticSVGP qf_*/qg_* trainables)"
+        "make_natgrad_step expects a model declaring its Gaussian "
+        "variational distributions via a `variational_groups` attribute "
+        "of (mean_name, chol_name) pairs (or the SVGP induced_output_* "
+        "trainables)"
     )
 
 
@@ -91,7 +95,7 @@ def _nat_update(M, S, Lq, g_M, g_S, gamma):
     Sinv_new = 0.5 * (Sinv_new + Sinv_new.T)
     # S_new = Sinv_new⁻¹ = Aᵀ A with A = L_si⁻¹ (triangular inverse);
     # M_new = S_new θ₁ via two GEMMs against A.
-    L_sinv = jnp.linalg.cholesky(Sinv_new)
+    L_sinv = cholesky(Sinv_new)  # jitter-robust (adaptive policy)
     A = trtrs(eye, L_sinv)
     S_new = A.T @ A
     M_new = A.T @ (A @ theta1_new)
@@ -125,7 +129,9 @@ def make_natgrad_step(
         optimizer = optax.adam(1e-2)
 
     values0 = get_trainable(model)
-    groups = q_groups if q_groups is not None else _default_q_groups(values0)
+    groups = (
+        q_groups if q_groups is not None else _default_q_groups(model, values0)
+    )
     chol_bijs = {}
     for path, p in model.named_parameters():
         for _, cn in groups:
@@ -138,7 +144,7 @@ def make_natgrad_step(
         """Loss as a function of the DISTRIBUTION parameters per group."""
         values = dict(hyper)
         for (mn, cn), M, S in zip(groups, Ms, Ss):
-            Lq = jnp.linalg.cholesky(S)  # batched for stacked latents
+            Lq = cholesky(S)  # functions.cholesky vmaps batched inputs
             values[mn] = M
             values[cn] = chol_bijs[cn].inverse(Lq)
         return with_trainable(model, values)._loss(key=key)
@@ -184,16 +190,11 @@ def make_natgrad_step(
                     g_M.T[:, :, None],
                     g_S,
                 )
-                values_new[mn] = M_new[:, :, 0].T
-                values_new[cn] = chol_bijs[cn].inverse(
-                    jnp.linalg.cholesky(S_new)
-                )
+                M_new = M_new[:, :, 0].T
             else:
                 M_new, S_new = _nat_update(M, S, Lq, g_M, g_S, gamma)
-                values_new[mn] = M_new
-                values_new[cn] = chol_bijs[cn].inverse(
-                    jnp.linalg.cholesky(S_new)
-                )
+            values_new[mn] = M_new
+            values_new[cn] = chol_bijs[cn].inverse(cholesky(S_new))
 
         # ordinary step on the hyperparameters
         updates, opt_state2 = optimizer.update(g_hyper, opt_state, hyper)

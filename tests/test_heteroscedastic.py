@@ -121,3 +121,28 @@ class TestHeteroscedasticSVGP:
         assert float(
             m.log_likelihood(key=jax.random.PRNGKey(0))
         ) == pytest.approx(full, rel=1e-8)
+
+    def test_sampling_api(self):
+        """predict_f_samples/predict_y_samples work (joint full-cov draws);
+        sample statistics match the analytic moments."""
+        x, y, _ = _het_data(n=60, seed=5)
+        m = HeteroscedasticSVGP(x, y, kernels.Rbf(1), num_inducing_points=10)
+        xt = x[::12]
+        s_f = m.predict_f_samples(xt, n_samples=4000, key=jax.random.PRNGKey(0))
+        assert s_f.shape == (4000, len(xt), 1)
+        mu, var = m.predict_f(xt)
+        assert s_f.mean(axis=0) == pytest.approx(mu, abs=0.1)
+        s_y = m.predict_y_samples(xt, n_samples=6000, key=jax.random.PRNGKey(1))
+        mu_y, var_y = m.predict_y(xt)
+        assert s_y.mean(axis=0) == pytest.approx(mu_y, abs=0.15)
+        # observation samples carry the heteroscedastic noise: variance of
+        # the samples tracks var_y, NOT the latent var
+        assert s_y.var(axis=0) == pytest.approx(var_y, rel=0.35)
+
+    def test_predict_f_full_cov(self):
+        x, y, _ = _het_data(n=40, seed=6)
+        m = HeteroscedasticSVGP(x, y, kernels.Rbf(1), num_inducing_points=8)
+        mu_d, var_d = m.predict_f(np.asarray(x[:6]), diag=True)
+        mu_f, cov_f = m.predict_f(np.asarray(x[:6]), diag=False)
+        assert mu_d == pytest.approx(mu_f)
+        assert var_d.ravel() == pytest.approx(np.diag(cov_f), rel=1e-6, abs=1e-10)

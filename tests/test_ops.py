@@ -452,3 +452,23 @@ class TestTrilSquareRec:
         Li = np.linalg.inv(np.linalg.cholesky(A))
         out = np.asarray(tril_square_rec(jnp.asarray(Li), nb, leaf))
         assert out == pytest.approx(np.linalg.inv(A), abs=1e-10)
+
+
+def test_tril_square_rec_degenerate_split_guard():
+    """leaf < n <= nb must not recurse forever (falls back to the flat
+    loop)."""
+    from gptorch_tpu.ops.blocked import tril_square_rec
+
+    A = _spd(200)
+    Li = np.linalg.inv(np.linalg.cholesky(A))
+    out = np.asarray(tril_square_rec(jnp.asarray(Li), nb=4096, leaf=64))
+    assert out == pytest.approx(np.linalg.inv(A), abs=1e-10)
+
+
+def test_radial_nlml_rq_requires_log_extra():
+    from gptorch_tpu.ops.gpr_fast import radial_nlml
+
+    x = jnp.asarray(np.random.RandomState(0).randn(16, 2))
+    y = jnp.asarray(np.random.RandomState(1).randn(16, 1))
+    with pytest.raises(ValueError, match="log_extra"):
+        radial_nlml("rq", jnp.zeros(2), jnp.zeros(()), jnp.zeros(()), x, y)
