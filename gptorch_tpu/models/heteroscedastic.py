@@ -45,6 +45,26 @@ from ..util import as_array
 from .base import GPModel
 
 
+#: Soft overflow guard for the ELBO's e^{-μ_g + s_g/2} factor: beyond t=30
+#: the exact exponential overflows float32 mid-training (observed: one bad
+#: Adam step at lr=0.005 drives t past ~90, the loss saturates at ~1e22,
+#: and the zero-gradient plateau never recovers).  Linearizing keeps the
+#: value finite (≤ e³⁰·(1+t−30) ≈ 1e13·t) and, crucially, keeps the
+#: gradient PUSHING t back DOWN, so training recovers.  Exact (and
+#: correctness-tested) everywhere t ≤ 30 — a noise variance of e⁻³⁰ is far
+#: below any data scale this model is sane for.
+_EXP_LIN_CAP = 30.0
+
+
+def _exp_lin(t):
+    capped = jnp.minimum(t, _EXP_LIN_CAP)
+    return jnp.where(
+        t > _EXP_LIN_CAP,
+        math.exp(_EXP_LIN_CAP) * (1.0 + (t - _EXP_LIN_CAP)),
+        jnp.exp(capped),
+    )
+
+
 class HeteroscedasticSVGP(GPModel):
     """Sparse-variational GP with input-dependent (log-GP) noise.
 
@@ -173,7 +193,7 @@ class HeteroscedasticSVGP(GPModel):
         ell = -0.5 * (
             math.log(2.0 * math.pi)
             + mu_g
-            + jnp.exp(-mu_g + 0.5 * s_g) * resid2
+            + _exp_lin(-mu_g + 0.5 * s_g) * resid2
         )
         mll = jnp.sum(ell) * (self.num_data / x.shape[0])
         return mll - kl

@@ -91,3 +91,24 @@ def test_multioutput_example():
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert "LMC mixing ratio" in result.stdout
+
+
+def test_heteroscedastic_example():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPTORCH_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(BASE, "examples", "heteroscedastic.py"),
+            "--no-plot",
+            "--n", "120",
+            "--steps", "600",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "noise-profile correlation" in result.stdout

@@ -146,3 +146,21 @@ class TestHeteroscedasticSVGP:
         mu_f, cov_f = m.predict_f(np.asarray(x[:6]), diag=False)
         assert mu_d == pytest.approx(mu_f)
         assert var_d.ravel() == pytest.approx(np.diag(cov_f), rel=1e-6, abs=1e-10)
+
+    def test_f32_training_stays_stable(self):
+        """Float32 (the TPU production dtype): without the soft exp-linear
+        overflow guard, one bad Adam step drove e^{-mu_g+s_g/2} past
+        float32 range and training froze at loss ~1e22.  Must now converge
+        and recover the noise ramp."""
+        x, y, sigma = _het_data(n=240, seed=0)
+        m = HeteroscedasticSVGP(
+            x.astype(np.float32), y.astype(np.float32),
+            kernels.Rbf(1), num_inducing_points=20,
+        )
+        losses = m.fit_scan(method="Adam", max_iter=4000, learning_rate=0.005)
+        L = np.asarray(losses)
+        assert np.isfinite(L).all()
+        assert L[-1] < 100.0  # converged (divergence plateaued at ~1e22)
+        mu_g, s_g = m.predict_noise(x.astype(np.float32))
+        nsd = np.sqrt(np.exp(mu_g + 0.5 * s_g))
+        assert np.corrcoef(nsd, sigma)[0, 1] > 0.6
