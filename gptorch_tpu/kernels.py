@@ -298,6 +298,32 @@ class Linear(Kernel):
         return jnp.sum(X * X * self.variance.value, axis=1)
 
 
+class Polynomial(Linear):
+    """Polynomial kernel k(x, x') = (Σ_q σ²_q x_q x'_q + b)^p with ARD
+    variances (inherited from :class:`Linear`), trainable offset b > 0,
+    and STATIC degree p.  Degree 1 with b → 0 recovers Linear.
+
+    (New capability; reference README.md:36-44 lists richer kernels as
+    roadmap items.)
+    """
+
+    def __init__(self, input_dim: int, degree: int = 2, variance=1.0,
+                 offset: float = 1.0, ARD=None):
+        super().__init__(input_dim, variance=variance, ARD=ARD)
+        if int(degree) < 1:
+            raise ValueError("degree must be >= 1")
+        self.degree = int(degree)
+        self.offset = positive_param(as_array(float(offset)))
+
+    def K(self, X, X2=None):
+        base = super().K(X, X2) + self.offset.value.reshape(())
+        return jnp.power(base, float(self.degree))
+
+    def Kdiag(self, X):
+        base = super().Kdiag(X) + self.offset.value.reshape(())
+        return jnp.power(base, float(self.degree))
+
+
 class ActiveDims(Kernel):
     """Evaluate a base kernel on a static subset of the input columns:
 

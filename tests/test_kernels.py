@@ -284,3 +284,40 @@ class TestActiveDims:
             kernels.ActiveDims(kernels.Rbf(2), [0, 5], 3)  # out of range
         # default input_dim = max(dims) + 1
         assert kernels.ActiveDims(kernels.Rbf(2), [0, 2]).input_dim == 3
+
+
+class TestPolynomial:
+    def test_matches_brute_force(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(9, 3)
+        x2 = rng.randn(5, 3)
+        k = kernels.Polynomial(3, degree=3, variance=[0.5, 1.0, 2.0],
+                               offset=0.7, ARD=True)
+        ref = (x @ np.diag([0.5, 1.0, 2.0]) @ x2.T + 0.7) ** 3
+        assert np.asarray(k.K(jnp.asarray(x), jnp.asarray(x2))) == pytest.approx(ref)
+        refd = (np.sum(x * x * np.array([0.5, 1.0, 2.0]), axis=1) + 0.7) ** 3
+        assert np.asarray(k.Kdiag(jnp.asarray(x))) == pytest.approx(refd)
+
+    def test_degree1_offset_zero_approaches_linear(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(7, 2)
+        kp = kernels.Polynomial(2, degree=1, offset=1e-12)
+        kl = kernels.Linear(2)
+        assert np.asarray(kp.K(jnp.asarray(x))) == pytest.approx(
+            np.asarray(kl.K(jnp.asarray(x))), abs=1e-10
+        )
+
+    def test_psd_and_trains(self):
+        from gptorch_tpu.models import GPR
+
+        rng = np.random.RandomState(2)
+        x = rng.randn(40, 1)
+        y = 0.5 * x**2 - x + 0.05 * rng.randn(40, 1)
+        K = np.asarray(kernels.Polynomial(1, degree=2).K(jnp.asarray(x)))
+        assert np.linalg.eigvalsh(K).min() > -1e-8
+        m = GPR(x, y, kernels.Polynomial(1, degree=2))
+        m.optimize(method="L-BFGS-B", max_iter=40, verbose=False)
+        mu, _ = m.predict_f(x)
+        assert np.mean((mu - y) ** 2) < 0.05
+        with pytest.raises(ValueError):
+            kernels.Polynomial(1, degree=0)
