@@ -202,6 +202,54 @@ class VFE(_InducingPointsGP):
         elbo += 0.5 * d_out * jnp.trace(AAT)
         return elbo
 
+    def upper_bound(self):
+        """Titsias (2014) UPPER bound on the log marginal likelihood:
+
+            log p(y) ≤ -½ n log 2π - ½ log|Qff + σ²I|
+                       - ½ yᵀ(Qff + (σ² + t)I)⁻¹ y,
+            t = tr(Kff - Qff) ≥ 0
+
+        computed with the same low-rank identities as the ELBO
+        (log|Qff + σ²I| = n log σ² + log|B|; the quadratic by Woodbury
+        with the t-inflated noise).  Together with ``log_likelihood()``
+        (the lower bound) this SANDWICHES the evidence — the gap is a
+        computable optimization/inducing-point diagnostic, and the bound
+        is tight (equals the exact GPR evidence) at Z = X.  Sums over
+        output dims.  New capability; no reference analog."""
+        x, y = self.X, self.Y
+        num_inducing = self.num_inducing
+        n = x.shape[0]
+        d_out = self.output_dimension
+        err = y - self.mean_function(x)
+        sigma2 = self.likelihood.variance.value.reshape(())
+
+        Kff_diag = self.kernel.Kdiag(x)
+        Kuf = self.kernel.K(self.Z.value, x)
+        L = cholesky(self._kuu(self.Z.value))
+        A = trtrs(Kuf, L)  # (m, n): Qff = AᵀA
+        eye = jnp.eye(num_inducing, dtype=jnp.result_type(x))
+
+        # log|Qff + σ²I| = n log σ² + log|I + AAᵀ/σ²|
+        B = A @ A.T / sigma2 + eye
+        LB = cholesky(B)
+        logdet = n * jnp.log(sigma2) + 2.0 * lt_log_determinant(LB)
+
+        # trace slack inflates the noise in the quadratic
+        t = jnp.maximum(jnp.sum(Kff_diag) - jnp.sum(jnp.square(A)), 0.0)
+        s2t = sigma2 + t
+        Bt = A @ A.T / s2t + eye
+        LBt = cholesky(Bt)
+        # Woodbury: yᵀ(AᵀA + sI)⁻¹y = (yᵀy − yᵀAᵀ(AAᵀ/s + I)⁻¹Ay/s)/s
+        # with c = LBt⁻¹(A err)/s so that ‖c‖² = errᵀAᵀBt⁻¹A err / s²
+        c = trtrs(A @ err, LBt) / s2t
+        quad = jnp.sum(jnp.square(err)) / s2t - jnp.sum(jnp.square(c))
+
+        return (
+            -0.5 * d_out * n * math.log(2.0 * math.pi)
+            - 0.5 * d_out * logdet
+            - 0.5 * quad
+        )
+
     def posterior(self):
         """Cached predictive posterior (factorize once, predict many --
         :mod:`gptorch_tpu.models.posterior`)."""

@@ -337,3 +337,40 @@ class TestWhitenedSVGP:
             num_features=512, key=jax.random.PRNGKey(0),
         )
         assert np.asarray(s).mean(axis=0) == pytest.approx(mu, abs=0.15)
+
+
+class TestVFEUpperBound:
+    """Titsias (2014) upper bound: lower <= exact <= upper, tight at Z=X."""
+
+    def test_sandwiches_exact_evidence(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(40, 2)
+        y = np.sin(x[:, :1]) + 0.1 * rng.randn(40, 1)
+        lik = likelihoods.Gaussian(variance=0.1)
+        vfe = VFE(x, y, kernels.Rbf(2), inducing_points=x[:10].copy(),
+                  likelihood=lik)
+        exact = float(GPR(x, y, kernels.Rbf(2), likelihood=lik).log_likelihood())
+        lower = float(vfe.log_likelihood())
+        upper = float(vfe.upper_bound())
+        assert lower <= exact <= upper
+        assert upper - lower > 1e-3  # gap is real at m=10
+
+    def test_tight_at_z_equals_x(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(25, 1)
+        y = np.sin(2 * x) + 0.05 * rng.randn(25, 1)
+        lik = likelihoods.Gaussian(variance=0.1)
+        vfe = VFE(x, y, kernels.Rbf(1), inducing_points=x.copy(), likelihood=lik)
+        exact = float(GPR(x, y, kernels.Rbf(1), likelihood=lik).log_likelihood())
+        assert float(vfe.upper_bound()) == pytest.approx(exact, rel=1e-7)
+        assert float(vfe.log_likelihood()) == pytest.approx(exact, rel=1e-7)
+
+    def test_multioutput_sums(self):
+        rng = np.random.RandomState(2)
+        x = rng.randn(30, 1)
+        y = np.concatenate([np.sin(x), np.cos(x)], axis=1) + 0.1 * rng.randn(30, 2)
+        lik = likelihoods.Gaussian(variance=0.1)
+        vfe = VFE(x, y, kernels.Rbf(1), inducing_points=x[:8].copy(),
+                  likelihood=lik)
+        exact = float(GPR(x, y, kernels.Rbf(1), likelihood=lik).log_likelihood())
+        assert float(vfe.log_likelihood()) <= exact <= float(vfe.upper_bound())
