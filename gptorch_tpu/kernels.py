@@ -19,6 +19,7 @@ import math
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .module import Module
 from .param import Param, positive_param
@@ -317,11 +318,15 @@ class Polynomial(Linear):
 
     def K(self, X, X2=None):
         base = super().K(X, X2) + self.offset.value.reshape(())
-        return jnp.power(base, float(self.degree))
+        # integer_pow, not the generic pow: the base (Linear gram + offset)
+        # can be negative, and float-exponent pow of a negative base is
+        # backend-dependent (exp·log lowerings NaN); the static int degree
+        # lowers to an exact multiply chain.
+        return lax.integer_pow(base, self.degree)
 
     def Kdiag(self, X):
         base = super().Kdiag(X) + self.offset.value.reshape(())
-        return jnp.power(base, float(self.degree))
+        return lax.integer_pow(base, self.degree)
 
 
 class ActiveDims(Kernel):

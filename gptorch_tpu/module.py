@@ -25,6 +25,8 @@ model-shaped pytree.  For optimizers we provide a named flat view
 
 from __future__ import annotations
 
+import inspect
+import types
 from typing import Any, Callable, Dict, Iterator, List, Tuple
 
 import jax
@@ -70,6 +72,21 @@ class Module:
         if name in ("_dynamic", "_static"):
             object.__setattr__(self, name, value)
             return
+        # Routed instance entries shadow class attributes in
+        # __getattribute__ (intended for data defaults like
+        # ``quadrature_order``); refuse to shadow methods/properties, where
+        # shadowing is almost certainly a bug and would fail confusingly
+        # at the call site.
+        cls_attr = inspect.getattr_static(type(self), name, None)
+        if isinstance(
+            cls_attr,
+            (property, types.FunctionType, classmethod, staticmethod),
+        ):
+            raise AttributeError(
+                f"cannot assign instance attribute {name!r}: it would "
+                f"shadow {type(self).__name__}.{name} "
+                f"({type(cls_attr).__name__})"
+            )
         if _is_dynamic(value):
             self._static.pop(name, None)
             if isinstance(value, np.ndarray):

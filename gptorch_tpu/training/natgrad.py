@@ -129,9 +129,24 @@ def make_natgrad_step(
         optimizer = optax.adam(1e-2)
 
     values0 = get_trainable(model)
-    groups = (
-        q_groups if q_groups is not None else _default_q_groups(model, values0)
-    )
+    if q_groups is not None:
+        groups = [tuple(g) for g in q_groups]
+        param_paths = {path for path, _ in model.named_parameters()}
+        bad = [
+            n
+            for g in groups
+            for n in g
+            if n not in values0 or n not in param_paths
+        ]
+        if bad:
+            # validate up front: a bad name would otherwise surface as a
+            # bare KeyError inside the jitted step (missing chol_bijs entry)
+            raise ValueError(
+                f"q_groups names {bad} are not trainable parameters of the "
+                f"model (trainables: {sorted(values0)})"
+            )
+    else:
+        groups = _default_q_groups(model, values0)
     chol_bijs = {}
     for path, p in model.named_parameters():
         for _, cn in groups:

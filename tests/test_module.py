@@ -139,3 +139,21 @@ def test_instance_override_shadows_class_default():
     leaves, treedef = jax.tree_util.tree_flatten(lik)
     rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
     assert rebuilt.quadrature_order == 64  # survives jit boundaries
+
+
+def test_assigning_over_method_or_property_raises():
+    """Shadowing a class method/property with a routed instance attribute
+    is refused at assignment time (advisor round-2 finding: it used to
+    silently shadow and fail confusingly at the call site)."""
+    from gptorch_tpu import kernels
+
+    k = kernels.Rbf(2)
+    with pytest.raises(AttributeError, match="shadow"):
+        k.K = 3.0  # method
+    from gptorch_tpu.models import GPR
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    m = GPR(rng.randn(5, 2), rng.randn(5, 1), kernels.Rbf(2))
+    with pytest.raises(AttributeError, match="shadow"):
+        m.num_data = 7  # property

@@ -195,3 +195,22 @@ class TestNatGradMultiLatent:
             qv = optax.apply_updates(qv, upd)
         elbo_adam = -float(loss_fn(qv, hv))
         assert elbo_nat > elbo_adam
+
+
+def test_explicit_q_groups_validated():
+    """A bad name in an explicitly passed q_groups raises a clear error up
+    front instead of a bare KeyError inside the jitted step (advisor
+    round-2 finding)."""
+    import numpy as np
+    import pytest
+
+    from gptorch_tpu import kernels
+    from gptorch_tpu.models import SVGP
+    from gptorch_tpu.training.natgrad import make_natgrad_step
+
+    rng = np.random.RandomState(0)
+    model = SVGP(
+        rng.randn(20, 2), rng.randn(20, 1), kernels.Rbf(2), num_inducing_points=5
+    )
+    with pytest.raises(ValueError, match="q_groups"):
+        make_natgrad_step(model, q_groups=[("nope.mean", "nope.chol")])
