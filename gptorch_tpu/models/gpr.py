@@ -51,6 +51,16 @@ class GPR(GPModel):
     ``AUTO_FAST_MIN_N``.  ``fast=True`` forces the fused path at any n;
     ``fast=False`` disables it; default ``None`` = auto.
 
+    Configurations OUTSIDE the radial whitelist -- composite kernels like
+    the reference example's ``Linear + Rbf + Constant``
+    (examples/regression_1d.py:42), trainable means, non-Exp bijectors --
+    auto-route to the kernel-GENERAL fused path
+    (:mod:`gptorch_tpu.ops.gpr_general`: same blocked factorizations,
+    kernel/mean gradients via a streamed ``jax.vjp``-of-``K`` row sweep)
+    under the same ``fast`` / ``AUTO_FAST_MIN_N`` policy.  Only kernels
+    containing :class:`~gptorch_tpu.kernels.White` and non-Gaussian
+    likelihoods fall back to plain autodiff.
+
     ``solver="iterative"`` switches eligible configs to the MATRIX-FREE
     BBMM path (:mod:`gptorch_tpu.ops.iterative`: batched preconditioned CG
     + stochastic Lanczos quadrature, kernel matrix never materialized) --
@@ -137,6 +147,34 @@ class GPR(GPModel):
         # the fused op interprets raw params as logs (Exp bijector)
         return self._fast_eligible_config()
 
+    def _general_eligible(self, x):
+        """Eligibility for the kernel-GENERAL fused path
+        (:mod:`gptorch_tpu.ops.gpr_general`): any kernel pytree / mean /
+        bijector, Gaussian likelihood, no White kernel component (its
+        cross-covariance is zeros, so the streamed row rebuild would drop
+        its diagonal -- fold White into the noise instead)."""
+        from .. import kernels as _k
+        from ..likelihoods import Gaussian
+        from ..module import Module as _Module
+
+        if self.fast is False:
+            return False
+        if self.fast is None and x.shape[0] < AUTO_FAST_MIN_N:
+            return False
+
+        def contains_white(mod):
+            if isinstance(mod, _k.White):
+                return True
+            return any(
+                contains_white(v)
+                for v in mod._dynamic.values()
+                if isinstance(v, _Module)
+            )
+
+        return type(self.likelihood) is Gaussian and not contains_white(
+            self.kernel
+        )
+
     def _iterative_eligible(self, x):
         return (
             self.solver == "iterative"
@@ -212,6 +250,26 @@ class GPR(GPModel):
                 self.fast_block,
                 self.fast_rel_jitter,
                 log_extra,
+            )
+        if self._general_eligible(x):
+            import jax.lax as _lax
+
+            from ..ops.gpr_general import general_nlml_jit
+
+            # Kernel-general fused path: same blocked factorizations and
+            # memory discipline, kernel/mean gradients via the streamed
+            # jax.vjp-of-K row sweep -- covers composites like the
+            # reference example's Linear+Rbf+Constant at n >= 32k where
+            # plain autodiff OOMs.
+            return -general_nlml_jit(
+                self.kernel,
+                self.mean_function,
+                self.likelihood.variance.value.reshape(()),
+                _lax.stop_gradient(x),
+                _lax.stop_gradient(y),
+                self.fast_jitter,
+                self.fast_block,
+                self.fast_rel_jitter,
             )
         num_input, dim_output = y.shape
 

