@@ -61,13 +61,19 @@ class GPR(GPModel):
     containing :class:`~gptorch_tpu.kernels.White` and non-Gaussian
     likelihoods fall back to plain autodiff.
 
-    ``solver="iterative"`` switches eligible configs to the MATRIX-FREE
-    BBMM path (:mod:`gptorch_tpu.ops.iterative`: batched preconditioned CG
+    ``solver="iterative"`` switches eligible configs (all 5 radial
+    families, including RationalQuadratic) to the MATRIX-FREE BBMM path
+    (:mod:`gptorch_tpu.ops.iterative`: batched preconditioned CG
     + stochastic Lanczos quadrature, kernel matrix never materialized) --
     O(n·probes) memory, for n past the factorization's HBM wall.  The
     logdet/trace terms are unbiased t-probe estimates with fixed seeds
     (deterministic objective); ``probes``, ``max_cg_iters``,
-    ``precond_rank``, ``cg_tol``, ``probe_seed`` tune it.
+    ``precond_rank``, ``cg_tol``, ``probe_seed`` tune it;
+    :meth:`iterative_diagnostics` reports the per-probe estimator spread
+    and CG convergence so ``probes`` can be sized on evidence.  An
+    ineligible config raises at construction, and a minibatched ``loss``
+    raises at call time -- the matrix-free path never silently degrades
+    to the dense path it exists to avoid.
     """
 
     def __init__(
@@ -109,6 +115,16 @@ class GPR(GPModel):
         if solver not in ("dense", "iterative"):
             raise ValueError("solver must be 'dense' or 'iterative'")
         self.solver = solver
+        if solver == "iterative" and not self._fast_eligible_config():
+            # fail at construction, not silently at loss() (VERDICT round-2
+            # item 5: the matrix-free path exists to avoid the dense path;
+            # quietly taking the dense path instead defeats it)
+            raise ValueError(
+                "solver='iterative' requires a radial kernel (Rbf/Matern*/"
+                "RationalQuadratic incl. ARD), Zero mean, and Exp "
+                f"bijectors; got kernel={type(kernel).__name__}, "
+                f"mean={type(self.mean_function).__name__}"
+            )
         self.probes = int(probes)
         self.max_cg_iters = int(max_cg_iters)
         self.precond_rank = int(min(precond_rank, self.X.shape[0]))
@@ -176,14 +192,19 @@ class GPR(GPModel):
         )
 
     def _iterative_eligible(self, x):
-        return (
-            self.solver == "iterative"
-            and x.shape[0] == self.X.shape[0]
-            and self._fast_eligible_config()
-            # the matrix-free MVMs cover the classic 3-hyperparameter
-            # radials only (ops/iterative shares _RADIALS, not _RADIALS_X)
-            and self._fast_kind() != "rq"
-        )
+        if self.solver != "iterative":
+            return False
+        if x.shape[0] != self.X.shape[0]:
+            # an iterative model handed a minibatch must FAIL, not silently
+            # run the dense autodiff path it exists to avoid (VERDICT
+            # round-2 item 5); subsample the model's data instead.
+            raise ValueError(
+                f"solver='iterative' GPR got x with {x.shape[0]} rows but "
+                f"was built with n={self.X.shape[0]}: minibatched loss is "
+                "not supported on the matrix-free path (it would silently "
+                "fall back to the dense O(n^2) autodiff path)"
+            )
+        return self._fast_eligible_config()
 
     def _fast_eligible_config(self):
         from .. import mean_functions as _m
@@ -210,8 +231,12 @@ class GPR(GPModel):
                 radial_nlml_iterative_jit as radial_nlml_iterative,
             )
 
+            kind = self._fast_kind()
+            log_extra = (
+                self.kernel.alpha.raw.reshape((1,)) if kind == "rq" else None
+            )
             return -radial_nlml_iterative(
-                self._fast_kind(),
+                kind,
                 self.kernel.length_scales.raw,
                 self.kernel.variance.raw.reshape(()),
                 self.likelihood.variance.raw.reshape(()),
@@ -224,6 +249,7 @@ class GPR(GPModel):
                 self.max_cg_iters,
                 self.precond_rank,
                 self.cg_tol,
+                log_extra,
             )
         if self._fast_eligible(x):
             import jax.lax as _lax
@@ -320,6 +346,45 @@ class GPR(GPModel):
         return self.kernel.K(x) + self.likelihood.variance.value.reshape(
             ()
         ) * jnp.eye(n, dtype=jnp.result_type(x))
+
+    def iterative_diagnostics(self):
+        """SLQ/CG estimator diagnostics for ``solver="iterative"`` models
+        (:func:`gptorch_tpu.ops.iterative.radial_slq_diagnostics`): the
+        per-probe logdet spread (``nlml_stderr`` = its 1σ Monte-Carlo
+        error in NLML units), CG iterations used, and exact final CG
+        residuals.  Use it to size ``probes``/``max_cg_iters`` on
+        evidence for your n and conditioning."""
+        if not self._iterative_eligible(self.X):
+            raise ValueError("iterative_diagnostics requires solver='iterative'")
+        import jax
+
+        from ..ops.iterative import radial_slq_diagnostics
+
+        kind = self._fast_kind()
+        log_extra = (
+            self.kernel.alpha.raw.reshape((1,)) if kind == "rq" else None
+        )
+        out = jax.jit(
+            radial_slq_diagnostics, static_argnums=(0, 7, 8, 9, 10, 11, 12)
+        )(
+            kind,
+            self.kernel.length_scales.raw,
+            self.kernel.variance.raw.reshape(()),
+            self.likelihood.variance.raw.reshape(()),
+            self.X,
+            self.Y,
+            self.probe_seeds,
+            self.fast_jitter,
+            self.mvm_slab,
+            self.probes,
+            self.max_cg_iters,
+            self.precond_rank,
+            self.cg_tol,
+            log_extra,
+        )
+        import numpy as _np
+
+        return {k: _np.asarray(v) for k, v in out.items()}
 
     def posterior(self):
         """Cached predictive posterior: factorizes Kyy ONCE (dense solver)

@@ -217,6 +217,7 @@ class IterativeGPRPosterior(Posterior):
     def __init__(
         self, kernel, likelihood, mean_function, X, alpha,
         kind, fast_jitter, mvm_slab, max_cg_iters, cg_tol, Lpc,
+        log_extra=None,
     ):
         self.kernel = kernel
         self.likelihood = likelihood
@@ -229,6 +230,8 @@ class IterativeGPRPosterior(Posterior):
         self.max_cg_iters = max_cg_iters
         self.cg_tol = cg_tol
         self.Lpc = Lpc  # pivoted-Cholesky preconditioner factor (n, k)
+        if log_extra is not None:
+            self.log_extra = log_extra
 
     def _solve(self, B):
         from ..ops.iterative import mbcg, radial_mvm, woodbury_solve
@@ -237,10 +240,11 @@ class IterativeGPRPosterior(Posterior):
         lv = self.kernel.variance.raw.reshape(())
         ln = self.likelihood.variance.raw.reshape(())
         noise = jnp.exp(ln) + self.fast_jitter
+        log_extra = getattr(self, "log_extra", None)
         X, *_ = mbcg(
             lambda V: radial_mvm(
                 self.kind, le, lv, ln, self.X, V, self.fast_jitter,
-                self.mvm_slab,
+                self.mvm_slab, log_extra,
             ),
             lambda V: woodbury_solve(self.Lpc, noise, V),
             B,
@@ -272,7 +276,10 @@ def iterative_gpr_posterior(model) -> IterativeGPRPosterior:
     kind = model._fast_kind()
     le = model.kernel.length_scales.raw
     lv = model.kernel.variance.raw.reshape(())
-    Lpc = pivoted_cholesky(kind, le, lv, model.X, model.precond_rank)
+    log_extra = model.kernel.alpha.raw.reshape((1,)) if kind == "rq" else None
+    Lpc = pivoted_cholesky(
+        kind, le, lv, model.X, model.precond_rank, log_extra
+    )
     post = IterativeGPRPosterior(
         model.kernel,
         model.likelihood,
@@ -285,6 +292,7 @@ def iterative_gpr_posterior(model) -> IterativeGPRPosterior:
         model.max_cg_iters,
         model.cg_tol,
         Lpc,
+        log_extra,
     )
     post.alpha = post._solve(model.Y - model.mean_function(model.X))
     return post

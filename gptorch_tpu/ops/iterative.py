@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .gpr_fast import _RADIALS, _scaled
+from .gpr_fast import _RADIALS, _RADIALS_X, _scaled
 
 __all__ = [
     "radial_mvm",
@@ -53,13 +53,23 @@ __all__ = [
     "woodbury_logdet",
     "mbcg",
     "radial_nlml_iterative",
+    "radial_slq_diagnostics",
 ]
+
+
+def _maps(kind, r2, var, log_extra):
+    """(G, E, F) radial maps; F (the ∂/∂log_extra map) is None for the
+    classic 3-hyperparameter families (see gpr_fast._RADIALS[_X])."""
+    if kind in _RADIALS_X:
+        return _RADIALS_X[kind](r2, var, log_extra)
+    G, E = _RADIALS[kind](r2, var)
+    return G, E, None
 
 
 # -- matrix-free MVM -------------------------------------------------------------
 
 
-def _gram_slab(xs, xsn, lo, slab, kind, var):
+def _gram_slab(xs, xsn, lo, slab, kind, var, log_extra=None):
     """Rows [lo, lo+slab) of the noiseless Gram on pre-scaled inputs."""
     d = xs.shape[1]
     xs_s = lax.dynamic_slice(xs, (lo, 0), (slab, d))
@@ -74,15 +84,20 @@ def _gram_slab(xs, xsn, lo, slab, kind, var):
     ii = lax.broadcasted_iota(jnp.int32, r2.shape, 0)
     jj = lax.broadcasted_iota(jnp.int32, r2.shape, 1)
     r2 = jnp.where(jj == ii + lo, 0.0, r2)
-    G, _ = _RADIALS[kind](jnp.maximum(r2, 0.0), var)
+    G, _, _ = _maps(kind, jnp.maximum(r2, 0.0), var, log_extra)
     return G
 
 
-def radial_mvm(kind, log_ell, log_var, log_noise, x, V, jitter=0.0, slab=2048):
+def radial_mvm(
+    kind, log_ell, log_var, log_noise, x, V, jitter=0.0, slab=2048,
+    log_extra=None,
+):
     """(K + (σ_n² + jitter)·I) @ V without materializing K.
 
     :param V: (n, k) block of vectors.
     :param slab: static row-slab size (must divide n after internal padding).
+    :param log_extra: extra scalar hyperparameter for kinds in
+        ``_RADIALS_X`` (rq: log α); omit for classic kinds.
     :return: (n, k).
     """
     n = x.shape[0]
@@ -95,13 +110,14 @@ def radial_mvm(kind, log_ell, log_var, log_noise, x, V, jitter=0.0, slab=2048):
     out = jnp.zeros((n, V.shape[1]), dtype=V.dtype)
     for s in range(n // slab):
         lo = s * slab
-        G = _gram_slab(xs, xsn, lo, slab, kind, var)
+        G = _gram_slab(xs, xsn, lo, slab, kind, var, log_extra)
         acc = jnp.matmul(G, V, preferred_element_type=V.dtype)
         out = lax.dynamic_update_slice(out, acc, (lo, 0))
     rem = n - (n // slab) * slab
     if rem:
         lo = (n // slab) * slab
-        G = _gram_slab(xs, xsn, n - slab, slab, kind, var)  # overlapping slab
+        # overlapping slab
+        G = _gram_slab(xs, xsn, n - slab, slab, kind, var, log_extra)
         acc = jnp.matmul(G, V, preferred_element_type=V.dtype)[slab - rem :]
         out = lax.dynamic_update_slice(out, acc, (lo, 0))
     return out + noise * V
@@ -110,7 +126,7 @@ def radial_mvm(kind, log_ell, log_var, log_noise, x, V, jitter=0.0, slab=2048):
 # -- pivoted Cholesky preconditioner ---------------------------------------------
 
 
-def pivoted_cholesky(kind, log_ell, log_var, x, rank: int):
+def pivoted_cholesky(kind, log_ell, log_var, x, rank: int, log_extra=None):
     """Rank-``rank`` pivoted (greedy max-diagonal) Cholesky of the NOISELESS
     Gram, matrix-free: one kernel column per step (Harbrecht et al. 2012;
     the GPyTorch preconditioner).  Returns L (n, rank) with
@@ -126,7 +142,7 @@ def pivoted_cholesky(kind, log_ell, log_var, x, rank: int):
         """K[:, j] for traced j."""
         xj = lax.dynamic_slice(xs, (j, 0), (1, xs.shape[1]))
         r2 = xsn + jnp.sum(xj * xj) - 2.0 * (xs @ xj[0])
-        G, _ = _RADIALS[kind](jnp.maximum(r2, 0.0), var)
+        G, _, _ = _maps(kind, jnp.maximum(r2, 0.0), var, log_extra)
         return G
 
     def body(carry, _):
@@ -235,38 +251,37 @@ def lanczos_logdet_quadratic(alphas, betas, valid, probe_sqnorms, n):
         T_j,j+1 = √β_j / α_j
     (β_{-1} = 0).  Estimate per probe: ‖z‖²·e₁ᵀ log(T) e₁.
     """
-    m, t = alphas.shape
-    # guard α=0 (converged/masked iterations): replace by 1 and mask via
-    # "valid"; an exhausted T is padded with identity-ish diagonal so log = 0
-    a = jnp.where(valid & (alphas != 0), alphas, 1.0)
-    b = jnp.where(valid, betas, 0.0)
-
-    diag = 1.0 / a + jnp.concatenate(
-        [jnp.zeros((1, t), a.dtype), b[:-1] / a[:-1]], axis=0
-    )
-    # padded (invalid) steps: make T_jj = 1 so log contributes 0
-    diag = jnp.where(valid, diag, 1.0)
-    off = jnp.sqrt(jnp.maximum(b[:-1], 0.0)) / a[:-1]
-    off = jnp.where(valid[:-1] & valid[1:], off, 0.0)
-
-    def one(dg, od, z2):
-        T = (
-            jnp.diag(dg)
-            + jnp.diag(od, 1)
-            + jnp.diag(od, -1)
-        )
-        w, Q = jnp.linalg.eigh(T)
-        w = jnp.maximum(w, jnp.finfo(dg.dtype).tiny)
-        return z2 * jnp.sum(jnp.square(Q[0]) * jnp.log(w))
-
-    vals = jax.vmap(one, in_axes=(1, 1, 0))(diag, off, probe_sqnorms)
-    return jnp.mean(vals)
+    # (guards for α=0 / padded steps live in _slq_probe_values below)
+    return jnp.mean(_slq_probe_values(alphas, betas, valid, probe_sqnorms))
 
 
 # -- the full iterative NLML with hand-written adjoint ----------------------------
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 7, 8, 9, 10, 11, 12))
+def _radial_nlml_iterative_core(
+    kind,
+    log_ell,
+    log_var,
+    log_noise,
+    x,
+    y,
+    probe_seeds,
+    jitter,
+    slab,
+    probes,
+    max_iters,
+    precond_rank,
+    tol,
+    log_extra,
+):
+    nlml, _ = _it_fwd_impl(
+        kind, log_ell, log_var, log_noise, x, y, probe_seeds,
+        jitter, slab, probes, max_iters, precond_rank, tol, log_extra,
+    )
+    return nlml
+
+
 def radial_nlml_iterative(
     kind,
     log_ell,
@@ -281,6 +296,7 @@ def radial_nlml_iterative(
     max_iters=100,
     precond_rank=32,
     tol=1e-6,
+    log_extra=None,
 ):
     """Matrix-free NLML of exact GPR with a radial(-ARD) kernel (same model
     as :func:`gptorch_tpu.ops.gpr_fast.radial_nlml`, solved by mBCG + SLQ
@@ -290,27 +306,37 @@ def radial_nlml_iterative(
         (data; zero cotangent).  Inside, probes are warped to N(0, P) with
         the pivoted-Cholesky preconditioner P = L Lᵀ + σ̂²I via
         z = σ̂·s0 + L s1 (fixed seeds = deterministic, smooth objective).
+    :param log_extra: extra scalar hyperparameter for kinds in
+        ``_RADIALS_X`` (rq: log α), shape (1,); omit for classic kinds.
     :returns: scalar NLML (logdet and trace terms are t-probe SLQ /
         Hutchinson estimates; the data-fit term is exact to CG tolerance).
     """
-    nlml, _ = _it_fwd_impl(
+    if log_extra is None:
+        if kind in _RADIALS_X:
+            raise ValueError(
+                f"kind={kind!r} carries an extra hyperparameter: pass "
+                "log_extra (rq: log alpha, shape (1,))"
+            )
+        log_extra = jnp.zeros((0,), dtype=jnp.result_type(x))
+    return _radial_nlml_iterative_core(
         kind, log_ell, log_var, log_noise, x, y, probe_seeds,
-        jitter, slab, probes, max_iters, precond_rank, tol,
+        jitter, slab, probes, max_iters, precond_rank, tol, log_extra,
     )
-    return nlml
 
 
 def _it_fwd_impl(
     kind, log_ell, log_var, log_noise, x, y, probe_seeds,
-    jitter, slab, probes, max_iters, precond_rank, tol,
+    jitter, slab, probes, max_iters, precond_rank, tol, log_extra,
 ):
     n, dy = y.shape
     noise = jnp.exp(log_noise) + jitter
 
-    Lpc = pivoted_cholesky(kind, log_ell, log_var, x, precond_rank)
+    Lpc = pivoted_cholesky(kind, log_ell, log_var, x, precond_rank, log_extra)
 
     def mvm(V):
-        return radial_mvm(kind, log_ell, log_var, log_noise, x, V, jitter, slab)
+        return radial_mvm(
+            kind, log_ell, log_var, log_noise, x, V, jitter, slab, log_extra
+        )
 
     def precond(V):
         return woodbury_solve(Lpc, noise, V)
@@ -340,40 +366,44 @@ def _it_fwd_impl(
         + 0.5 * dy * logdet
         + 0.5 * n * dy * math.log(2.0 * math.pi)
     )
-    return nlml, (log_ell, log_var, log_noise, x, y, A, U, V)
+    return nlml, (log_ell, log_var, log_noise, x, y, A, U, V, log_extra)
 
 
 def _it_fwd(kind, log_ell, log_var, log_noise, x, y, probe_seeds,
-            jitter, slab, probes, max_iters, precond_rank, tol):
+            jitter, slab, probes, max_iters, precond_rank, tol, log_extra):
     nlml, res = _it_fwd_impl(
         kind, log_ell, log_var, log_noise, x, y, probe_seeds,
-        jitter, slab, probes, max_iters, precond_rank, tol,
+        jitter, slab, probes, max_iters, precond_rank, tol, log_extra,
     )
     return nlml, res + (probe_seeds,)
 
 
-def _lowrank_contractions(kind, xs, var, Wl, Wr, slab):
+def _lowrank_contractions(kind, xs, var, Wl, Wr, slab, log_extra=None):
     """Streamed ⟨W, G⟩ and the length-scale contraction pieces for the
     LOW-RANK (possibly asymmetric) W = Wl @ Wrᵀ, over recomputed Gram
-    tiles.  Returns (svar, grad_ell_full (d,)):
+    tiles.  Returns (svar, grad_ell_full (d,), sextra):
 
         svar        = Σ_ij W_ij G_ij
         grad_ell_q  = Σ_ij W_ij E_ij (x̃_iq - x̃_jq)²
                     = Σ_i rowsum(M)_i x̃²_iq + Σ_j colsum(M)_j x̃²_jq
-                      - 2 Σ_i x̃_iq (M x̃)_iq            with M = W ⊙ E.
+                      - 2 Σ_i x̃_iq (M x̃)_iq            with M = W ⊙ E
+        sextra      = Σ_ij W_ij F_ij   (kinds with an extra hyper; else 0).
     """
     n, d = xs.shape
     xsn = jnp.sum(xs * xs, axis=1)
     sl = min(slab, n)
+    has_extra = kind in _RADIALS_X
 
     svar = jnp.zeros((), xs.dtype)
+    sextra = jnp.zeros((), xs.dtype)
     row_terms = jnp.zeros((d,), xs.dtype)  # Σ_i rowsum_i x̃²_iq - 2 x̃ᵀ(Mx̃) part
     colsum = jnp.zeros((n,), xs.dtype)
 
     n_slabs = -(-n // sl)
     for s in range(n_slabs):
         lo = min(s * sl, n - sl)
-        G_s, E_s = _RADIALS[kind](
+        G_s, E_s, F_s = _maps(
+            kind,
             jnp.maximum(
                 jnp.sum(
                     lax.dynamic_slice(xs, (lo, 0), (sl, d)) ** 2,
@@ -390,6 +420,7 @@ def _lowrank_contractions(kind, xs, var, Wl, Wr, slab):
                 0.0,
             ),
             var,
+            log_extra,
         )
         Wl_s = lax.dynamic_slice(Wl, (lo, 0), (sl, Wl.shape[1]))
         W_s = jnp.matmul(Wl_s, Wr.T, preferred_element_type=xs.dtype)
@@ -399,6 +430,8 @@ def _lowrank_contractions(kind, xs, var, Wl, Wr, slab):
             W_s = jnp.where(mask, W_s, 0.0)
         M_s = W_s * E_s
         svar = svar + jnp.sum(W_s * G_s)
+        if has_extra:
+            sextra = sextra + jnp.sum(W_s * F_s)
         xs_s = lax.dynamic_slice(xs, (lo, 0), (sl, d))
         rowsum = jnp.sum(M_s, axis=1)
         MX = jnp.matmul(M_s, xs, preferred_element_type=xs.dtype)
@@ -408,11 +441,11 @@ def _lowrank_contractions(kind, xs, var, Wl, Wr, slab):
         )
         colsum = colsum + jnp.sum(M_s, axis=0)
     grad_ell = row_terms + jnp.sum(colsum[:, None] * jnp.square(xs), axis=0)
-    return svar, grad_ell
+    return svar, grad_ell, sextra
 
 
 def _it_bwd(kind, jitter, slab, probes, max_iters, precond_rank, tol, res, g):
-    log_ell, log_var, log_noise, x, y, A, U, V, probe_seeds = res
+    log_ell, log_var, log_noise, x, y, A, U, V, log_extra, probe_seeds = res
     n, dy = y.shape
     t = U.shape[1]
 
@@ -423,7 +456,9 @@ def _it_bwd(kind, jitter, slab, probes, max_iters, precond_rank, tol, res, g):
     Wl = jnp.concatenate([(dy / t) * U, -A], axis=1)
     Wr = jnp.concatenate([V, A], axis=1)
 
-    svar, grad_ell_full = _lowrank_contractions(kind, xs, var, Wl, Wr, slab)
+    svar, grad_ell_full, sextra = _lowrank_contractions(
+        kind, xs, var, Wl, Wr, slab, log_extra
+    )
 
     d_log_var = g * 0.5 * svar
     half_ell = 0.5 * grad_ell_full
@@ -438,6 +473,13 @@ def _it_bwd(kind, jitter, slab, probes, max_iters, precond_rank, tol, res, g):
     tr_kinv = jnp.sum(U * V) / t
     d_log_noise = g * 0.5 * noise * (dy * tr_kinv - jnp.sum(jnp.square(A)))
 
+    if jnp.size(log_extra):
+        d_log_extra = jnp.broadcast_to(
+            g * 0.5 * sextra, jnp.shape(log_extra)
+        ).astype(jnp.result_type(log_extra))
+    else:
+        d_log_extra = jnp.zeros_like(log_extra)
+
     return (
         d_log_ell,
         jnp.reshape(d_log_var, jnp.shape(log_var)),
@@ -445,13 +487,111 @@ def _it_bwd(kind, jitter, slab, probes, max_iters, precond_rank, tol, res, g):
         jnp.zeros_like(x),
         jnp.zeros_like(y),
         jnp.zeros_like(probe_seeds),
+        d_log_extra,
     )
 
 
-radial_nlml_iterative.defvjp(_it_fwd, _it_bwd)
+_radial_nlml_iterative_core.defvjp(_it_fwd, _it_bwd)
 
 #: Jitted entry point (see ops/gpr_fast.radial_nlml_jit rationale: eager
 #: calls must not materialize per-op intermediates).
 radial_nlml_iterative_jit = jax.jit(
     radial_nlml_iterative, static_argnums=(0, 7, 8, 9, 10, 11, 12)
 )
+
+
+# -- estimator diagnostics --------------------------------------------------------
+
+
+def _slq_probe_values(alphas, betas, valid, probe_sqnorms):
+    """Per-probe SLQ estimates ‖z‖²·e₁ᵀ log(T_i) e₁ (the quantities
+    :func:`lanczos_logdet_quadratic` averages)."""
+    m, t = alphas.shape
+    a = jnp.where(valid & (alphas != 0), alphas, 1.0)
+    b = jnp.where(valid, betas, 0.0)
+    diag = 1.0 / a + jnp.concatenate(
+        [jnp.zeros((1, t), a.dtype), b[:-1] / a[:-1]], axis=0
+    )
+    diag = jnp.where(valid, diag, 1.0)
+    off = jnp.sqrt(jnp.maximum(b[:-1], 0.0)) / a[:-1]
+    off = jnp.where(valid[:-1] & valid[1:], off, 0.0)
+
+    def one(dg, od, z2):
+        T = jnp.diag(dg) + jnp.diag(od, 1) + jnp.diag(od, -1)
+        w, Q = jnp.linalg.eigh(T)
+        w = jnp.maximum(w, jnp.finfo(dg.dtype).tiny)
+        return z2 * jnp.sum(jnp.square(Q[0]) * jnp.log(w))
+
+    return jax.vmap(one, in_axes=(1, 1, 0))(diag, off, probe_sqnorms)
+
+
+def radial_slq_diagnostics(
+    kind, log_ell, log_var, log_noise, x, y, probe_seeds,
+    jitter=0.0, slab=2048, probes=10, max_iters=100, precond_rank=32,
+    tol=1e-6, log_extra=None,
+):
+    """Estimator-quality diagnostics for the iterative NLML (round-2
+    VERDICT item 5: expose the per-probe SLQ spread so users can size
+    ``probes`` for their n/conditioning instead of trusting t=16 blindly).
+
+    Returns a dict of floats/arrays:
+
+    * ``logdet_estimate`` -- the t-probe logdet used by the NLML,
+    * ``logdet_probe_values`` -- (t,) per-probe estimates (logdet P +
+      per-probe SLQ value); their spread IS the estimator noise,
+    * ``logdet_stderr`` -- std/√t of the probe values: the 1σ Monte-Carlo
+      error of the logdet estimate.  Multiply by dy/2 for NLML units,
+    * ``nlml_stderr`` -- that, in NLML units,
+    * ``cg_iters`` -- (dy + t,) CG iterations used per RHS column,
+    * ``cg_relres`` -- (dy + t,) final relative residuals ‖Kx-b‖/‖b‖
+      (exactly computed with one extra MVM).
+
+    Guidance: ``probes`` is enough when ``nlml_stderr`` is small against
+    the NLML *differences* your optimizer follows (rule of thumb: ≲1e-3
+    of |NLML|); fixed seeds make the noise a smooth bias over θ, so
+    training tolerates larger stderr than model comparison does.
+    """
+    if log_extra is None and kind in _RADIALS_X:
+        raise ValueError(f"kind={kind!r} requires log_extra")
+    n, dy = y.shape
+    noise = jnp.exp(log_noise) + jitter
+    Lpc = pivoted_cholesky(kind, log_ell, log_var, x, precond_rank, log_extra)
+
+    def mvm(V):
+        return radial_mvm(
+            kind, log_ell, log_var, log_noise, x, V, jitter, slab, log_extra
+        )
+
+    def precond(V):
+        return woodbury_solve(Lpc, noise, V)
+
+    s0 = probe_seeds[:n]
+    s1 = probe_seeds[n:]
+    Z = jnp.sqrt(noise) * s0 + jnp.matmul(
+        Lpc, s1, preferred_element_type=s0.dtype
+    )
+    B = jnp.concatenate([y, Z], axis=1)
+    X, alphas, betas, valid = mbcg(mvm, precond, B, max_iters, tol)
+
+    R = B - mvm(X)
+    relres = jnp.linalg.norm(R, axis=0) / jnp.maximum(
+        jnp.linalg.norm(B, axis=0), 1e-30
+    )
+
+    V = precond(Z)
+    probe_sqnorms = jnp.sum(Z * V, axis=0)
+    vals = _slq_probe_values(
+        alphas[:, dy:], betas[:, dy:], valid[:, dy:], probe_sqnorms
+    )
+    logdet_p = woodbury_logdet(Lpc, noise, n)
+    probe_values = logdet_p + vals
+    t = vals.shape[0]
+    stderr = jnp.std(vals) / math.sqrt(t)
+    return {
+        "logdet_estimate": logdet_p + jnp.mean(vals),
+        "logdet_probe_values": probe_values,
+        "logdet_stderr": stderr,
+        "nlml_stderr": 0.5 * dy * stderr,
+        "cg_iters": jnp.sum(valid, axis=0),
+        "cg_relres": relres,
+    }
