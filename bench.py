@@ -11,11 +11,15 @@ aware trtri + closed-form custom VJP, gptorch_tpu/ops/gpr_fast.py) exactly
 as any user's model does; the benchmark is the same step a training loop
 takes.
 
-Prints exactly one JSON line:
+Prints the headline JSON line first:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+then (TPU only, BENCH_ITERATIVE != 0) a SECOND line for the matrix-free
+exact-GPR step at N=100k -- the BASELINE.md stretch row (exact GP at
+N=100k on ONE chip), driver-attested via bench_iterative.run().
 
 Env overrides: BENCH_N (default 32768), BENCH_D (8), BENCH_ITERS (3),
-BENCH_NB (1024, blocked-factorization panel size; measured optimum).
+BENCH_NB (1024, blocked-factorization panel size; measured optimum),
+BENCH_ITERATIVE (1), BENCH_ITER_N (100000 on TPU; min(n, 4096) elsewhere).
 """
 
 import json
@@ -94,6 +98,17 @@ def main():
         f"loss={float(loss):.3f} backend={jax.default_backend()}",
         file=sys.stderr,
     )
+
+    if os.environ.get("BENCH_ITERATIVE", "1") != "0":
+        import bench_iterative
+
+        on_tpu = jax.default_backend() == "tpu"
+        iter_n = int(
+            os.environ.get("BENCH_ITER_N", 100000 if on_tpu else min(n, 4096))
+        )
+        record, comment = bench_iterative.run(n=iter_n, d=d, iters=2)
+        print(json.dumps(record))
+        print(comment, file=sys.stderr)
 
 
 if __name__ == "__main__":

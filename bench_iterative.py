@@ -10,6 +10,10 @@ Prints one JSON line; vs_baseline is steps/s against a 10 s/iter target
 (there is no reference or dense baseline at this n -- the capability is the
 point; the target makes regressions visible).
 
+``run(...)`` is importable -- bench.py calls it to emit the N=100k
+iterative line as its second driver-attested record (round-2 VERDICT
+item 4).
+
 Env overrides: BENCH_N (65536), BENCH_D (8), BENCH_PROBES (8),
 BENCH_RANK (64), BENCH_CG_ITERS (128), BENCH_SLAB (4096), BENCH_ITERS (2).
 """
@@ -22,20 +26,21 @@ import time
 import numpy as np
 
 
-def main():
+def run(
+    n=65536,
+    d=8,
+    probes=8,
+    rank=64,
+    cg_iters=128,
+    slab=4096,
+    iters=2,
+):
+    """Time the iterative NLML+grad step; returns (record, comment)."""
     import jax
 
     from gptorch_tpu import kernels, likelihoods
     from gptorch_tpu.models import GPR
     from gptorch_tpu.module import get_trainable, with_trainable
-
-    n = int(os.environ.get("BENCH_N", 65536))
-    d = int(os.environ.get("BENCH_D", 8))
-    probes = int(os.environ.get("BENCH_PROBES", 8))
-    rank = int(os.environ.get("BENCH_RANK", 64))
-    cg_iters = int(os.environ.get("BENCH_CG_ITERS", 128))
-    slab = int(os.environ.get("BENCH_SLAB", 4096))
-    iters = int(os.environ.get("BENCH_ITERS", 2))
 
     rng = np.random.RandomState(0)
     x = rng.randn(n, d).astype(np.float32)
@@ -73,22 +78,32 @@ def main():
     dt = min(times)
 
     steps_per_s = 1.0 / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"gpr_iterative_nlml_grad_n{n}_steps_per_s",
-                "value": round(steps_per_s, 4),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_s / 0.1, 4),
-            }
-        )
-    )
-    print(
+    record = {
+        "metric": f"gpr_iterative_nlml_grad_n{n}_steps_per_s",
+        "value": round(steps_per_s, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / 0.1, 4),
+    }
+    comment = (
         f"# n={n} d={d} probes={probes} rank={rank} cg_iters={cg_iters} "
         f"slab={slab} time/iter={dt:.2f} s loss={float(loss):.1f} "
-        f"backend={jax.default_backend()}",
-        file=sys.stderr,
+        f"backend={jax.default_backend()}"
     )
+    return record, comment
+
+
+def main():
+    record, comment = run(
+        n=int(os.environ.get("BENCH_N", 65536)),
+        d=int(os.environ.get("BENCH_D", 8)),
+        probes=int(os.environ.get("BENCH_PROBES", 8)),
+        rank=int(os.environ.get("BENCH_RANK", 64)),
+        cg_iters=int(os.environ.get("BENCH_CG_ITERS", 128)),
+        slab=int(os.environ.get("BENCH_SLAB", 4096)),
+        iters=int(os.environ.get("BENCH_ITERS", 2)),
+    )
+    print(json.dumps(record))
+    print(comment, file=sys.stderr)
 
 
 if __name__ == "__main__":
