@@ -365,3 +365,100 @@ class TestShardedIterativeGPR:
             assert np.asarray(grads[k]) == pytest.approx(
                 np.asarray(g_ref[k]), rel=1e-7, abs=1e-9
             )
+
+
+class TestDistributedErgonomics:
+    """Round-2 VERDICT item 6: DistributedGPR reaches ergonomic parity
+    with the single-chip models -- cached posterior, optimize() loop,
+    checkpoint round trip, and a compile-time memory check of the
+    distributed NLML against memory_plan's slab accounting."""
+
+    def _model(self, mesh, n=256, seed=0):
+        rng = np.random.RandomState(seed)
+        x = rng.randn(n, 3)
+        y = np.sin(x[:, :1]) + 0.1 * rng.randn(n, 1)
+        m = DistributedGPR(
+            x, y, kernels.Rbf(3, ARD=True), likelihoods.Gaussian(0.1), mesh
+        )
+        return m, x, y
+
+    def test_cached_posterior_matches_predict(self, mesh):
+        m, x, y = self._model(mesh)
+        xt = np.random.RandomState(1).randn(6, 3)
+        mu0, var0 = m.predict_f(xt)
+        post = m.posterior()
+        mu1, var1 = post.predict_f(xt)
+        assert mu1 == pytest.approx(mu0, abs=1e-10)
+        assert var1 == pytest.approx(var0, abs=1e-10)
+        # full-covariance + likelihood-noise path
+        mu0f, cov0 = m.predict_y(xt, diag=False)
+        mu1f, cov1 = post.predict_y(xt, diag=False)
+        assert cov1 == pytest.approx(cov0, abs=1e-10)
+        # the cached factor reproduces the single-chip dense posterior too
+        sc = GPR(
+            x, y, kernels.Rbf(3, ARD=True),
+            likelihood=likelihoods.Gaussian(0.1), fast=False,
+        )
+        mu_sc, var_sc = sc.predict_f(xt)
+        assert mu1 == pytest.approx(mu_sc, rel=1e-6, abs=1e-8)
+        assert var1 == pytest.approx(var_sc, rel=1e-6, abs=1e-8)
+
+    def test_optimize_loop(self, mesh):
+        m, _, _ = self._model(mesh)
+        losses, wall = m.optimize(
+            method="Adam", max_iter=8, verbose=False, learning_rate=0.05
+        )
+        assert losses[-1] < losses[0]
+
+    def test_checkpoint_round_trip(self, mesh, tmp_path):
+        from gptorch_tpu.training import checkpoint
+
+        m, x, y = self._model(mesh)
+        m.optimize(method="Adam", max_iter=3, verbose=False)
+        p = str(tmp_path / "dist_gpr.npz")
+        checkpoint.save_trainable(p, m)
+        m2, _, _ = self._model(mesh)
+        m2 = checkpoint.load_trainable(p, m2)
+        a = float(m.loss_and_grad()[0])
+        b = float(m2.loss_and_grad()[0])
+        assert b == pytest.approx(a, rel=1e-12)
+
+    def test_compile_time_memory_vs_plan(self, mesh):
+        """Lower + compile (NOT run) the distributed NLML and check the
+        compiler's own peak-memory estimate against memory_plan's slab
+        accounting at the same (n, p): the plan's 3-slab phase peak must
+        UPPER-bound the compiled per-device temp allocation (XLA's
+        liveness analysis can only do better than the hand plan).  f32,
+        n=2048 on p=8 -- same code path as the N=100k program, small
+        enough to trace in CI."""
+        from gptorch_tpu.parallel.adjoint import make_distributed_nlml, memory_plan
+
+        n, p = 2048, 8
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(n, 3), dtype=jnp.float32)
+        y = jnp.asarray(rng.randn(n, 1), dtype=jnp.float32)
+        kern = kernels.Rbf(3)
+        kern = jax.tree_util.tree_map(
+            lambda t: t.astype(jnp.float32)
+            if hasattr(t, "astype") and t.dtype == jnp.float64
+            else t,
+            kern,
+        )
+        nlml = make_distributed_nlml(mesh, "sp")
+        fn = jax.jit(
+            lambda k, nz, xx, yy: jax.value_and_grad(nlml, argnums=1)(
+                k, nz, xx, yy
+            )
+        )
+        compiled = fn.lower(
+            kern, jnp.asarray(0.1, jnp.float32), x, y
+        ).compile()
+        mem = compiled.memory_analysis()
+        plan = memory_plan(n, p, itemsize=4)
+        # CPU "devices" are threads in one address space: the compiler
+        # reports the WHOLE mesh's temps; divide by p for per-device.
+        peak_per_dev = getattr(mem, "temp_size_in_bytes", 0) / p
+        assert peak_per_dev > 0
+        assert peak_per_dev <= plan["peak_bytes"], (
+            peak_per_dev, plan["peak_bytes"],
+        )
