@@ -61,13 +61,31 @@ class GPLVM(GPModel):
         jitter: float = 1e-6,
         times=None,
         time_kernel=None,
+        large_p: Optional[bool] = None,
+        reparam: bool = False,
         name: str = "gplvm",
     ):
         """``times``/``time_kernel``: optional DYNAMICAL prior (Damianou's
         variational GP dynamical system; reference gplvm.py's 'sequential'
         mode, dead code there): latents get a temporal GP prior
         p(x_:q) = N(0, K_t) over the given (n, 1) timestamps instead of the
-        iid N(0, I), and the KL term changes accordingly."""
+        iid N(0, I), and the KL term changes accordingly.
+
+        ``large_p``: evaluate the collapsed bound p-INDEPENDENTLY per step
+        by precomputing YYᵀ once (reference gplvm.py:73-75, 288-309 --
+        its one algorithmic trick for p ≫ n workloads like motion
+        capture).  ‖Y‖² and the ‖c‖² data-fit term are rewritten as
+        traces against the cached (n, n) Gram of Y, so no (n, p) or
+        (m, p) intermediate is formed during training.  Default ``None``
+        auto-selects p > n.
+
+        ``reparam`` (dynamical only): Damianou's (3.30) reparameterized
+        q(X) (reference gplvm.py:136-139, 248-257) -- per latent dim q,
+        q(x_:q) = N(K_t μ̄_q, (K_t⁻¹ + diag(λ_q))⁻¹) with free parameters
+        (μ̄, λ>0).  This is the FORM OF THE OPTIMAL q under the temporal
+        prior; optimizing the diagonal q directly (default, round-2
+        behavior) is poorly conditioned when K_t is smooth because the
+        prior couples the latents the diagonal cannot express."""
         y = np.asarray(y, dtype=float)
         n = y.shape[0]
         # Latent init by PCA (reference util.py:52-70's purpose); random
@@ -99,20 +117,15 @@ class GPLVM(GPModel):
             )
         self.Z = Param(as_array(np.asarray(inducing_points)))
 
-        # Variational posterior over latents.
-        self.Xmean = Param(as_array(x_init))
-        self.Xvar = positive_param(0.1 * np.ones_like(x_init))
+        # p-independent bound evaluation (see ctor docstring).
+        self.large_p = bool(y.shape[1] > n) if large_p is None else bool(large_p)
+        if self.large_p:
+            yj = jnp.asarray(as_array(y))
+            self._YYT = yj @ yj.T  # (n, n) buffer, computed once
+            self._trYY = jnp.sum(jnp.square(yj)).reshape(())
 
-        # Floor jitter on Kuu.  Unlike the exact/sparse models (whose jitter
-        # only engages on outright Cholesky FAILURE, matching reference
-        # functions.py:20-43), the GPLVM moves its inducing points through a
-        # changing latent space and routinely drives Kuu NEAR-singular --
-        # the factorization then succeeds numerically but the trailing
-        # solves explode.  A small always-on relative jitter (GPflow's
-        # default_jitter approach) keeps the bound finite.
-        self.jitter = float(jitter)
-
-        # Optional dynamical prior over the latents.
+        # Optional dynamical prior over the latents (set before the q(X)
+        # parameterization below, which depends on it).
         self.dynamical = times is not None
         if self.dynamical:
             times = np.asarray(times, dtype=float).reshape(-1, 1)
@@ -127,14 +140,43 @@ class GPLVM(GPModel):
             self.times = as_array(times)
             self.time_kernel = time_kernel
 
+        # Variational posterior over latents.
+        if reparam and not self.dynamical:
+            raise ValueError(
+                "reparam=True is the (3.30) reparameterization of q(X) "
+                "under the temporal prior; it requires times="
+            )
+        self.reparam = bool(reparam)
+        if self.reparam:
+            # initialize so the implied mean K_t μ̄ ≈ x_init, and λ = 1.
+            # The solve is RIDGED (1e-2, not the 1e-6 floor): the exact
+            # K_t⁻¹x_init amplifies whatever high-frequency content PCA
+            # left in x_init through the smooth prior's tiny eigenvalues,
+            # starting μ̄ᵀK_tμ̄ (the KL's mahalanobis term) enormous.
+            Kt0 = np.asarray(self.time_kernel.K(self.times))
+            Kt0 = Kt0 + 1e-2 * np.mean(np.diag(Kt0)) * np.eye(n)
+            self.Xbar = Param(as_array(np.linalg.solve(Kt0, x_init)))
+            self.Xlambda = positive_param(np.ones_like(x_init))
+        else:
+            self.Xmean = Param(as_array(x_init))
+            self.Xvar = positive_param(0.1 * np.ones_like(x_init))
+
+        # Floor jitter on Kuu.  Unlike the exact/sparse models (whose jitter
+        # only engages on outright Cholesky FAILURE, matching reference
+        # functions.py:20-43), the GPLVM moves its inducing points through a
+        # changing latent space and routinely drives Kuu NEAR-singular --
+        # the factorization then succeeds numerically but the trailing
+        # solves explode.  A small always-on relative jitter (GPflow's
+        # default_jitter approach) keeps the bound finite.
+        self.jitter = float(jitter)
+
     @property
     def num_inducing(self) -> int:
         return self.Z.shape[0]
 
     @property
     def latent_dimension(self) -> int:
-        return self.Xmean.shape[1]
-
+        return (self.Xbar if self.reparam else self.Xmean).shape[1]
 
     def _kuu(self, Z):
         """K(Z, Z) with the always-on relative floor jitter (see ctor)."""
@@ -147,17 +189,25 @@ class GPLVM(GPModel):
     # -- bound ----------------------------------------------------------------
 
     @staticmethod
-    def _collapsed_likelihood(psi0, Psi1, Psi2, y, beta, L):
+    def _low_rank_blocks(Psi1, Psi2, y, beta, L):
+        """The shared low-rank factor chain of the collapsed bound and the
+        predictive posterior:  A = βL⁻¹Ψ₂L⁻ᵀ,  L_B = chol(A + I),
+        c = βL_B⁻¹L⁻¹Ψ₁ᵀY  (y may be None to skip c)."""
+        m = L.shape[0]
+        tmp = trtrs(Psi2, L)
+        A = beta * trtrs(tmp.T, L)
+        B = A + jnp.eye(m, dtype=A.dtype)
+        LB = cholesky(B)
+        c = None if y is None else beta * trtrs(trtrs(Psi1.T @ y, L), LB)
+        return A, LB, c
+
+    @classmethod
+    def _collapsed_likelihood(cls, psi0, Psi1, Psi2, y, beta, L):
         """The data-fit part of the collapsed bound (everything except the
         KL over latents; see module docstring) given precomputed
         ψ-statistics and L = chol(Kuu)."""
         n, p = y.shape
-        m = L.shape[0]
-        tmp = trtrs(Psi2, L)
-        A = beta * trtrs(tmp.T, L)  # β L⁻¹ Ψ₂ L⁻ᵀ
-        B = A + jnp.eye(m, dtype=A.dtype)
-        LB = cholesky(B)
-        c = beta * trtrs(trtrs(Psi1.T @ y, L), LB)
+        A, LB, c = cls._low_rank_blocks(Psi1, Psi2, y, beta, L)
 
         elbo = -0.5 * n * p * math.log(2.0 * math.pi)
         elbo += 0.5 * n * p * jnp.log(beta)
@@ -168,45 +218,84 @@ class GPLVM(GPModel):
         elbo += 0.5 * p * jnp.trace(A)
         return elbo
 
-    def log_likelihood(self, x=None, y=None, key=None):
-        """Collapsed ELBO F(q) ≤ log p(Y) (see module docstring)."""
-        y = y if y is not None else self.Y
+    def _collapsed_likelihood_large_p(self, psi0, Psi1, Psi2, beta, L, n, p):
+        """p-INDEPENDENT evaluation of the data-fit bound against the
+        precomputed YYᵀ (reference gplvm.py:288-309):
 
-        beta = 1.0 / self.likelihood.variance.value.reshape(())
-        Z = self.Z.value
-        Xmean = self.Xmean.value
-        Xvar = self.Xvar.value
+            ‖Y‖²  = tr(YYᵀ)                       (cached scalar)
+            ‖c‖²  = β²·tr(TᵀT · YYᵀ),  T = L_B⁻¹L⁻¹Ψ₁ᵀ   (m, n)
 
-        psi0 = jnp.sum(self.kernel.eKxx(Xmean))
-        Psi1 = self.kernel.eKxz(Z, Xmean, Xvar)
-        Psi2 = self.kernel.eKzxKxz(Z, Xmean, Xvar, sum=True)
-        L = cholesky(self._kuu(Z))
+        -- O(n²m) per step with no (n, p) intermediate."""
+        A, LB, _ = self._low_rank_blocks(Psi1, Psi2, None, beta, L)
+        T = trtrs(trtrs(Psi1.T, L), LB)  # (m, n)
+        c2 = beta**2 * jnp.sum(
+            jnp.matmul(T.T, T, preferred_element_type=T.dtype) * self._YYT
+        )
 
-        elbo = self._collapsed_likelihood(psi0, Psi1, Psi2, y, beta, L)
-        elbo -= self._kl_x()
+        elbo = -0.5 * n * p * math.log(2.0 * math.pi)
+        elbo += 0.5 * n * p * jnp.log(beta)
+        elbo -= p * lt_log_determinant(LB)
+        elbo -= 0.5 * beta * self._trYY
+        elbo += 0.5 * c2
+        elbo -= 0.5 * beta * p * psi0
+        elbo += 0.5 * p * jnp.trace(A)
         return elbo
 
-    def _kl_x(self):
-        """KL[q(X) || p(X)] for diagonal Gaussian q.
-
-        iid prior: p = N(0, I) per latent coordinate.
-        dynamical prior: p(x_:q) = N(0, K_t) over time for each latent dim q
-        (Damianou's GP dynamical system), giving per dimension
-
-            KL_q = ½[ tr(K_t⁻¹ S_q) + μ_qᵀK_t⁻¹μ_q - n + log|K_t| - Σlog s_q ]
-        """
-        mu = self.Xmean.value
-        s = self.Xvar.value
-        if not self.dynamical:
-            return 0.5 * jnp.sum(jnp.square(mu) + s - jnp.log(s) - 1.0)
-
-        n = mu.shape[0]
+    def _kt_chol(self):
+        """chol of the (floor-jittered) temporal prior Gram K_t."""
+        n = self.times.shape[0]
         Kt = self.time_kernel.K(self.times)
         Kt = Kt + 1e-6 * jnp.mean(jnp.diagonal(Kt)) * jnp.eye(
             n, dtype=Kt.dtype
         )
-        Lt = cholesky(Kt)
-        # tr(Kt⁻¹ S_q) summed over q: solve for each diag column implicitly
+        return Kt, cholesky(Kt)
+
+    def _latents_and_kl(self):
+        """(Xmean (n, q), Xvar (n, q) marginal variances, KL[q(X)‖p(X)]).
+
+        Three parameterizations:
+
+        * iid prior, diagonal q:  KL = ½Σ(μ² + s − log s − 1).
+        * dynamical prior, diagonal q (round-2 behavior):
+          KL_q = ½[tr(K_t⁻¹S_q) + μ_qᵀK_t⁻¹μ_q − n + log|K_t| − Σlog s_q].
+        * dynamical prior, REPARAMETERIZED q (Damianou (3.30), reference
+          gplvm.py:248-257): μ_q = K_t μ̄_q, S_q = (K_t⁻¹ + Λ_q)⁻¹
+          = L_t C_q⁻¹ L_tᵀ with C_q = I + L_tᵀΛ_qL_t, which collapses the
+          KL to ½[tr(C_q⁻¹) + μ̄_qᵀK_t μ̄_q − n + log|C_q|] and gives the
+          bound the per-datum marginals s_iq = diag(S_q).
+        """
+        if not self.dynamical:
+            mu = self.Xmean.value
+            s = self.Xvar.value
+            kl = 0.5 * jnp.sum(jnp.square(mu) + s - jnp.log(s) - 1.0)
+            return mu, s, kl
+
+        n = self.times.shape[0]
+        Kt, Lt = self._kt_chol()
+
+        if self.reparam:
+            mub = self.Xbar.value  # (n, q)
+            lam = self.Xlambda.value  # (n, q) > 0
+            mu = Kt @ mub
+
+            def per_dim(lam_q, mub_q):
+                C = jnp.eye(n, dtype=Kt.dtype) + (Lt.T * lam_q) @ Lt
+                LC = cholesky(C)
+                M = trtrs(Lt.T, LC)  # L_C⁻¹ L_tᵀ; S = MᵀM
+                s_q = jnp.sum(jnp.square(M), axis=0)
+                LCinv = trtrs(jnp.eye(n, dtype=Kt.dtype), LC)
+                tr_cinv = jnp.sum(jnp.square(LCinv))
+                logdet_c = 2.0 * lt_log_determinant(LC)
+                kl_q = 0.5 * (
+                    tr_cinv + jnp.sum(mub_q * (Kt @ mub_q)) - n + logdet_c
+                )
+                return s_q, kl_q
+
+            s, kls = jax.vmap(per_dim, in_axes=(1, 1))(lam, mub)
+            return mu, s.T, jnp.sum(kls)
+
+        mu = self.Xmean.value
+        s = self.Xvar.value
         LinvMu = trtrs(mu, Lt)  # (n, q)
         mahal = jnp.sum(jnp.square(LinvMu))
         Ktinv_diag = jnp.diagonal(
@@ -215,30 +304,57 @@ class GPLVM(GPModel):
         trace = jnp.sum(Ktinv_diag[:, None] * s)
         q_dims = mu.shape[1]
         logdet_t = 2.0 * lt_log_determinant(Lt)
-        return 0.5 * (
+        kl = 0.5 * (
             trace + mahal - n * q_dims + q_dims * logdet_t - jnp.sum(jnp.log(s))
         )
+        return mu, s, kl
+
+    def _q_x(self):
+        """Marginal moments (Xmean, Xvar) of q(X) under any
+        parameterization."""
+        mu, s, _ = self._latents_and_kl()
+        return mu, s
+
+    def log_likelihood(self, x=None, y=None, key=None):
+        """Collapsed ELBO F(q) ≤ log p(Y) (see module docstring)."""
+        use_cached_yy = self.large_p and y is None
+        y = y if y is not None else self.Y
+
+        beta = 1.0 / self.likelihood.variance.value.reshape(())
+        Z = self.Z.value
+        Xmean, Xvar, kl = self._latents_and_kl()
+
+        psi0 = jnp.sum(self.kernel.eKxx(Xmean))
+        Psi1 = self.kernel.eKxz(Z, Xmean, Xvar)
+        Psi2 = self.kernel.eKzxKxz(Z, Xmean, Xvar, sum=True)
+        L = cholesky(self._kuu(Z))
+
+        if use_cached_yy:
+            elbo = self._collapsed_likelihood_large_p(
+                psi0, Psi1, Psi2, beta, L, y.shape[0], y.shape[1]
+            )
+        else:
+            elbo = self._collapsed_likelihood(psi0, Psi1, Psi2, y, beta, L)
+        return elbo - kl
+
+    def _kl_x(self):
+        """KL[q(X) || p(X)] (see :meth:`_latents_and_kl`)."""
+        return self._latents_and_kl()[2]
 
     # -- prediction -------------------------------------------------------------
 
     def _posterior(self):
         """Shared pieces of the predictive posterior over f given the
-        optimized variational quantities."""
+        optimized variational quantities (prediction happens once, so the
+        O(nmp) c is fine even for ``large_p`` models)."""
         beta = 1.0 / self.likelihood.variance.value.reshape(())
         Z = self.Z.value
-        Xmean = self.Xmean.value
-        Xvar = self.Xvar.value
-        m = self.num_inducing
+        Xmean, Xvar = self._q_x()
 
         Psi1 = self.kernel.eKxz(Z, Xmean, Xvar)
         Psi2 = self.kernel.eKzxKxz(Z, Xmean, Xvar, sum=True)
-        Kuu = self._kuu(Z)
-        L = cholesky(Kuu)
-        tmp = trtrs(Psi2, L)
-        A = beta * trtrs(tmp.T, L)
-        B = A + jnp.eye(m, dtype=A.dtype)
-        LB = cholesky(B)
-        c = beta * trtrs(trtrs(Psi1.T @ self.Y, L), LB)
+        L = cholesky(self._kuu(Z))
+        _, LB, c = self._low_rank_blocks(Psi1, Psi2, self.Y, beta, L)
         return L, LB, c
 
     def posterior(self):
@@ -373,14 +489,22 @@ class GPLVM(GPModel):
         params = (mu0, jnp.log(s0))
         opt_state = tx.init(params)
 
+        # whole-loop compiled (lax.scan in ONE jit): a host loop here costs
+        # max_iter dispatches -- ~30-60 ms each through a TPU tunnel
         @jax.jit
-        def step(params, opt_state):
-            val, grads = jax.value_and_grad(neg_bound)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, val
+        def run(params, opt_state):
+            def body(carry, _):
+                params, opt_state = carry
+                val, grads = jax.value_and_grad(neg_bound)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state), val
 
-        for _ in range(max_iter):
-            params, opt_state, _ = step(params, opt_state)
+            (params, opt_state), vals = jax.lax.scan(
+                body, (params, opt_state), None, length=max_iter
+            )
+            return params, vals
+
+        params, _ = run(params, opt_state)
 
         mu_t, log_s_t = params
         return np.asarray(mu_t), np.asarray(jnp.exp(log_s_t))

@@ -10,6 +10,7 @@ are no goldens; correctness is established structurally:
 3. optimization recovers a 1-d latent structure from lifted data.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -231,3 +232,127 @@ class TestProjection:
         model = GPLVM(y, 1, times=np.arange(12.0))
         with pytest.raises(NotImplementedError):
             model.project(rng.randn(2, 3))
+
+
+class TestLargeP:
+    """large_p bound evaluation (reference gplvm.py:73-75, 288-309): YY^T
+    precomputed once, the per-step bound p-independent."""
+
+    def _data(self, n=200, p=2000, q=3):
+        rng = np.random.RandomState(0)
+        lat = rng.randn(n, q)
+        W = rng.randn(q, p)
+        return lat @ W + 0.1 * rng.randn(n, p)
+
+    def test_matches_standard_bound_to_1e9(self):
+        y = self._data()
+        m_std = GPLVM(y, 3, num_inducing_points=20, large_p=False)
+        m_lp = GPLVM(y, 3, num_inducing_points=20, large_p=True)
+        a = float(m_std.log_likelihood())
+        b = float(m_lp.log_likelihood())
+        assert b == pytest.approx(a, rel=1e-9)
+        # gradients agree too (shared PCA init makes the states identical)
+        from gptorch_tpu.module import get_trainable, with_trainable
+
+        g_s = jax.grad(lambda v: with_trainable(m_std, v)._loss())(
+            get_trainable(m_std)
+        )
+        g_l = jax.grad(lambda v: with_trainable(m_lp, v)._loss())(
+            get_trainable(m_lp)
+        )
+        for k in g_s:
+            a, b = np.asarray(g_s[k]), np.asarray(g_l[k])
+            assert np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12) < 1e-7, k
+
+    def test_auto_selects_p_gt_n(self):
+        y = self._data(n=40, p=60, q=2)
+        assert GPLVM(y, 2, num_inducing_points=8).large_p
+        assert not GPLVM(y[:, :10], 2, num_inducing_points=8).large_p
+
+    def test_no_n_by_p_intermediates_in_step(self):
+        """The VERDICT 'done' bar: the large_p training step must not
+        materialize any (n, p)/(m, p) intermediate -- checked on the
+        jaxpr of the loss (Y enters only as a cached (n, n) Gram)."""
+        n, p = 100, 800
+        y = self._data(n=n, p=p, q=2)
+        m = GPLVM(y, 2, num_inducing_points=10, large_p=True)
+        jaxpr = jax.make_jaxpr(lambda mm: mm._loss())(m)
+        banned = {(n, p), (p, n), (m.num_inducing, p), (p, m.num_inducing)}
+        for eqn in jaxpr.eqns:
+            for v in eqn.outvars:
+                shape = tuple(getattr(v.aval, "shape", ()))
+                assert shape not in banned, (eqn.primitive, shape)
+
+    def test_explicit_y_falls_back(self):
+        """loss(y=...) on a large_p model cannot use the cached YY^T; it
+        must still be correct (standard path)."""
+        y = self._data(n=50, p=80, q=2)
+        m = GPLVM(y, 2, num_inducing_points=8, large_p=True)
+        std = GPLVM(y, 2, num_inducing_points=8, large_p=False)
+        assert float(m.log_likelihood(y=jnp.asarray(std.Y))) == pytest.approx(
+            float(std.log_likelihood()), rel=1e-12
+        )
+
+
+class TestReparameterizedDynamicalQ:
+    """Damianou (3.30) reparameterization of q(X) under the temporal prior
+    (reference gplvm.py:136-139, 248-257 -- dead code there)."""
+
+    def _series(self, n=48):
+        t = np.linspace(0, 5, n)
+        rng = np.random.RandomState(1)
+        y = np.stack(
+            [np.sin(t), np.cos(t), np.sin(2 * t) + 0.05 * rng.randn(n)], 1
+        )
+        return t, y
+
+    def test_requires_times(self):
+        rng = np.random.RandomState(0)
+        with pytest.raises(ValueError, match="reparam"):
+            GPLVM(rng.randn(20, 3), 2, reparam=True)
+
+    def test_kl_matches_dense_gaussian_kl(self):
+        """The collapsed reparameterized KL equals the dense
+        KL(N(K_t mub, S) || N(0, K_t)) with S = (K_t^-1 + diag(lam))^-1."""
+        t, y = self._series(32)
+        m = GPLVM(y, 2, num_inducing_points=8, times=t, reparam=True)
+        mu, s, kl = m._latents_and_kl()
+        Kt, _ = m._kt_chol()
+        Kt = np.asarray(Kt)
+        n = Kt.shape[0]
+        mub = np.asarray(m.Xbar.value)
+        lam = np.asarray(m.Xlambda.value)
+        kl_dense = 0.0
+        for qd in range(mub.shape[1]):
+            S = np.linalg.inv(np.linalg.inv(Kt) + np.diag(lam[:, qd]))
+            mu_q = Kt @ mub[:, qd]
+            Kti = np.linalg.inv(Kt)
+            kl_dense += 0.5 * (
+                np.trace(Kti @ S)
+                + mu_q @ Kti @ mu_q
+                - n
+                + np.linalg.slogdet(Kt)[1]
+                - np.linalg.slogdet(S)[1]
+            )
+            # marginal variances exposed to the bound match diag(S)
+            assert np.asarray(s)[:, qd] == pytest.approx(
+                np.diag(S), rel=1e-6, abs=1e-10
+            )
+            assert np.asarray(mu)[:, qd] == pytest.approx(mu_q, rel=1e-10)
+        assert float(kl) == pytest.approx(kl_dense, rel=1e-6)
+
+    def test_trains(self):
+        t, y = self._series()
+        m = GPLVM(y, 2, num_inducing_points=10, times=t, reparam=True)
+        l0 = float(m.loss())
+        assert np.isfinite(l0)
+        losses, _ = m.optimize(
+            method="Adam", max_iter=25, verbose=False, learning_rate=0.02
+        )
+        assert losses[-1] < losses[0]
+        mu, s = m._q_x()
+        assert np.all(np.asarray(s) > 0)
+        # prediction path works off the computed marginals
+        mu_p, var_p = m._predict(np.asarray(mu)[:4])
+        assert np.all(np.isfinite(np.asarray(mu_p)))
+        assert np.all(np.asarray(var_p) > 0)
