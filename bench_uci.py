@@ -1,0 +1,216 @@
+"""Statistical benchmark harness: train GP models on the BASELINE.json
+north-star dataset configs and report NLML, test RMSE and test NLPD -- the
+"matching-or-beating on perf" leg that throughput numbers alone don't cover
+(round-2 VERDICT item 3).
+
+Datasets (UCI energy / boston / kin8nm / protein -- the configs named in
+BASELINE.json -- plus sklearn's real diabetes):
+
+1. a vendored copy at ``data/uci/<name>.npz`` (keys ``x``, ``y``) is used
+   if present;
+2. else a download from OpenML/UCI is attempted (this build environment
+   has zero egress, so on this machine the attempt is expected to fail --
+   the code path exists for environments that do have network);
+3. else a SEEDED SYNTHETIC SURROGATE with the same (N, d) is generated
+   (random-feature GP draw + noise) and the record is marked
+   ``"surrogate": true``.  Surrogate numbers exercise the full
+   train/predict/NLPD pipeline at the real configs' scales but are NOT
+   comparable with published UCI results; see BASELINE.md for the quoted
+   literature values on the real datasets.
+
+Protocol (the standard UCI split protocol, e.g. Salimbeni & Deisenroth
+2017): seeded 90/10 train/test split, x standardized on train, y centered/
+scaled on train; RMSE and NLPD reported in ORIGINAL y units.  Models:
+exact GPR (auto-fused path) for n <= 10k, SVGP (M=1024, minibatch 4096,
+whitened + Adam) above.
+
+Prints ONE JSON line per dataset:
+  {"metric": "uci_<name>_rmse", "value": <rmse>, "unit": "rmse",
+   "vs_baseline": <rmse_of_predicting_the_train_mean / rmse>,  # skill: >1 beats trivial
+   "nlpd": <mean negative log predictive density>,
+   "nlml": <final training objective>, "n": N, "d": D,
+   "surrogate": bool}
+
+Env: BENCH_UCI_DATASETS (comma list; default depends on backend -- CPU
+smoke runs the small ones), BENCH_UCI_ITERS (Adam iters, default 300 GPR /
+3000 SVGP).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+#: North-star configs (BASELINE.json): name -> (N, d)
+CONFIGS = {
+    "energy": (768, 8),
+    "boston": (506, 13),
+    "kin8nm": (8192, 8),
+    "protein": (45730, 9),
+}
+
+#: OpenML dataset ids for the real downloads (data_id avoids name drift).
+OPENML_IDS = {"boston": 531, "energy": 44960, "kin8nm": 189, "protein": 42903}
+
+
+def _vendored(name):
+    path = os.path.join(os.path.dirname(__file__), "data", "uci", f"{name}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return np.asarray(z["x"], float), np.asarray(z["y"], float).reshape(-1, 1)
+    return None
+
+
+def _download(name):
+    try:
+        from sklearn.datasets import fetch_openml
+
+        d = fetch_openml(data_id=OPENML_IDS[name], as_frame=False)
+        x = np.asarray(d.data, float)
+        y = np.asarray(d.target, float).reshape(-1, 1)
+        return x, y
+    except Exception:
+        return None
+
+
+def _surrogate(name, n, d, seed=0):
+    """Seeded random-feature GP draw + noise at the config's (N, d): a
+    stand-in with GP-realistic structure (not the real UCI data)."""
+    rng = np.random.RandomState(hash(name) % (2**31) + seed)
+    x = rng.randn(n, d)
+    nf = 256
+    # lengthscale 2*sqrt(d): smooth enough to be learnable from O(n)
+    # samples in d dims (shorter scales make the draw effectively white
+    # noise in high d and no model beats the mean)
+    w = rng.randn(d, nf) / (2.0 * np.sqrt(d))
+    b = rng.uniform(0, 2 * np.pi, nf)
+    feats = np.sqrt(2.0 / nf) * np.cos(x @ w + b)
+    f = feats @ rng.randn(nf, 1)
+    y = f + 0.1 * np.std(f) * rng.randn(n, 1)
+    return x, y
+
+
+def load(name):
+    """(x, y, surrogate_flag) for a config name or 'diabetes'."""
+    if name == "diabetes":
+        from sklearn.datasets import load_diabetes
+
+        d = load_diabetes()
+        return np.asarray(d.data, float), np.asarray(
+            d.target, float
+        ).reshape(-1, 1), False
+    v = _vendored(name)
+    if v is not None:
+        return v[0], v[1], False
+    v = _download(name)
+    if v is not None:
+        return v[0], v[1], False
+    n, d = CONFIGS[name]
+    x, y = _surrogate(name, n, d)
+    return x, y, True
+
+
+def _split_standardize(x, y, seed=0, test_frac=0.1):
+    rng = np.random.RandomState(seed)
+    n = x.shape[0]
+    perm = rng.permutation(n)
+    n_test = max(1, int(round(test_frac * n)))
+    te, tr = perm[:n_test], perm[n_test:]
+    xm, xs = x[tr].mean(0), x[tr].std(0) + 1e-12
+    ym, ys = y[tr].mean(), y[tr].std() + 1e-12
+    xtr = (x[tr] - xm) / xs
+    xte = (x[te] - xm) / xs
+    ytr = (y[tr] - ym) / ys
+    return (
+        xtr.astype(np.float32),
+        ytr.astype(np.float32),
+        xte.astype(np.float32),
+        y[te],
+        float(ym),
+        float(ys),
+    )
+
+
+def _nlpd(y_true, mu, var):
+    return float(
+        np.mean(0.5 * np.log(2 * np.pi * var) + (y_true - mu) ** 2 / (2 * var))
+    )
+
+
+def run_dataset(name, iters_gpr=300, iters_svgp=3000, verbose=False):
+    import jax
+
+    from gptorch_tpu import kernels, likelihoods
+    from gptorch_tpu.models import GPR, SVGP
+
+    x, y, surrogate = load(name)
+    xtr, ytr, xte, yte_raw, ym, ys = _split_standardize(x, y)
+    n, d = xtr.shape
+
+    t0 = time.time()
+    if n <= 10000:
+        model = GPR(
+            xtr, ytr, kernels.Rbf(d, ARD=True),
+            likelihood=likelihoods.Gaussian(variance=0.1),
+            fast_jitter=1e-4,
+        )
+        model.fit_scan(method="Adam", max_iter=iters_gpr, learning_rate=0.05)
+        nlml = float(model.loss())
+        post = model.posterior()
+        mu_s, var_s = post.predict_y(xte)
+    else:
+        model = SVGP(
+            xtr, ytr, kernels.Rbf(d, ARD=True),
+            likelihood=likelihoods.Gaussian(variance=0.1),
+            num_inducing_points=1024, batch_size=4096, whiten=True,
+        )
+        model.fit_scan(method="Adam", max_iter=iters_svgp, learning_rate=0.01)
+        nlml = float(model.loss())
+        mu_s, var_s = model.predict_y(xte)
+
+    mu = np.asarray(mu_s)[:, :1] * ys + ym  # back to original units
+    var = np.asarray(var_s)[:, :1] * ys**2
+    rmse = float(np.sqrt(np.mean((yte_raw - mu) ** 2)))
+    nlpd = _nlpd(yte_raw, mu, var)
+    # trivial baseline: predict the train mean with the train variance
+    rmse0 = float(np.sqrt(np.mean((yte_raw - ym) ** 2)))
+    record = {
+        "metric": f"uci_{name}_rmse",
+        "value": round(rmse, 4),
+        "unit": "rmse",
+        "vs_baseline": round(rmse0 / rmse, 4),
+        "nlpd": round(nlpd, 4),
+        "nlml": round(nlml, 2),
+        "n": int(n),
+        "d": int(d),
+        "surrogate": bool(surrogate),
+    }
+    if verbose:
+        print(
+            f"# {name}: {time.time()-t0:.1f}s model={type(model).__name__} "
+            f"rmse={rmse:.4f} nlpd={nlpd:.4f}",
+            file=sys.stderr,
+        )
+    return record
+
+
+def main():
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    default = (
+        "diabetes,boston,energy,kin8nm,protein"
+        if on_tpu
+        else "diabetes,boston,energy"
+    )
+    names = os.environ.get("BENCH_UCI_DATASETS", default).split(",")
+    iters_gpr = int(os.environ.get("BENCH_UCI_ITERS", 300))
+    for name in [s.strip() for s in names if s.strip()]:
+        rec = run_dataset(name, iters_gpr=iters_gpr, verbose=True)
+        print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
