@@ -5,7 +5,9 @@ BASELINE.md row: M=1024 inducing points, batch=4096, UCI-protein-like scale
 with the minibatch drawn on-device from a threaded PRNG key.
 
 Prints one JSON line (same schema as bench.py; this one is informational --
-the driver's headline metric is bench.py).
+the driver's headline metric is bench.py).  BENCH_WHITEN=1 benchmarks the
+whitened parameterization (u = L0 v) -- same per-step cost structure; see
+docs/design.md "Training recipe" for when to prefer it.
 """
 
 import json
@@ -30,6 +32,7 @@ def main():
     m = int(os.environ.get("BENCH_M", 1024))
     batch = int(os.environ.get("BENCH_BATCH", 4096))
     iters = int(os.environ.get("BENCH_ITERS", 20))
+    whiten = os.environ.get("BENCH_WHITEN", "0") == "1"
 
     rng = np.random.RandomState(0)
     x = rng.randn(n, d).astype(np.float32)
@@ -44,6 +47,7 @@ def main():
             inducing_points=x[rng.permutation(n)[:m]],
             batch_size=batch,
             jitter=1e-6,
+            whiten=whiten,
         )
         values = get_trainable(model)
         tx = optax.adam(1e-2)
@@ -106,7 +110,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"svgp_elbo_m{m}_b{batch}_steps_per_s",
+                "metric": f"svgp_elbo_m{m}_b{batch}"
+                + ("_whitened" if whiten else "")
+                + "_steps_per_s",
                 "value": round(1.0 / dt, 2),
                 "unit": "steps/s",
                 "vs_baseline": round(1.0 / dt, 2),
@@ -114,7 +120,8 @@ def main():
         )
     )
     print(
-        f"# n={n} d={d} m={m} batch={batch} time/step={dt*1e3:.1f} ms "
+        f"# n={n} d={d} m={m} batch={batch} whiten={whiten} "
+        f"time/step={dt*1e3:.1f} ms "
         f"loss={float(loss):.1f} backend={jax.default_backend()}",
         file=sys.stderr,
     )
