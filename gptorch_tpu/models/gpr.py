@@ -88,6 +88,7 @@ class GPR(GPModel):
         fast_block: int = 1024,
         fast_jitter: float = 0.0,
         fast_rel_jitter=None,
+        fast_precision: str = "highest",
         objective: str = "nlml",
         solver: str = "dense",
         probes: int = 16,
@@ -108,6 +109,13 @@ class GPR(GPModel):
             is_f32 = jnp.result_type(self.X) == jnp.float32
             fast_rel_jitter = 1e-6 if is_f32 else 0.0
         self.fast_rel_jitter = float(fast_rel_jitter)
+        # trailing-update matmul precision for the GENERAL fused path (the
+        # radial families' ||K|| ~ sigma^2 is safe on the fast bf16x3
+        # passes; general composites with Linear/Polynomial terms have
+        # ||K|| ~ n and NaN without full-f32 accumulation -- measured)
+        if fast_precision not in ("highest", "default"):
+            raise ValueError("fast_precision must be 'highest' or 'default'")
+        self.fast_precision = fast_precision
 
         if objective not in ("nlml", "loo"):
             raise ValueError("objective must be 'nlml' or 'loo'")
@@ -296,6 +304,7 @@ class GPR(GPModel):
                 self.fast_jitter,
                 self.fast_block,
                 self.fast_rel_jitter,
+                self.fast_precision,
             )
         num_input, dim_output = y.shape
 

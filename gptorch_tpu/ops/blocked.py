@@ -70,8 +70,50 @@ def _panel_trsm(lkk, a_panel, nb2: int):
     return out
 
 
+def _rtrsm(lkk, a_panel, leaf: int = 128):
+    """Recursive right-side TRSM: solve X L_kkᵀ = A_panel (X = A·L⁻ᵀ).
+
+    Same substitution (hence same flops and backward stability) as the
+    flat blocked :func:`_panel_trsm`, reorganized divide-and-conquer so
+    the GEMMs are LARGE AND SQUARE-ISH -- at the top level one
+    (r, m/2)×(m/2, m/2) GEMM -- instead of (r, lo)×(lo, sb) skinny strips.
+    Only the leaf solves (r·m·leaf flops) run at XLA's triangular-solve
+    rate.
+    """
+    m = lkk.shape[0]
+    if m <= leaf:
+        return solve_triangular(lkk, a_panel.T, lower=True, trans=0).T
+    h = m // 2
+    X1 = _rtrsm(lkk[:h, :h], a_panel[:, :h], leaf)
+    A2 = a_panel[:, h:] - jnp.matmul(
+        X1, lkk[h:, :h].T, preferred_element_type=a_panel.dtype
+    )
+    X2 = _rtrsm(lkk[h:, h:], A2, leaf)
+    return jnp.concatenate([X1, X2], axis=1)
+
+
+def _chol_diag_rec(a, leaf: int = 256):
+    """Recursive Cholesky of a (small) diagonal block: stock cholesky only
+    at ``leaf``-sized leaves, everything else TRSM + half-flop syrk --
+    lifts the diagonal-block factor off XLA's slow sequential cholesky
+    path.  Reads the lower triangle only (XLA cholesky semantics); the
+    returned strict upper triangle is zero."""
+    n = a.shape[0]
+    if n <= leaf:
+        return lax.linalg.cholesky(a)
+    h = n // 2
+    LA = _chol_diag_rec(a[:h, :h], leaf)
+    LB = _rtrsm(LA, a[h:, :h], min(leaf, 128))
+    S = a[h:, h:] - jnp.matmul(LB, LB.T, preferred_element_type=a.dtype)
+    LC = _chol_diag_rec(S, leaf)
+    top = jnp.concatenate([LA, jnp.zeros((h, n - h), a.dtype)], axis=1)
+    bottom = jnp.concatenate([LB, LC], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
 def blocked_cholesky(
-    a, nb: int = 1024, lower_only: bool = False, solve_block: int = 128
+    a, nb: int = 1024, lower_only: bool = False, solve_block: int = 128,
+    rtrsm: bool = False, diag_leaf: int = 0, precision=None,
 ):
     """Lower Cholesky factor via right-looking blocked factorization.
 
@@ -87,10 +129,27 @@ def blocked_cholesky(
     reductions.
 
     ``solve_block`` is the TRSM sub-block width (0 = monolithic solve).
+    ``rtrsm=True`` swaps the flat blocked panel solve for the recursive
+    :func:`_rtrsm` (same flops, bigger GEMMs).  ``diag_leaf > 0`` factors
+    the diagonal blocks by recursion (:func:`_chol_diag_rec`) with stock
+    cholesky only at ``diag_leaf``-sized leaves.
+
+    ``precision``: matmul precision for the TRAILING UPDATES -- the place
+    rounding accumulates over panels.  On TPU a "f32" matmul lowers to
+    bf16x3 passes (~2⁻²¹ effective mantissa, CLAUDE.md); for matrices
+    with ‖K‖ ≫ diagonal-stabilizer scale (e.g. composite kernels with a
+    Linear term at n=32k, ‖K‖ ≈ n) that trailing rounding drives later
+    Schur complements indefinite even though TRUE-f32 CPU runs of the
+    same algorithm succeed (measured, round 3).
+    ``lax.Precision.HIGHEST`` forces full-f32 accumulation at ~2× the
+    GEMM cost; pass it when the diagonal floor is small relative to
+    ‖K‖.
     """
     n = a.shape[0]
     if n <= nb:
-        return lax.linalg.cholesky(a)
+        return (
+            _chol_diag_rec(a, diag_leaf) if diag_leaf else lax.linalg.cholesky(a)
+        )
     p = -(-n // nb)
     n_pad = p * nb
     K = _pad_to(a, n_pad)
@@ -99,11 +158,19 @@ def blocked_cholesky(
         lo = k * nb
         hi = lo + nb
         akk = K[lo:hi, lo:hi]
-        lkk = lax.linalg.cholesky(akk)
+        lkk = (
+            _chol_diag_rec(akk, diag_leaf)
+            if diag_leaf
+            else lax.linalg.cholesky(akk)
+        )
         K = K.at[lo:hi, lo:hi].set(lkk)
         if hi < n_pad:
             a_panel = K[hi:, lo:hi]
-            l_panel = _panel_trsm(lkk, a_panel, solve_block)
+            l_panel = (
+                _rtrsm(lkk, a_panel, solve_block or 128)
+                if rtrsm
+                else _panel_trsm(lkk, a_panel, solve_block)
+            )
             K = K.at[hi:, lo:hi].set(l_panel)
             # Trailing syrk A22 -= L_panel L_panelᵀ, LOWER blocks only
             # (upper trailing blocks are never read; this halves the GEMM
@@ -116,6 +183,7 @@ def blocked_cholesky(
                     l_panel[ilo - hi : ilo - hi + nb],
                     l_panel[: width].T,
                     preferred_element_type=K.dtype,
+                    precision=precision,
                 )
                 K = K.at[ilo : ilo + nb, hi : hi + width].add(-upd)
     K = K[:n, :n]

@@ -59,6 +59,11 @@ from jax.scipy.linalg import solve_triangular
 
 from .blocked import blocked_cholesky, blocked_trtri, tril_square_rec
 
+_PRECISIONS = {
+    "default": None,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
 
 def _add_diag(K, diag):
     """K + diag*I without an n^2 mask/scatter: where-on-iota fuses into the
@@ -80,7 +85,7 @@ def _chunk_bounds(n: int, target: int = 4096):
     return bounds
 
 
-def _fwd_impl(kernel, mean, noise, x, y, jitter, nb, rel_jitter):
+def _fwd_impl(kernel, mean, noise, x, y, jitter, nb, rel_jitter, precision):
     n, dy = y.shape
     rel = (
         rel_jitter * lax.stop_gradient(jnp.mean(kernel.Kdiag(x)))
@@ -88,7 +93,9 @@ def _fwd_impl(kernel, mean, noise, x, y, jitter, nb, rel_jitter):
         else 0.0
     )
     Kyy = _add_diag(kernel.K(x), noise + jitter + rel)
-    L = blocked_cholesky(Kyy, nb, lower_only=True)
+    L = blocked_cholesky(
+        Kyy, nb, lower_only=True, precision=_PRECISIONS[precision]
+    )
     r = y - mean(x)
     alpha = solve_triangular(L, r, lower=True)
     nlml = (
@@ -99,16 +106,16 @@ def _fwd_impl(kernel, mean, noise, x, y, jitter, nb, rel_jitter):
     return nlml, (kernel, mean, noise, x, y, L, alpha)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _general_nlml_core(kernel, mean, noise, x, y, jitter, nb, rel_jitter):
-    return _fwd_impl(kernel, mean, noise, x, y, jitter, nb, rel_jitter)[0]
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _general_nlml_core(kernel, mean, noise, x, y, jitter, nb, rel_jitter, precision):
+    return _fwd_impl(kernel, mean, noise, x, y, jitter, nb, rel_jitter, precision)[0]
 
 
-def _fwd(kernel, mean, noise, x, y, jitter, nb, rel_jitter):
-    return _fwd_impl(kernel, mean, noise, x, y, jitter, nb, rel_jitter)
+def _fwd(kernel, mean, noise, x, y, jitter, nb, rel_jitter, precision):
+    return _fwd_impl(kernel, mean, noise, x, y, jitter, nb, rel_jitter, precision)
 
 
-def _bwd(jitter, nb, rel_jitter, res, g):
+def _bwd(jitter, nb, rel_jitter, precision, res, g):
     kernel, mean, noise, x, y, L, alpha = res
     n, dy = y.shape
 
@@ -149,7 +156,10 @@ def _bwd(jitter, nb, rel_jitter, res, g):
 _general_nlml_core.defvjp(_fwd, _bwd)
 
 
-def general_nlml(kernel, mean, noise, x, y, jitter=0.0, nb=1024, rel_jitter=0.0):
+def general_nlml(
+    kernel, mean, noise, x, y, jitter=0.0, nb=1024, rel_jitter=0.0,
+    precision="highest",
+):
     """Negative log marginal likelihood of exact GPR for ANY kernel pytree
     and mean-function module, with the streamed closed-form adjoint.
 
@@ -163,10 +173,20 @@ def general_nlml(kernel, mean, noise, x, y, jitter=0.0, nb=1024, rel_jitter=0.0)
     :param nb: static panel size for the blocked factorizations.
     :param rel_jitter: static relative jitter, scaled by
         ``mean(Kdiag(x))`` (constant in the adjoint).
+    :param precision: "highest" (default) forces full-f32 trailing
+        accumulation in the blocked Cholesky; "default" uses the fast
+        bf16x3 TPU passes.  General-path kernels routinely include
+        non-stationary components (Linear/Polynomial) whose ‖K‖ grows
+        with n, where the bf16x3 trailing rounding drives the f32
+        factorization indefinite at n≈32k (measured: the same matrix
+        factors fine in true f32 on CPU) -- so the safe setting is the
+        default here, unlike the radial fast path whose ‖K‖ ≈ σ².
     """
-    return _general_nlml_core(kernel, mean, noise, x, y, jitter, nb, rel_jitter)
+    return _general_nlml_core(
+        kernel, mean, noise, x, y, jitter, nb, rel_jitter, precision
+    )
 
 
 #: Jitted entry point (eager model.loss() at n=32k OOMs without it --
 #: every Gram intermediate would materialize separately).
-general_nlml_jit = jax.jit(general_nlml, static_argnums=(5, 6, 7))
+general_nlml_jit = jax.jit(general_nlml, static_argnums=(5, 6, 7, 8))
