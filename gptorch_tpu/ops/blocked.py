@@ -70,7 +70,7 @@ def _panel_trsm(lkk, a_panel, nb2: int):
     return out
 
 
-def _rtrsm(lkk, a_panel, leaf: int = 128):
+def _rtrsm(lkk, a_panel, leaf: int = 128, precision=None):
     """Recursive right-side TRSM: solve X L_kkᵀ = A_panel (X = A·L⁻ᵀ).
 
     Same substitution (hence same flops and backward stability) as the
@@ -84,60 +84,123 @@ def _rtrsm(lkk, a_panel, leaf: int = 128):
     if m <= leaf:
         return solve_triangular(lkk, a_panel.T, lower=True, trans=0).T
     h = m // 2
-    X1 = _rtrsm(lkk[:h, :h], a_panel[:, :h], leaf)
+    X1 = _rtrsm(lkk[:h, :h], a_panel[:, :h], leaf, precision)
     A2 = a_panel[:, h:] - jnp.matmul(
-        X1, lkk[h:, :h].T, preferred_element_type=a_panel.dtype
+        X1, lkk[h:, :h].T, preferred_element_type=a_panel.dtype,
+        precision=precision,
     )
-    X2 = _rtrsm(lkk[h:, h:], A2, leaf)
+    X2 = _rtrsm(lkk[h:, h:], A2, leaf, precision)
     return jnp.concatenate([X1, X2], axis=1)
 
 
-def _chol_diag_rec(a, leaf: int = 256):
-    """Recursive Cholesky of a (small) diagonal block: stock cholesky only
-    at ``leaf``-sized leaves, everything else TRSM + half-flop syrk --
-    lifts the diagonal-block factor off XLA's slow sequential cholesky
-    path.  Reads the lower triangle only (XLA cholesky semantics); the
-    returned strict upper triangle is zero."""
+#: Largest n the d&c algorithm handles; above this blocked_cholesky takes
+#: the flat right-looking path.  Three 32k variants were measured in the
+#: fused NLML (round 3): concat-d&c OOMs (+44.8% HBM fragmentation =
+#: +7.6 GB); fully in-place d&c is 2.5× slower standalone (29.5 vs 73
+#: TF/s at 16k -- the .at[].set chains defeat XLA's scheduling); and a
+#: concat-below/in-place-above hybrid fits but made the 32k step SLOWER
+#: than the flat loop (552 vs 476 ms -- top-level 4 GB copies + memory
+#: pressure).  So: d&c ≤ 16k (73 TF/s), flat in-place loop above.
+_DC_CONCAT_MAX = 16384
+
+
+def _chol_dc_concat(a, leaf: int, solve_block: int, precision):
+    """Concat-assembled d&c Cholesky (fast path for blocks ≤
+    ``_DC_CONCAT_MAX``); returns exact zeros in the strict upper
+    triangle."""
     n = a.shape[0]
     if n <= leaf:
         return lax.linalg.cholesky(a)
     h = n // 2
-    LA = _chol_diag_rec(a[:h, :h], leaf)
-    LB = _rtrsm(LA, a[h:, :h], min(leaf, 128))
-    S = a[h:, h:] - jnp.matmul(LB, LB.T, preferred_element_type=a.dtype)
-    LC = _chol_diag_rec(S, leaf)
+    LA = _chol_dc_concat(a[:h, :h], leaf, solve_block, precision)
+    LB = _rtrsm(LA, a[h:, :h], solve_block, precision)
+    S = a[h:, h:] - jnp.matmul(
+        LB, LB.T, preferred_element_type=a.dtype, precision=precision
+    )
+    LC = _chol_dc_concat(S, leaf, solve_block, precision)
     top = jnp.concatenate([LA, jnp.zeros((h, n - h), a.dtype)], axis=1)
     bottom = jnp.concatenate([LB, LC], axis=1)
     return jnp.concatenate([top, bottom], axis=0)
 
 
+def _chol_dc_big(K, lo, m, leaf: int, solve_block: int, precision):
+    """In-place outer levels for blocks > ``_DC_CONCAT_MAX``: a handful of
+    static-index ``.at[].set`` writes on the master buffer, delegating
+    sub-blocks to the fast concat recursion."""
+    if m <= _DC_CONCAT_MAX:
+        blk = K[lo : lo + m, lo : lo + m]
+        return K.at[lo : lo + m, lo : lo + m].set(
+            _chol_dc_concat(blk, leaf, solve_block, precision)
+        )
+    h = m // 2
+    K = _chol_dc_big(K, lo, h, leaf, solve_block, precision)
+    LA = K[lo : lo + h, lo : lo + h]
+    LB = _rtrsm(LA, K[lo + h : lo + m, lo : lo + h], solve_block, precision)
+    K = K.at[lo + h : lo + m, lo : lo + h].set(LB)
+    S = K[lo + h : lo + m, lo + h : lo + m] - jnp.matmul(
+        LB, LB.T, preferred_element_type=K.dtype, precision=precision
+    )
+    K = K.at[lo + h : lo + m, lo + h : lo + m].set(S)
+    return _chol_dc_big(K, lo + h, m - h, leaf, solve_block, precision)
+
+
+def _chol_dc(a, leaf: int = 1024, solve_block: int = 128, precision=None,
+             lower_only: bool = False):
+    """Divide-and-conquer Cholesky (stock cholesky only at ``leaf``-sized
+    leaves):
+
+        chol([[A, 0], [B, C]]) = [[L_A, 0], [B·L_Aᵀ⁻¹, chol(C − L_B L_Bᵀ)]]
+
+    -- the same recursive structure that puts :func:`blocked_trtri` at
+    ~86 TF/s: two half-size recursions + a recursive TRSM + ONE big
+    square syrk GEMM per level.  **Measured 73.0 TF/s at n=16k on v5e
+    (leaf 512-1024) vs 44.7 for the flat right-looking panel loop** --
+    the flat loop's ~p²/2 narrow trailing strips and per-panel
+    chol/solve latencies cost ~1.6×.  The full-square syrk spends 2× the
+    flops of lower-only strips but runs at the ~110 TF/s roofline (the
+    strips run ~60), and the whole construction lands AT the roofline:
+    its true flop count is n³/2, so 73 nominal ≈ 110 effective.
+
+    Blocks above ``_DC_CONCAT_MAX`` are split in place on the master
+    buffer (see note there) so the 32k fused NLML stays inside HBM.
+    With ``lower_only=True`` the strict upper triangle above
+    ``_DC_CONCAT_MAX``-sized blocks contains leftovers of ``a`` (same
+    contract as ``blocked_cholesky(lower_only=True)``)."""
+    n = a.shape[0]
+    if n <= leaf:
+        return lax.linalg.cholesky(a)
+    if n <= _DC_CONCAT_MAX:
+        return _chol_dc_concat(a, leaf, solve_block, precision)
+    K = _chol_dc_big(a, 0, n, leaf, solve_block, precision)
+    return K if lower_only else jnp.tril(K)
+
+
 def blocked_cholesky(
     a, nb: int = 1024, lower_only: bool = False, solve_block: int = 128,
-    rtrsm: bool = False, diag_leaf: int = 0, precision=None,
+    precision=None, algo: str = "dc",
 ):
-    """Lower Cholesky factor via right-looking blocked factorization.
+    """Lower Cholesky factor tuned for the MXU.
 
-    Panel k: factor the (nb, nb) diagonal block with XLA's cholesky, solve
-    the (r, nb) sub-column with a blocked TRSM (:func:`_panel_trsm`), then
-    apply the (r, r) trailing update as a single GEMM -- the GEMM is >90%
-    of the flops for nb << n and runs at matmul rate.
+    ``algo="dc"`` (default): divide-and-conquer (:func:`_chol_dc`, with
+    ``nb`` as the stock-cholesky leaf size and ``solve_block`` as the
+    recursive-TRSM leaf) -- **71.7 TF/s at n=16k on v5e**, 1.6× the flat
+    loop, 3.8× stock XLA.  ``algo="right"``: the round-2 flat
+    right-looking panel loop (44.7 TF/s), kept for A/B and because its
+    in-place updates have a tighter worst-case memory profile.
 
-    ``lower_only=True`` skips the final ``tril`` cleanup: the strict upper
-    triangle then contains leftovers of ``a``.  Safe (and 4 GB cheaper at
-    n=32k) when every consumer only reads the lower triangle -- true for
-    ``solve_triangular(lower=True)``, ``blocked_trtri``, and diagonal
-    reductions.
+    ``lower_only=True`` (right-looking only) skips the final ``tril``
+    cleanup: the strict upper triangle then contains leftovers of ``a``.
+    Safe (and 4 GB cheaper at n=32k) when every consumer only reads the
+    lower triangle -- true for ``solve_triangular(lower=True)``,
+    ``blocked_trtri``, and diagonal reductions.  The d&c algorithm
+    produces exact zeros there at no cost.
 
     ``solve_block`` is the TRSM sub-block width (0 = monolithic solve).
-    ``rtrsm=True`` swaps the flat blocked panel solve for the recursive
-    :func:`_rtrsm` (same flops, bigger GEMMs).  ``diag_leaf > 0`` factors
-    the diagonal blocks by recursion (:func:`_chol_diag_rec`) with stock
-    cholesky only at ``diag_leaf``-sized leaves.
 
-    ``precision``: matmul precision for the TRAILING UPDATES -- the place
-    rounding accumulates over panels.  On TPU a "f32" matmul lowers to
-    bf16x3 passes (~2⁻²¹ effective mantissa, CLAUDE.md); for matrices
-    with ‖K‖ ≫ diagonal-stabilizer scale (e.g. composite kernels with a
+    ``precision``: matmul precision for the Schur/trailing updates -- the
+    place rounding accumulates.  On TPU a "f32" matmul lowers to bf16x3
+    passes (~2⁻²¹ effective mantissa, CLAUDE.md); for matrices with
+    ‖K‖ ≫ diagonal-stabilizer scale (e.g. composite kernels with a
     Linear term at n=32k, ‖K‖ ≈ n) that trailing rounding drives later
     Schur complements indefinite even though TRUE-f32 CPU runs of the
     same algorithm succeed (measured, round 3).
@@ -146,10 +209,10 @@ def blocked_cholesky(
     ‖K‖.
     """
     n = a.shape[0]
+    if algo == "dc" and nb < n <= _DC_CONCAT_MAX:
+        return _chol_dc(a, nb, solve_block or 128, precision, lower_only)
     if n <= nb:
-        return (
-            _chol_diag_rec(a, diag_leaf) if diag_leaf else lax.linalg.cholesky(a)
-        )
+        return lax.linalg.cholesky(a)
     p = -(-n // nb)
     n_pad = p * nb
     K = _pad_to(a, n_pad)
@@ -158,19 +221,11 @@ def blocked_cholesky(
         lo = k * nb
         hi = lo + nb
         akk = K[lo:hi, lo:hi]
-        lkk = (
-            _chol_diag_rec(akk, diag_leaf)
-            if diag_leaf
-            else lax.linalg.cholesky(akk)
-        )
+        lkk = lax.linalg.cholesky(akk)
         K = K.at[lo:hi, lo:hi].set(lkk)
         if hi < n_pad:
             a_panel = K[hi:, lo:hi]
-            l_panel = (
-                _rtrsm(lkk, a_panel, solve_block or 128)
-                if rtrsm
-                else _panel_trsm(lkk, a_panel, solve_block)
-            )
+            l_panel = _panel_trsm(lkk, a_panel, solve_block)
             K = K.at[hi:, lo:hi].set(l_panel)
             # Trailing syrk A22 -= L_panel L_panelᵀ, LOWER blocks only
             # (upper trailing blocks are never read; this halves the GEMM

@@ -601,3 +601,50 @@ class TestGeneralNLML:
             kernels.Linear(2) + kernels.Rbf(2),
         )
         assert not small._general_eligible(small.X)
+
+
+class TestCholDC:
+    """Divide-and-conquer blocked Cholesky (round-3 default: 73 TF/s at
+    n=16k on v5e vs 44.7 flat)."""
+
+    def test_hybrid_inplace_outer_levels(self, monkeypatch):
+        """_chol_dc blocks above _DC_CONCAT_MAX split in place on the
+        master buffer (bounded HBM fragmentation); exercised here by
+        shrinking the threshold.  (blocked_cholesky itself routes
+        n > _DC_CONCAT_MAX to the flat loop -- measured faster in the
+        fused 32k NLML -- so the hybrid is tested via _chol_dc.)"""
+        import gptorch_tpu.ops.blocked as B
+
+        monkeypatch.setattr(B, "_DC_CONCAT_MAX", 256)
+        rng = np.random.RandomState(3)
+        n = 1280
+        A = rng.randn(n, n)
+        K = A @ A.T + n * np.eye(n)
+        Lref = np.linalg.cholesky(K)
+        L = np.asarray(B._chol_dc(jnp.asarray(K), 128))
+        assert np.max(np.abs(L - Lref)) / np.max(np.abs(Lref)) < 1e-12
+        Ll = np.asarray(B._chol_dc(jnp.asarray(K), 128, lower_only=True))
+        assert (
+            np.max(np.abs(np.tril(Ll) - Lref)) / np.max(np.abs(Lref)) < 1e-12
+        )
+
+    def test_right_looking_still_available(self):
+        rng = np.random.RandomState(4)
+        n = 700
+        A = rng.randn(n, n)
+        K = A @ A.T + n * np.eye(n)
+        Lref = np.linalg.cholesky(K)
+        from gptorch_tpu.ops.blocked import blocked_cholesky
+
+        L = np.asarray(blocked_cholesky(jnp.asarray(K), 128, algo="right"))
+        assert np.max(np.abs(L - Lref)) / np.max(np.abs(Lref)) < 1e-12
+
+    def test_precision_arg_accepted(self):
+        from gptorch_tpu.ops.blocked import blocked_cholesky
+
+        rng = np.random.RandomState(5)
+        n = 300
+        A = rng.randn(n, n)
+        K = jnp.asarray(A @ A.T + n * np.eye(n))
+        L = blocked_cholesky(K, 128, precision=jax.lax.Precision.HIGHEST)
+        assert np.all(np.isfinite(np.asarray(L)))
