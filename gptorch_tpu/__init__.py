@@ -16,7 +16,7 @@ Layout mirrors the reference package (gptorch/__init__.py:6-16) so users can
 port imports 1:1.
 """
 
-__version__ = "0.2.1"
+__version__ = "0.3.0"
 
 from . import bijectors
 from . import functions
@@ -24,6 +24,7 @@ from . import kernels
 from . import likelihoods
 from . import mean_functions
 from . import module
+from . import nn
 from . import param
 from . import priors
 from . import settings
@@ -45,6 +46,7 @@ __all__ = [
     "mean_functions",
     "models",
     "module",
+    "nn",
     "param",
     "priors",
     "sampling",

@@ -380,6 +380,57 @@ class ActiveDims(Kernel):
         return self.base.Kdiag(self._slice(X))
 
 
+class DeepKernel(Kernel):
+    """Deep kernel learning (Wilson et al. 2016):
+
+        k(x, x') = base(g(x), g(x'))
+
+    with ``g`` a trainable feature map (any callable :class:`Module`,
+    e.g. :class:`gptorch_tpu.nn.MLP`) trained JOINTLY with the base
+    kernel's hyperparameters -- the net is a child module, so its
+    weights appear under ``kernel.net.*`` in ``named_parameters()`` and
+    every fit loop / optimizer / checkpoint path handles them with no
+    special casing.  (New capability: the reference has no NN
+    components.)
+
+    TPU note: the feature map is a chain of MXU matmuls that XLA fuses
+    into the Gram assembly; with SVGP minibatching this is the standard
+    scalable DKL recipe.  The net is applied to EVERY input the kernel
+    sees -- including a wrapped SVGP's inducing points, which therefore
+    live in INPUT space (they are mapped through g alongside the data,
+    the parameterization used by stochastic variational DKL).
+
+    :param base: kernel over the FEATURE space; ``base.input_dim`` must
+        equal ``net.out_dim`` (when the net declares one).
+    :param net: callable Module mapping (n, input_dim) -> (n, feature_dim).
+    :param input_dim: dimension of the raw input (defaults to
+        ``net.in_dim`` when the net declares one).
+    """
+
+    def __init__(self, base: Kernel, net, input_dim: int | None = None):
+        if input_dim is None:
+            input_dim = getattr(net, "in_dim", None)
+            if input_dim is None:
+                raise ValueError(
+                    "net declares no in_dim; pass input_dim explicitly"
+                )
+        out_dim = getattr(net, "out_dim", None)
+        if out_dim is not None and out_dim != base.input_dim:
+            raise ValueError(
+                f"net.out_dim={out_dim} must match the base kernel's "
+                f"input_dim={base.input_dim}"
+            )
+        super().__init__(input_dim)
+        self.base = base
+        self.net = net
+
+    def K(self, X, X2=None):
+        return self.base.K(self.net(X), None if X2 is None else self.net(X2))
+
+    def Kdiag(self, X):
+        return self.base.Kdiag(self.net(X))
+
+
 class Combination(Kernel):
     """Pair combination (kernels.py:268-284)."""
 
