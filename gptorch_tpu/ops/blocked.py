@@ -212,6 +212,10 @@ def blocked_cholesky(
     if algo == "dc" and nb < n <= _DC_CONCAT_MAX:
         return _chol_dc(a, nb, solve_block or 128, precision, lower_only)
     if n <= nb:
+        # Big leaves (nb > 1024, e.g. wide-panel configs at n=32k) route
+        # through d&c rather than XLA's ~15 TF/s sequential cholesky.
+        if n > 1024:
+            return _chol_dc(a, 1024, solve_block or 128, precision, lower_only)
         return lax.linalg.cholesky(a)
     p = -(-n // nb)
     n_pad = p * nb
@@ -221,11 +225,19 @@ def blocked_cholesky(
         lo = k * nb
         hi = lo + nb
         akk = K[lo:hi, lo:hi]
-        lkk = lax.linalg.cholesky(akk)
+        if nb > 1024:
+            lkk = _chol_dc_concat(akk, 1024, solve_block or 128, precision)
+        else:
+            lkk = lax.linalg.cholesky(akk)
         K = K.at[lo:hi, lo:hi].set(lkk)
         if hi < n_pad:
             a_panel = K[hi:, lo:hi]
-            l_panel = _panel_trsm(lkk, a_panel, solve_block)
+            if nb > 1024:
+                # recursive TRSM: big square GEMMs; the flat blocked
+                # substitution's nb2-wide strips lose at wide panels
+                l_panel = _rtrsm(lkk, a_panel, solve_block or 128, precision)
+            else:
+                l_panel = _panel_trsm(lkk, a_panel, solve_block)
             K = K.at[hi:, lo:hi].set(l_panel)
             # Trailing syrk A22 -= L_panel L_panelᵀ, LOWER blocks only
             # (upper trailing blocks are never read; this halves the GEMM
@@ -380,6 +392,45 @@ def tril_square_rec(Linv, nb: int = 512, leaf: int = 4096):
     BtB = BtB + jnp.tril(BtB, -1).T  # keep tril only, then mirror
     TL = TL + BtB
     TR = _trmm_dense_lower(B.T, C, nb)  # (m, n-m) = Bᵀ C
+    top = jnp.concatenate([TL, TR], axis=1)
+    bottom = jnp.concatenate([TR.T, BR], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
+def tril_square_dc(Linv, leaf: int = 2048, precision=None):
+    """LᵀL for lower-triangular L -- the full-dense-GEMM d&c variant:
+
+        [[A,0],[B,C]]ᵀ[[A,0],[B,C]] = [[AᵀA + BᵀB, BᵀC], [CᵀB, CᵀC]]
+
+    with BᵀB and BᵀC as single FULL square GEMMs per level (2× the flops
+    of :func:`tril_square_rec`'s nb-wide strip syrk/trmm, but at the
+    ~110 TF/s matmul roofline instead of the strips' ~60 -- the same
+    trade that took the d&c Cholesky from 44.7 to 73 TF/s).  Total
+    actual flops ≈ n³/2 (Σ over levels of 2·2·(n/2ᵏ⁺¹)³·2ᵏ), so nominal
+    n³/3-rate parity needs only ~73 effective.  Returns the full
+    symmetric matrix, like :func:`tril_square_rec`.
+
+    Measured verdict (v5e, n=16k): **59.0 TF/s at leaf=2048** vs
+    tril_square_rec's 56.5 -- only a ~4% win, because the rec variant's
+    strips already ran at ~60 effective (unlike the flat cholesky's
+    44.7), so the roofline headroom mostly cancels against the 1.5×
+    flop surcharge.  tril_square_rec stays the default in the fused
+    NLML backward; this variant is kept for A/B and for shapes where
+    concat-friendly memory layouts win."""
+    n = Linv.shape[0]
+    if n <= leaf:
+        return tril_square(Linv, min(leaf, 1024))
+    m = n // 2
+    A = Linv[:m, :m]
+    B = Linv[m:, :m]
+    C = Linv[m:, m:]
+    TL = tril_square_dc(A, leaf, precision) + jnp.matmul(
+        B.T, B, preferred_element_type=Linv.dtype, precision=precision
+    )
+    BR = tril_square_dc(C, leaf, precision)
+    TR = jnp.matmul(
+        B.T, C, preferred_element_type=Linv.dtype, precision=precision
+    )
     top = jnp.concatenate([TL, TR], axis=1)
     bottom = jnp.concatenate([TR.T, BR], axis=1)
     return jnp.concatenate([top, bottom], axis=0)
