@@ -12,8 +12,10 @@ from .warped import WarpedGPR
 from .deep import DeepGP
 from .posterior import Posterior
 from .sparse_gpr import FITC, SVGP, VFE
+from .statespace import StateSpaceGPR
 
 __all__ = [
     "GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM",
     "LMC", "HeteroscedasticSVGP", "WarpedGPR", "DeepGP", "Posterior",
+    "StateSpaceGPR",
 ]
