@@ -112,3 +112,25 @@ def test_heteroscedastic_example():
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert "noise-profile correlation" in result.stdout
+
+
+def test_timeseries_statespace_example():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPTORCH_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(BASE, "examples", "timeseries_statespace.py"),
+            "--no-plot",
+            "--n", "4000",
+            "--steps", "40",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "dense GPR NLML" in result.stdout
+    assert "rel diff" in result.stdout
