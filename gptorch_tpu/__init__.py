@@ -36,8 +36,10 @@ from .param import Param, positive_param
 from . import ekernels  # noqa: E402  (after kernels)
 from . import models  # noqa: E402
 from . import sampling  # noqa: E402
+from . import bayesopt  # noqa: E402  (after models)
 
 __all__ = [
+    "bayesopt",
     "bijectors",
     "ekernels",
     "functions",

@@ -1,0 +1,291 @@
+"""Bayesian optimization on top of the GP models.
+
+A compact, TPU-friendly BO layer (the standard GP application the
+reference leaves to its users): closed-form acquisition functions over a
+model's cached posterior, batched candidate scoring, and a
+suggest-evaluate-refit loop.  Everything jits -- acquisitions are pure
+functions of posterior moments, candidate search is one batched
+``predict_f`` over thousands of points (an MXU-shaped GEMM against the
+cached solve), and the optional gradient refinement differentiates
+straight through the posterior pytree.
+
+MINIMIZATION convention throughout (losses, not rewards): the
+incumbent is ``best = min(y)`` and improvement is ``best − f``.
+
+No reference analog; API modeled on the standard EI/UCB literature
+(Jones et al. 1998; Srinivas et al. 2010).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import settings
+
+_SQRT2 = math.sqrt(2.0)
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def _norm_pdf(z):
+    return _INV_SQRT_2PI * jnp.exp(-0.5 * z * z)
+
+
+def _norm_cdf(z):
+    return 0.5 * (1.0 + jax.lax.erf(z / _SQRT2))
+
+
+def expected_improvement(mean, var, best, xi=0.0):
+    """EI(x) = E[max(best − ξ − f(x), 0)] (minimization), closed form:
+
+        EI = (best − ξ − μ)·Φ(z) + σ·φ(z),  z = (best − ξ − μ)/σ.
+
+    Degenerate σ → 0 returns max(best − ξ − μ, 0) exactly.
+    """
+    sd = jnp.sqrt(jnp.maximum(var, 0.0))
+    imp = best - xi - mean
+    tiny = jnp.finfo(jnp.result_type(mean)).tiny
+    z = imp / jnp.maximum(sd, tiny)
+    ei = imp * _norm_cdf(z) + sd * _norm_pdf(z)
+    return jnp.where(sd > 0.0, ei, jnp.maximum(imp, 0.0))
+
+
+def log_expected_improvement(mean, var, best, xi=0.0):
+    """log EI, stable far from the incumbent (where EI underflows):
+    uses log(φ(z)·σ) − log1p-style asymptotics via logaddexp on the two
+    EI terms rather than logging the sum directly."""
+    sd = jnp.sqrt(jnp.maximum(var, 0.0))
+    tiny = jnp.finfo(jnp.result_type(mean)).tiny
+    sd = jnp.maximum(sd, tiny)
+    imp = best - xi - mean
+    z = imp / sd
+    # EI = sd * (z Φ(z) + φ(z));  h(z) = z Φ(z) + φ(z) > 0 everywhere
+    # log h: for z >> 0, h ≈ z; for z << 0, h ≈ φ(z)/z² (Mills ratio)
+    log_phi = -0.5 * z * z - 0.5 * math.log(2.0 * math.pi)
+    h = z * _norm_cdf(z) + _norm_pdf(z)
+    safe = h > jnp.finfo(jnp.result_type(mean)).tiny ** 0.5
+    log_h = jnp.where(
+        safe,
+        jnp.log(jnp.maximum(h, tiny)),
+        log_phi - 2.0 * jnp.log(jnp.maximum(-z, 1.0)),
+    )
+    return jnp.log(sd) + log_h
+
+
+def probability_of_improvement(mean, var, best, xi=0.0):
+    """PI(x) = P(f(x) < best − ξ)."""
+    sd = jnp.sqrt(jnp.maximum(var, 0.0))
+    tiny = jnp.finfo(jnp.result_type(mean)).tiny
+    z = (best - xi - mean) / jnp.maximum(sd, tiny)
+    return _norm_cdf(z)
+
+
+def upper_confidence_bound(mean, var, best=None, beta=2.0):
+    """LCB for minimization (named UCB per convention): −(μ − √β·σ),
+    larger is better like the other acquisitions."""
+    sd = jnp.sqrt(jnp.maximum(var, 0.0))
+    return -(mean - math.sqrt(beta) * sd)
+
+
+ACQUISITIONS = {
+    "ei": expected_improvement,
+    "logei": log_expected_improvement,
+    "pi": probability_of_improvement,
+    "ucb": upper_confidence_bound,
+}
+
+
+def score_candidates(posterior, X_cand, best, acquisition="ei", **kwargs):
+    """Acquisition values over a candidate batch, (n_cand,).
+
+    ``posterior`` is a cached model posterior (``model.posterior()``) or
+    any object with ``predict_f(x, diag=True)`` returning (mean, var);
+    one batched call scores every candidate.
+    """
+    acq = (
+        ACQUISITIONS[acquisition]
+        if isinstance(acquisition, str)
+        else acquisition
+    )
+    mean, var = posterior.predict_f(X_cand, diag=True)
+    mean = jnp.asarray(mean)[:, 0]
+    var = jnp.asarray(var)[:, 0] if jnp.ndim(var) > 1 else jnp.asarray(var)
+    return acq(mean, var, best, **kwargs)
+
+
+def suggest(
+    model,
+    bounds,
+    acquisition: str = "ei",
+    n_candidates: int = 4096,
+    refine_steps: int = 25,
+    refine_lr: float = 0.05,
+    key=None,
+    **acq_kwargs,
+):
+    """Propose the next evaluation point.
+
+    1. score ``n_candidates`` uniform random points in ``bounds`` with
+       one batched posterior call (TPU-shaped: a single GEMM against the
+       cached solve);
+    2. gradient-ascend the acquisition from the best candidate for
+       ``refine_steps`` steps (differentiating through the posterior
+       pytree), projected back into the box.
+
+    :param model: a fitted GP model with ``posterior()`` and training
+        data ``Y`` (the incumbent is ``min(model.Y)``).
+    :param bounds: (d, 2) array of [low, high] per input dimension.
+    :return: (d,) numpy array, the suggested point.
+    """
+    if key is None:
+        key = settings.next_default_key()
+    bounds = np.asarray(bounds, dtype=float)
+    if bounds.ndim == 1:
+        bounds = bounds[None, :]
+    d = bounds.shape[0]
+    lo = jnp.asarray(bounds[:, 0])
+    hi = jnp.asarray(bounds[:, 1])
+
+    post = model.posterior() if hasattr(model, "posterior") else model
+    best = jnp.min(jnp.asarray(model.Y))
+
+    u = jax.random.uniform(key, (n_candidates, d), dtype=lo.dtype)
+    X_cand = lo[None] + u * (hi - lo)[None]
+    scores = score_candidates(post, X_cand, best, acquisition, **acq_kwargs)
+    x0 = X_cand[jnp.argmax(scores)]
+
+    if refine_steps > 0:
+        acq = (
+            ACQUISITIONS[acquisition]
+            if isinstance(acquisition, str)
+            else acquisition
+        )
+
+        def neg_acq(x):
+            mean, var = post.predict_f(x[None, :], diag=True)
+            v = var[:, 0] if jnp.ndim(var) > 1 else var
+            return -acq(mean[0, 0], v[0], best, **acq_kwargs)
+
+        step_scale = (hi - lo) * refine_lr
+
+        def body(x, _):
+            g = jax.grad(neg_acq)(x)
+            # normalized sign-free step, box-projected
+            gn = g / jnp.maximum(jnp.max(jnp.abs(g)), 1e-30)
+            x = jnp.clip(x - step_scale * gn, lo, hi)
+            return x, None
+
+        x0, _ = jax.lax.scan(body, x0, None, length=refine_steps)
+        # keep the refinement only if it actually helped
+        better = -neg_acq(x0)
+        x0 = jnp.where(better >= jnp.max(scores), x0, X_cand[jnp.argmax(scores)])
+    return np.asarray(x0)
+
+
+class BayesOpt:
+    """Suggest/observe loop: fit a GPR, propose, evaluate, repeat.
+
+    >>> bo = BayesOpt(bounds=[[0, 1]], kernel=None)  # Matern52 default
+    >>> for _ in range(20):
+    ...     x = bo.suggest()
+    ...     bo.observe(x, f(x))
+    >>> bo.best_x, bo.best_y
+
+    Observations are standardized internally before fitting (the GP
+    sees zero-mean unit-variance targets); suggestions and incumbents
+    are reported in original units.
+    """
+
+    def __init__(
+        self,
+        bounds,
+        kernel: Optional[Callable] = None,
+        acquisition: str = "ei",
+        noise: float = 1e-4,
+        fit_iters: int = 200,
+        n_candidates: int = 4096,
+        seed: int = 0,
+    ):
+        self.bounds = np.asarray(bounds, dtype=float)
+        if self.bounds.ndim == 1:
+            self.bounds = self.bounds[None, :]
+        self.d = self.bounds.shape[0]
+        self._kernel_factory = kernel
+        self.acquisition = acquisition
+        self.noise = noise
+        self.fit_iters = fit_iters
+        self.n_candidates = n_candidates
+        self._key = jax.random.PRNGKey(seed)
+        self.X: list = []
+        self.Y: list = []
+        self._model = None
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @property
+    def best_idx(self):
+        return int(np.argmin(np.asarray(self.Y)))
+
+    @property
+    def best_x(self):
+        return np.asarray(self.X)[self.best_idx]
+
+    @property
+    def best_y(self):
+        return float(np.asarray(self.Y)[self.best_idx])
+
+    def observe(self, x, y):
+        self.X.append(np.asarray(x, dtype=float).reshape(self.d))
+        self.Y.append(float(y))
+        self._model = None  # stale
+
+    def _fit(self):
+        from . import kernels, likelihoods
+        from .models import GPR
+
+        X = np.asarray(self.X)
+        Y = np.asarray(self.Y)[:, None]
+        mu, sd = Y.mean(), max(Y.std(), 1e-12)
+        Yn = (Y - mu) / sd
+        span = self.bounds[:, 1] - self.bounds[:, 0]
+        kern = (
+            self._kernel_factory()
+            if self._kernel_factory is not None
+            else kernels.Matern52(
+                self.d, ARD=True, length_scales=0.2 * span
+            )
+        )
+        m = GPR(
+            X,
+            Yn,
+            kern,
+            likelihood=likelihoods.Gaussian(self.noise),
+            fast=False,
+        )
+        if self.fit_iters > 0 and len(self.Y) >= 3:
+            m.fit_scan(method="Adam", max_iter=self.fit_iters, learning_rate=0.05)
+        self._model = m
+        self._y_shift = (mu, sd)
+        return m
+
+    def suggest(self):
+        """Next point to evaluate (random init points until 2 observations
+        exist, then acquisition-optimal)."""
+        if len(self.Y) < 2:
+            u = jax.random.uniform(self._next_key(), (self.d,))
+            lo, hi = self.bounds[:, 0], self.bounds[:, 1]
+            return np.asarray(lo + np.asarray(u) * (hi - lo))
+        m = self._model if self._model is not None else self._fit()
+        return suggest(
+            m,
+            self.bounds,
+            acquisition=self.acquisition,
+            n_candidates=self.n_candidates,
+            key=self._next_key(),
+        )

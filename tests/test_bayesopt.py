@@ -1,0 +1,133 @@
+"""Bayesian-optimization layer: acquisition correctness + loop behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gptorch_tpu import bayesopt, kernels, likelihoods
+from gptorch_tpu.models import GPR
+
+
+class TestAcquisitions:
+    def test_ei_matches_monte_carlo(self):
+        rng = np.random.default_rng(0)
+        mean = jnp.asarray([0.3, -0.5, 1.2])
+        var = jnp.asarray([0.4, 0.02, 1.5])
+        best = 0.1
+        ei = np.asarray(bayesopt.expected_improvement(mean, var, best))
+        z = rng.standard_normal((200_000, 3))
+        f = np.asarray(mean) + z * np.sqrt(np.asarray(var))
+        mc = np.maximum(best - f, 0.0).mean(axis=0)
+        assert ei == pytest.approx(mc, abs=5e-3)
+
+    def test_ei_degenerate_variance(self):
+        ei = bayesopt.expected_improvement(
+            jnp.asarray([0.0, 1.0]), jnp.asarray([0.0, 0.0]), best=0.5
+        )
+        assert np.asarray(ei) == pytest.approx([0.5, 0.0])
+
+    def test_logei_matches_log_of_ei(self):
+        mean = jnp.linspace(-2.0, 2.0, 9)
+        var = jnp.full((9,), 0.3)
+        lei = np.asarray(bayesopt.log_expected_improvement(mean, var, 0.0))
+        ei = np.asarray(bayesopt.expected_improvement(mean, var, 0.0))
+        assert lei == pytest.approx(np.log(ei), rel=1e-5)
+
+    def test_logei_far_tail_finite(self):
+        # EI underflows to 0 here; log EI must stay finite and ordered
+        mean = jnp.asarray([10.0, 20.0, 30.0])
+        var = jnp.full((3,), 0.01)
+        lei = np.asarray(
+            bayesopt.log_expected_improvement(mean, var, best=0.0)
+        )
+        assert np.all(np.isfinite(lei))
+        assert lei[0] > lei[1] > lei[2]
+
+    def test_pi_bounds_and_monotonic(self):
+        mean = jnp.linspace(-3, 3, 13)
+        var = jnp.full((13,), 1.0)
+        pi = np.asarray(bayesopt.probability_of_improvement(mean, var, 0.0))
+        assert np.all((pi >= 0) & (pi <= 1))
+        assert np.all(np.diff(pi) < 0)  # higher mean -> less improvement
+
+    def test_ucb_beta_widens(self):
+        mean = jnp.asarray([1.0])
+        var = jnp.asarray([2.0])
+        a1 = float(bayesopt.upper_confidence_bound(mean, var, beta=1.0)[0])
+        a2 = float(bayesopt.upper_confidence_bound(mean, var, beta=4.0)[0])
+        assert a2 > a1
+
+
+class TestSuggest:
+    def _model(self, n=30, seed=0):
+        rng = np.random.default_rng(seed)
+        x = rng.uniform(0, 1, (n, 1))
+        y = (x - 0.3) ** 2 + 0.01 * rng.standard_normal((n, 1))
+        return GPR(
+            x,
+            y,
+            kernels.Matern52(1, length_scales=0.2),
+            likelihood=likelihoods.Gaussian(1e-4),
+            fast=False,
+        )
+
+    def test_suggest_in_bounds(self):
+        m = self._model()
+        x = bayesopt.suggest(m, [[0.0, 1.0]], key=jax.random.PRNGKey(0))
+        assert x.shape == (1,)
+        assert 0.0 <= x[0] <= 1.0
+
+    def test_suggest_prefers_region_near_minimum(self):
+        # with a well-fit smooth model and small noise, EI concentrates
+        # near the incumbent basin (x=0.3)
+        m = self._model(n=60)
+        xs = [
+            bayesopt.suggest(
+                m, [[0.0, 1.0]], key=jax.random.PRNGKey(k), refine_steps=0
+            )[0]
+            for k in range(3)
+        ]
+        assert np.median(np.abs(np.asarray(xs) - 0.3)) < 0.25
+
+    def test_score_candidates_shape(self):
+        m = self._model()
+        post = m.posterior()
+        s = bayesopt.score_candidates(
+            post, jnp.linspace(0, 1, 17)[:, None], best=float(np.min(m.Y))
+        )
+        assert s.shape == (17,)
+
+
+class TestLoop:
+    def test_optimizes_quadratic(self):
+        bo = bayesopt.BayesOpt(
+            bounds=[[-1.0, 2.0]], fit_iters=100, n_candidates=512, seed=1
+        )
+
+        def f(x):
+            return float((x[0] - 0.7) ** 2)
+
+        for _ in range(12):
+            x = bo.suggest()
+            bo.observe(x, f(x))
+        assert abs(bo.best_x[0] - 0.7) < 0.15
+        assert bo.best_y < 0.02
+
+    def test_2d_loop_runs(self):
+        bo = bayesopt.BayesOpt(
+            bounds=[[0.0, 1.0], [0.0, 1.0]],
+            acquisition="logei",
+            fit_iters=60,
+            n_candidates=256,
+            seed=2,
+        )
+
+        def f(x):
+            return float(np.sum((x - 0.5) ** 2))
+
+        for _ in range(8):
+            x = bo.suggest()
+            bo.observe(x, f(x))
+        assert bo.best_y < 0.3
+        assert bo.best_x.shape == (2,)
