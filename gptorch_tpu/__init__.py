@@ -37,6 +37,7 @@ from . import ekernels  # noqa: E402  (after kernels)
 from . import models  # noqa: E402
 from . import sampling  # noqa: E402
 from . import bayesopt  # noqa: E402  (after models)
+from . import mcmc  # noqa: E402  (after models)
 
 __all__ = [
     "bayesopt",
@@ -45,6 +46,7 @@ __all__ = [
     "functions",
     "kernels",
     "likelihoods",
+    "mcmc",
     "mean_functions",
     "models",
     "module",

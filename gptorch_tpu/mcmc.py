@@ -1,0 +1,421 @@
+"""Fully-Bayesian hyperparameter inference: HMC over unconstrained space.
+
+The reference attaches priors to parameters but only ever uses them for MAP
+(penalized-likelihood) fitting -- ``Model.log_prior`` summed into the loss
+(reference model.py:158-177, models/base.py:418-419).  This module adds the
+capability GP practitioners otherwise reach to external PPLs for: sampling
+the hyperparameter *posterior* with Hamiltonian Monte Carlo and averaging
+predictions over it.
+
+TPU-native design: the whole chain -- leapfrog integration, Metropolis
+correction, dual-averaging step-size warmup, diagonal mass-matrix
+(Welford) adaptation -- is pure ``lax.scan``/``lax.while_loop``-free
+arithmetic inside ONE compiled ``lax.scan`` per phase, so a 1000-sample
+chain is one device program, not 1000 dispatches (essential through a
+high-latency tunnel, CLAUDE.md).  Multiple chains are ``jax.vmap`` over the
+(init, key) axes of the same compiled kernel.
+
+Reparameterization: sampling runs on the *unconstrained* raw values (the
+same coordinates the optimizers use, param.py).  The target density is
+
+    log pi(raw) = log_likelihood(constrained)
+                + log_prior(constrained)          [reference quirk: evaluated
+                                                   on transformed values]
+                + sum_p log|d constrained_p / d raw_p|
+
+i.e. the reference's (Jacobian-free) prior convention PLUS the change-of-
+variables correction, so that e.g. a LogNormal(mu, s) prior on a positive
+parameter under the Exp bijector yields exactly raw ~ Normal(mu, s).  Set
+``jacobian=False`` to sample the reference's literal (uncorrected) density.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.flatten_util import ravel_pytree
+
+__all__ = [
+    "log_posterior_fn",
+    "hmc",
+    "sample_posterior",
+    "predict_mixture",
+    "potential_scale_reduction",
+    "effective_sample_size",
+    "HMCResult",
+]
+
+
+class HMCResult(NamedTuple):
+    """Chain output. ``samples`` has a leading (num_chains?, num_samples)
+    axis; ``accept_prob`` / ``divergent`` align with it."""
+
+    samples: jax.Array  # (..., num_samples, dim) flat unconstrained draws
+    accept_prob: jax.Array  # (..., num_samples)
+    divergent: jax.Array  # (..., num_samples) bool
+    step_size: jax.Array  # (...,) adapted step size
+    inv_mass: jax.Array  # (..., dim) adapted diagonal inverse mass
+
+
+# ---------------------------------------------------------------------------
+# model-facing target density
+
+
+def log_posterior_fn(model, jacobian: bool = True) -> Callable:
+    """Return ``logpi(values_dict) -> scalar`` for a model's trainables.
+
+    ``-model._loss()`` is log_likelihood + log_prior (reference
+    models/base.py:418-419); with ``jacobian=True`` (default) the bijector
+    log-det of every trainable parameter is added so the density is the
+    correct pushforward onto unconstrained coordinates.
+    """
+    from .module import with_trainable
+
+    trainable_bijectors = {
+        name: p.bijector
+        for name, p in model.named_parameters()
+        if p.trainable
+    }
+
+    def logpi(values: Dict[str, jax.Array]):
+        m = with_trainable(model, values)
+        out = -m._loss()
+        out = jnp.reshape(out, ())
+        if jacobian:
+            for name, bij in trainable_bijectors.items():
+                fldj = bij.forward_log_det_jacobian(values[name])
+                out = out + jnp.sum(fldj)
+        return out
+
+    return logpi
+
+
+# ---------------------------------------------------------------------------
+# flat-vector HMC with warmup adaptation
+
+
+def _leapfrog(logdensity_grad, q, p, grad, logp, eps, inv_mass, num_steps):
+    """``num_steps`` leapfrog steps; returns (q, p, grad, logp) at the end.
+
+    One fori_loop with a single gradient evaluation per step; XLA unrolls
+    nothing -- compile time stays flat in ``num_steps``.
+    """
+
+    def step(_, carry):
+        q, p, grad, _ = carry
+        p = p + 0.5 * eps * grad
+        q = q + eps * inv_mass * p
+        logp, grad = logdensity_grad(q)
+        p = p + 0.5 * eps * grad
+        return q, p, grad, logp
+
+    return lax.fori_loop(0, num_steps, step, (q, p, grad, logp))
+
+
+def _kinetic(p, inv_mass):
+    return 0.5 * jnp.sum(p * p * inv_mass)
+
+
+def _hmc_phase(
+    logdensity_grad,
+    q0,
+    key,
+    num_iters,
+    num_leapfrog,
+    eps0,
+    inv_mass,
+    adapt: bool,
+    target_accept=0.8,
+):
+    """One scan: ``num_iters`` HMC transitions. With ``adapt=True`` the step
+    size follows Nesterov dual averaging (Hoffman & Gelman 2014, Alg. 5) and
+    Welford moments of the visited points are accumulated for the mass
+    update; with ``adapt=False`` the step size is frozen and draws are kept.
+    """
+    dim = q0.shape[0]
+    logp0, grad0 = logdensity_grad(q0)
+
+    mu = jnp.log(10.0 * eps0)
+    da0 = (jnp.log(eps0), 0.0, 0.0)  # log_eps_bar, h_bar, count
+    welford0 = (jnp.zeros(dim, q0.dtype), jnp.zeros(dim, q0.dtype), 0.0)
+
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def transition(carry, key):
+        q, logp, grad, log_eps, da, wf = carry
+        log_eps_bar, h_bar, count = da
+
+        key_mom, key_acc, key_jit = jax.random.split(key, 3)
+        eps = jnp.exp(log_eps)
+        # jitter the trajectory length +-20% to break resonances
+        eps = eps * (0.8 + 0.4 * jax.random.uniform(key_jit, dtype=q.dtype))
+
+        p0 = jax.random.normal(key_mom, (dim,), q.dtype) / jnp.sqrt(inv_mass)
+        h0 = -logp + _kinetic(p0, inv_mass)
+
+        q1, p1, grad1, logp1 = _leapfrog(
+            logdensity_grad, q, p0, grad, logp, eps, inv_mass, num_leapfrog
+        )
+        h1 = -logp1 + _kinetic(p1, inv_mass)
+
+        delta_h = h0 - h1
+        divergent = ~jnp.isfinite(delta_h) | (delta_h < -1000.0)
+        accept_prob = jnp.where(
+            divergent, 0.0, jnp.minimum(1.0, jnp.exp(jnp.minimum(delta_h, 0.0)))
+        )
+        accept = jax.random.uniform(key_acc, dtype=q.dtype) < accept_prob
+
+        q = jnp.where(accept, q1, q)
+        logp = jnp.where(accept, logp1, logp)
+        grad = jnp.where(accept, grad1, grad)
+
+        if adapt:
+            count = count + 1.0
+            h_bar = (1.0 - 1.0 / (count + t0)) * h_bar + (
+                target_accept - accept_prob
+            ) / (count + t0)
+            log_eps = mu - jnp.sqrt(count) / gamma * h_bar
+            w = count**-kappa
+            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            mean, m2, n = wf
+            n = n + 1.0
+            delta = q - mean
+            mean = mean + delta / n
+            m2 = m2 + delta * (q - mean)
+            wf = (mean, m2, n)
+
+        carry = (q, logp, grad, log_eps, (log_eps_bar, h_bar, count), wf)
+        return carry, (q, accept_prob, divergent)
+
+    carry0 = (q0, logp0, grad0, jnp.log(eps0), da0, welford0)
+    carry, (qs, accept, div) = lax.scan(
+        transition, carry0, jax.random.split(key, num_iters)
+    )
+    q, logp, grad, log_eps, (log_eps_bar, _, _), (mean, m2, n) = carry
+    var = m2 / jnp.maximum(n - 1.0, 1.0)
+    return q, jnp.exp(log_eps_bar), var, (qs, accept, div)
+
+
+def hmc(
+    logdensity: Callable,
+    init,
+    key,
+    num_samples: int = 500,
+    num_warmup: int = 500,
+    num_leapfrog: int = 24,
+    step_size: float = 0.1,
+    adapt_mass: bool = True,
+    target_accept: float = 0.8,
+) -> tuple:
+    """Run one HMC chain on a pytree-valued ``logdensity``.
+
+    Warmup is two dual-averaging phases: phase A (identity mass) adapts the
+    step size and estimates per-coordinate posterior variance; phase B
+    re-adapts the step size under the new diagonal mass.  Returns
+    ``(HMCResult, unravel)`` where ``unravel`` maps a flat draw back to the
+    pytree structure of ``init``.
+    """
+    q0, unravel = ravel_pytree(init)
+    dim = q0.shape[0]
+    if dim == 0:
+        raise ValueError("hmc: no sampled values (empty init pytree)")
+
+    def logdensity_flat(q):
+        return jnp.reshape(logdensity(unravel(q)), ())
+
+    logdensity_grad = jax.value_and_grad(logdensity_flat)
+
+    key_a, key_b, key_s = jax.random.split(key, 3)
+    inv_mass = jnp.ones(dim, q0.dtype)
+    eps0 = jnp.asarray(step_size, q0.dtype)
+
+    na = num_warmup // 2 if adapt_mass else num_warmup
+    q1, eps1, var, _ = _hmc_phase(
+        logdensity_grad, q0, key_a, na, num_leapfrog, eps0, inv_mass,
+        adapt=True, target_accept=target_accept,
+    )
+    if adapt_mass:
+        # inverse mass = posterior variance estimate (regularized toward 1
+        # like Stan's windowed estimator, weight n/(n+5))
+        n = jnp.asarray(na, q0.dtype)
+        inv_mass = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * jnp.ones_like(var)
+        inv_mass = jnp.clip(inv_mass, 1e-6, 1e6)
+        q1, eps1, _, _ = _hmc_phase(
+            logdensity_grad, q1, key_b, num_warmup - na, num_leapfrog, eps1,
+            inv_mass, adapt=True, target_accept=target_accept,
+        )
+
+    _, _, _, (qs, accept, div) = _hmc_phase(
+        logdensity_grad, q1, key_s, num_samples, num_leapfrog, eps1, inv_mass,
+        adapt=False, target_accept=target_accept,
+    )
+    return HMCResult(qs, accept, div, eps1, inv_mass), unravel
+
+
+# ---------------------------------------------------------------------------
+# model-level driver
+
+
+def sample_posterior(
+    model,
+    key,
+    num_samples: int = 500,
+    num_warmup: int = 500,
+    num_chains: int = 1,
+    num_leapfrog: int = 24,
+    step_size: float = 0.1,
+    jacobian: bool = True,
+    init_jitter: float = 0.1,
+    adapt_mass: bool = True,
+    target_accept: float = 0.8,
+):
+    """Sample the hyperparameter posterior of ``model``.
+
+    Returns ``(samples, result)`` where ``samples`` maps each trainable
+    parameter path to its CONSTRAINED draws, shape
+    ``(num_chains, num_samples) + param_shape`` (leading chain axis kept
+    even for one chain), and ``result`` is the flat :class:`HMCResult`
+    (diagnostics: ``accept_prob``, ``divergent``, adapted ``step_size`` /
+    ``inv_mass``).
+
+    Chains start from the model's current values, jittered by
+    ``init_jitter`` times a standard normal in unconstrained space (chain 0
+    starts exactly at the current values), and run as ONE vmapped program.
+    """
+    from .module import get_trainable
+
+    values = get_trainable(model)
+    logpi = log_posterior_fn(model, jacobian=jacobian)
+    q0_flat, unravel = ravel_pytree(values)
+
+    bijectors = {
+        name: p.bijector
+        for name, p in model.named_parameters()
+        if p.trainable
+    }
+
+    keys = jax.random.split(key, num_chains + 1)
+    jit_keys, chain_keys = keys[0], keys[1:]
+    offsets = jax.random.normal(
+        jit_keys, (num_chains, q0_flat.shape[0]), q0_flat.dtype
+    )
+    offsets = offsets.at[0].set(0.0) * init_jitter
+    inits = q0_flat[None, :] + offsets
+
+    def run_chain(q_init, chain_key):
+        res, _ = hmc(
+            lambda tree: logpi(tree),
+            unravel(q_init),
+            chain_key,
+            num_samples=num_samples,
+            num_warmup=num_warmup,
+            num_leapfrog=num_leapfrog,
+            step_size=step_size,
+            adapt_mass=adapt_mass,
+            target_accept=target_accept,
+        )
+        return res
+
+    result = jax.jit(jax.vmap(run_chain))(inits, chain_keys)
+
+    # (chains, samples, dim) -> constrained per-parameter arrays
+    raw_tree = jax.vmap(jax.vmap(unravel))(result.samples)
+    samples = {
+        name: bijectors[name].forward(raw) for name, raw in raw_tree.items()
+    }
+    return samples, result
+
+
+def predict_mixture(model, samples, x_new, y: bool = True):
+    """Posterior-mixture predictions: average ``predict_y`` (or
+    ``predict_f``) moments over hyperparameter draws.
+
+    ``samples``: the constrained dict from :func:`sample_posterior` (chain
+    axis optional).  Returns ``(mean, var)`` of the Gaussian mixture:
+    ``mean = E[mu_s]``, ``var = E[var_s + mu_s^2] - mean^2``.  Runs as one
+    ``lax.map`` over draws (each draw re-factorizes -- exact, not cached).
+    """
+    from .module import get_trainable, with_trainable
+
+    values = get_trainable(model)
+    bijectors = {
+        name: p.bijector
+        for name, p in model.named_parameters()
+        if p.trainable
+    }
+    flat = {}
+    for name in values:
+        s = samples[name]
+        expect = np.asarray(values[name]).ndim
+        s = s.reshape((-1,) + s.shape[s.ndim - expect :]) if expect else s.reshape(-1)
+        flat[name] = bijectors[name].inverse(s)
+
+    x_new = jnp.asarray(x_new)
+
+    def one(raw_draw):
+        m = with_trainable(model, raw_draw)
+        mean, var = (m.predict_y if y else m.predict_f)(x_new)
+        return mean, var
+
+    means, vars_ = lax.map(one, flat)
+    mean = jnp.mean(means, axis=0)
+    var = jnp.mean(vars_ + means**2, axis=0) - mean**2
+    return mean, var
+
+
+# ---------------------------------------------------------------------------
+# diagnostics
+
+
+def potential_scale_reduction(x) -> jax.Array:
+    """Split-R-hat over a (chains, samples, ...) array (Gelman et al.;
+    the standard split-chain form). Values near 1 indicate convergence."""
+    x = jnp.asarray(x)
+    c, n = x.shape[0], x.shape[1]
+    half = n // 2
+    x = jnp.concatenate([x[:, :half], x[:, half : 2 * half]], axis=0)
+    m, n = x.shape[0], x.shape[1]
+    chain_mean = jnp.mean(x, axis=1)
+    chain_var = jnp.var(x, axis=1, ddof=1)
+    w = jnp.mean(chain_var, axis=0)
+    b = n * jnp.var(chain_mean, axis=0, ddof=1)
+    var_plus = (n - 1) / n * w + b / n
+    return jnp.sqrt(var_plus / w)
+
+
+def effective_sample_size(x) -> jax.Array:
+    """Bulk ESS from the initial-positive-sequence autocorrelation estimator
+    (Geyer 1992), per scalar coordinate, summed over chains."""
+    x = np.asarray(x)
+    scalar = x.ndim == 2
+    if scalar:
+        x = x[..., None]
+    c, n = x.shape[0], x.shape[1]
+    out = np.zeros(x.shape[2:])
+    for idx in np.ndindex(*x.shape[2:]):
+        rho_sum = 0.0
+        for ci in range(c):
+            z = x[(ci, slice(None)) + idx]
+            z = z - z.mean()
+            denom = float(z @ z)
+            if denom == 0.0:
+                continue
+            t = 1
+            rho_pair_prev = np.inf
+            while t + 1 < n:
+                r1 = float(z[: n - t] @ z[t:]) / denom
+                r2 = float(z[: n - t - 1] @ z[t + 1 :]) / denom
+                pair = r1 + r2
+                if pair < 0:
+                    break
+                pair = min(pair, rho_pair_prev)  # monotone (Geyer IMS)
+                rho_sum += pair
+                rho_pair_prev = pair
+                t += 2
+        out[idx] = c * n / (1.0 + 2.0 * rho_sum / c) if c else 0.0
+    return jnp.asarray(out[0] if scalar else out)
