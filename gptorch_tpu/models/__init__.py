@@ -6,6 +6,7 @@ from .base import GPModel
 from .gpr import GPR
 from .gplvm import GPLVM
 from .kronecker import GridGPR
+from .laplace import LaplaceGP
 from .heteroscedastic import HeteroscedasticSVGP
 from .multioutput import ICM, LMC
 from .warped import WarpedGPR
@@ -16,6 +17,6 @@ from .statespace import StateSpaceGPR
 
 __all__ = [
     "GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM",
-    "LMC", "HeteroscedasticSVGP", "WarpedGPR", "DeepGP", "Posterior",
+    "LMC", "LaplaceGP", "HeteroscedasticSVGP", "WarpedGPR", "DeepGP", "Posterior",
     "StateSpaceGPR",
 ]
