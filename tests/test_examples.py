@@ -134,3 +134,46 @@ def test_timeseries_statespace_example():
     assert result.returncode == 0, result.stderr[-2000:]
     assert "dense GPR NLML" in result.stdout
     assert "rel diff" in result.stdout
+
+
+def test_classification_laplace_example():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPTORCH_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(BASE, "examples", "classification_laplace.py"),
+            "--no-plot",
+            "--optimize-iters", "30",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "Laplace evidence" in result.stdout
+    assert "train accuracy" in result.stdout
+
+
+def test_hyperparameter_mcmc_example():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPTORCH_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(BASE, "examples", "hyperparameter_mcmc.py"),
+            "--no-plot",
+            "--num-samples", "150",
+            "--num-warmup", "150",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "divergences=0" in result.stdout
+    assert "posterior-mixture" in result.stdout
