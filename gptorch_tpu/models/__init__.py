@@ -12,11 +12,12 @@ from .multioutput import ICM, LMC
 from .warped import WarpedGPR
 from .deep import DeepGP
 from .posterior import Posterior
+from .ski import SKIGPR
 from .sparse_gpr import FITC, SVGP, VFE
 from .statespace import StateSpaceGPR
 
 __all__ = [
     "GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM",
     "LMC", "LaplaceGP", "HeteroscedasticSVGP", "WarpedGPR", "DeepGP", "Posterior",
-    "StateSpaceGPR",
+    "SKIGPR", "StateSpaceGPR",
 ]
