@@ -275,3 +275,87 @@ class StudentT(Likelihood):
         nu = self.df.value.reshape(())
         s2 = self.scale2.value.reshape(())
         return jnp.broadcast_to(nu * s2 / (nu - 2.0), F.shape)
+
+
+class Softmax(Likelihood):
+    """Multiclass classification over C jointly-evaluated latent GPs.
+
+    Targets are ONE-HOT (n, C) -- give the model C output columns (one
+    latent GP per class); ``one_hot`` below converts integer labels.
+    (New capability: reference README.md:42 lists non-Gaussian
+    likelihoods as roadmap-only, and its models are single-latent-per-
+    output; here the C columns are consumed JOINTLY.)
+
+    Variational expectation (the SVGP ELBO term) uses the closed-form
+    log-sum-exp bound
+
+        <log softmax_y(f)>  >=  mu_y - log sum_c exp(mu_c + v_c / 2)
+
+    (Jensen on E[sum_c e^{f_c}]); substituting it keeps the ELBO a valid
+    lower bound, deterministic and quadrature-free in any dimension C.
+
+    Predictive class probabilities use the MacKay moderation
+    p_c ∝ softmax(mu_c / sqrt(1 + (pi/8) v_c)) -- the standard
+    closed-form approximation to the Gaussian-softmax integral
+    (exact in the v -> 0 limit; renormalized).
+    """
+
+    joint_outputs = True  # columns are one distribution, not independent GPs
+
+    def __init__(self, num_classes: int):
+        if num_classes < 2:
+            raise ValueError("Softmax needs >= 2 classes")
+        self.num_classes = int(num_classes)
+
+    @staticmethod
+    def one_hot(labels, num_classes: int):
+        """(n,) or (n, 1) integer labels -> (n, C) one-hot floats."""
+        labels = jnp.asarray(labels).reshape(-1).astype(jnp.int32)
+        return jax.nn.one_hot(labels, num_classes)
+
+    def _check(self, Y):
+        if Y.shape[-1] != self.num_classes:
+            raise ValueError(
+                f"Softmax targets must be one-hot with C={self.num_classes} "
+                f"columns (got {Y.shape[-1]}); use Softmax.one_hot(labels, C)"
+            )
+
+    def logp(self, F, Y):
+        """Row log-likelihood log softmax(F)·Y, broadcast over rows.
+        Returns (..., 1) so downstream sums count each row once."""
+        logp_rows = jnp.sum(
+            Y * jax.nn.log_softmax(F, axis=-1), axis=-1, keepdims=True
+        )
+        return logp_rows
+
+    def conditional_mean(self, F):
+        return jax.nn.softmax(F, axis=-1)
+
+    def conditional_variance(self, F):
+        p = jax.nn.softmax(F, axis=-1)
+        return p * (1.0 - p)
+
+    def latent_init(self, Y):
+        return 2.0 * Y - 1.0
+
+    def _moderated_logits(self, mean_f, var_f):
+        return mean_f / jnp.sqrt(1.0 + (math.pi / 8.0) * var_f)
+
+    def propagate_log(self, mean_f, var_f, targets):
+        """Closed-form lower bound on sum_n <log softmax_{y_n}(f_n)>."""
+        self._check(targets)
+        bound = jnp.sum(targets * mean_f, axis=-1) - jax.nn.logsumexp(
+            mean_f + 0.5 * var_f, axis=-1
+        )
+        return jnp.sum(bound)
+
+    def predict_mean_variance(self, mean_f, var_f):
+        p = jax.nn.softmax(self._moderated_logits(mean_f, var_f), axis=-1)
+        return p, p * (1.0 - p)
+
+    def predict_log_density(self, mean_f, var_f, targets):
+        self._check(targets)
+        logp = jax.nn.log_softmax(
+            self._moderated_logits(mean_f, var_f), axis=-1
+        )
+        return jnp.sum(targets * logp, axis=-1, keepdims=True)

@@ -81,6 +81,12 @@ class LaplaceGP(GPModel):
     ):
         if likelihood is None:
             likelihood = _likelihoods.Bernoulli()
+        if getattr(likelihood, "joint_outputs", False):
+            raise ValueError(
+                "LaplaceGP factorizes over output columns; joint-output "
+                f"likelihoods ({type(likelihood).__name__}) need the "
+                "coupled-Hessian mode it does not implement -- use SVGP"
+            )
         super().__init__(
             x, y, kernel, likelihood=likelihood,
             mean_function=mean_function, name=name,

@@ -177,3 +177,23 @@ def test_hyperparameter_mcmc_example():
     assert result.returncode == 0, result.stderr[-2000:]
     assert "divergences=0" in result.stdout
     assert "posterior-mixture" in result.stdout
+
+
+def test_multiclass_1d_example():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPTORCH_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(BASE, "examples", "multiclass_1d.py"),
+            "--no-plot",
+            "--steps", "400",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "train accuracy" in result.stdout

@@ -190,3 +190,84 @@ class TestStudentT:
         err_g = run(_lik.Gaussian(0.05))
         assert err_t < 0.01, err_t
         assert err_t < 0.1 * err_g, (err_t, err_g)
+
+
+class TestSoftmaxMulticlass:
+    """Softmax multiclass likelihood (no reference counterpart; the
+    reference's likelihood roadmap stops at 'non-Gaussian', README.md:42)."""
+
+    C = 3
+
+    def _data(self, n=240, seed=0):
+        rng = np.random.RandomState(seed)
+        x = np.sort(rng.uniform(-3, 3, n))[:, None]
+        labels = np.clip(
+            np.digitize(
+                np.sin(1.2 * x[:, 0]) + 0.2 * rng.randn(n), [-0.4, 0.4]
+            ),
+            0,
+            2,
+        )
+        lik = likelihoods.Softmax(self.C)
+        y = np.asarray(lik.one_hot(labels, self.C))
+        return x, y, labels, lik
+
+    def test_bound_is_below_monte_carlo_truth(self):
+        rng = np.random.RandomState(1)
+        n = 50
+        mean = jnp.asarray(rng.randn(n, self.C))
+        var = jnp.asarray(rng.rand(n, self.C) * 0.8 + 0.05)
+        y = jnp.asarray(
+            likelihoods.Softmax.one_hot(rng.randint(0, self.C, n), self.C)
+        )
+        lik = likelihoods.Softmax(self.C)
+        bound = float(lik.propagate_log(mean, var, y))
+        eps = jax.random.normal(jax.random.PRNGKey(0), (4000, n, self.C))
+        f = mean[None] + jnp.sqrt(var)[None] * eps
+        mc = float(
+            jnp.mean(
+                jnp.sum(y[None] * jax.nn.log_softmax(f, axis=-1), axis=(1, 2))
+            )
+        )
+        assert bound < mc + 0.5  # valid lower bound (0.5 = MC slack)
+        assert bound > mc - 0.15 * abs(mc) - 5.0  # and not vacuously loose
+
+    def test_svgp_multiclass_trains_and_classifies(self):
+        x, y, labels, lik = self._data()
+        model = SVGP(
+            x, y, kernels.Rbf(1, length_scales=1.0), likelihood=lik,
+            num_inducing_points=24, jitter=1e-6,
+        )
+        l0 = float(model.loss())
+        model.fit_scan(method="Adam", max_iter=800)
+        assert float(model.loss()) < l0 - 50.0
+        p, pvar = model.predict_y(x)
+        p = np.asarray(p)
+        assert p.shape == (240, self.C)
+        assert np.allclose(p.sum(axis=1), 1.0, atol=1e-8)
+        assert np.all(p >= 0)
+        acc = float(np.mean(np.argmax(p, axis=1) == labels))
+        assert acc > 0.8
+        lpd = model.predict_log_density(x, y)
+        assert np.asarray(lpd).shape == (240, 1)
+        assert np.all(np.isfinite(np.asarray(lpd)))
+
+    def test_one_hot_and_validation(self):
+        oh = np.asarray(likelihoods.Softmax.one_hot([0, 2, 1], 3))
+        assert oh.shape == (3, 3)
+        assert np.allclose(oh.sum(1), 1.0)
+        assert oh[1, 2] == 1.0
+        lik = likelihoods.Softmax(3)
+        with pytest.raises(ValueError, match="one-hot"):
+            lik.propagate_log(
+                jnp.zeros((4, 2)), jnp.ones((4, 2)), jnp.zeros((4, 2))
+            )
+        with pytest.raises(ValueError, match=">= 2"):
+            likelihoods.Softmax(1)
+
+    def test_laplace_rejects_joint_output_likelihood(self):
+        from gptorch_tpu.models import LaplaceGP
+
+        x, y, _, lik = self._data(n=30)
+        with pytest.raises(ValueError, match="joint-output"):
+            LaplaceGP(x, y, kernels.Rbf(1), likelihood=lik)
