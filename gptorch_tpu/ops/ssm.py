@@ -258,6 +258,90 @@ def discretize_blocks(blocks, dts):
     return A, Q
 
 
+# -- trailing-batch tiny-matrix algebra --------------------------------------
+#
+# The scan combines do (s x s) algebra, s <= 3, batched over n.  Batched
+# jnp.matmul on (n, s, s) operands is catastrophic on TPU: with the batch
+# axis LEADING, the tiny (s, s) trailing dims land on the (8, 128)
+# sublane/lane tiles -- every matrix pads ~14x and every matmul is a
+# padded MXU dispatch (measured: 6.2 s/iter at n = 65536, ~60x slower per
+# point than CPU).  Carrying the batch axis LAST -- matrices (s, s, n),
+# vectors (s, dy, n) -- puts n on the lanes, and each tiny matmul is ONE
+# broadcast-multiply + reduce over the s-sized axis: pure VPU code, clean
+# layouts, and a handful of HLO ops per combine (an earlier
+# fully-unrolled scalar form compiled 100x slower).  associative_scan
+# runs over ``axis=-1``.
+
+
+def _tb(M):
+    """(n, s, s) -> (s, s, n)."""
+    return jnp.moveaxis(M, 0, -1)
+
+
+def _untb(M):
+    return jnp.moveaxis(M, -1, 0)
+
+
+def _tb_vec(V):
+    """(n, s, dy) -> (s, dy, n)."""
+    return jnp.moveaxis(V, 0, -1)
+
+
+def _untb_vec(V):
+    return jnp.moveaxis(V, -1, 0)
+
+
+def _t(X):
+    return jnp.swapaxes(X, 0, 1)
+
+
+def _mm(X, Y):
+    """Z[i,j,n] = sum_k X[i,k,n] Y[k,j,n] -- one mul + one reduce."""
+    return jnp.sum(X[:, :, None, :] * Y[None, :, :, :], axis=1)
+
+
+def _mv(X, v):
+    """Z[i,d,n] = sum_k X[i,k,n] v[k,d,n] (same contraction shape)."""
+    return jnp.sum(X[:, :, None, :] * v[None, :, :, :], axis=1)
+
+
+def _add_eye(X):
+    s = X.shape[0]
+    return X + jnp.eye(s, dtype=X.dtype)[:, :, None]
+
+
+def _inv_tb(D):
+    """Closed-form inverse on (s, s, n), s in {1, 2, 3} (same adjugate
+    formulas as :func:`_inv_small`); batched LU fallback for the larger
+    states of Sum kernels (s > 3)."""
+    s = D.shape[0]
+    if s == 1:
+        return 1.0 / D
+    if s > 3:
+        return _tb(jnp.linalg.inv(_untb(D)))
+    if s == 2:
+        a, b = D[0, 0], D[0, 1]
+        c, d = D[1, 0], D[1, 1]
+        det = a * d - b * c
+        rows = jnp.stack([jnp.stack([d, -b]), jnp.stack([-c, a])])
+        return rows / det
+    a, b, c = D[0, 0], D[0, 1], D[0, 2]
+    d, e, f = D[1, 0], D[1, 1], D[1, 2]
+    g, h, i = D[2, 0], D[2, 1], D[2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    rows = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e]),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)]),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d]),
+        ]
+    )
+    return rows / det
+
+
 # -- parallel Kalman filter --------------------------------------------------
 
 
@@ -266,21 +350,20 @@ def _filter_combine(elem_a, elem_b):
 
     Each element (A, b, C, η, J) parameterizes p(x_k | y_..., x_{prev})
     ∝ N(x_k; A x_prev + b, C) with an information-form tail (η, J).
-    ``elem_a`` is EARLIER in time.
+    ``elem_a`` is EARLIER in time.  Elements are trailing-batch arrays
+    (matrices (s, s, n), vectors (s, dy, n) -- see above).
     """
     A1, b1, C1, e1, J1 = elem_a
     A2, b2, C2, e2, J2 = elem_b
-    s = A1.shape[-1]
-    I = jnp.eye(s, dtype=A1.dtype)
-    Dinv = _inv_small(I + jnp.matmul(C1, J2))
-    DTinv = _inv_small(I + jnp.matmul(J2, C1))
-    A2D = jnp.matmul(A2, Dinv)
-    A = jnp.matmul(A2D, A1)
-    b = jnp.matmul(A2D, b1 + jnp.matmul(C1, e2)) + b2
-    C = jnp.matmul(jnp.matmul(A2D, C1), A2.transpose(0, 2, 1)) + C2
-    A1T = A1.transpose(0, 2, 1)
-    e = jnp.matmul(A1T, jnp.matmul(DTinv, e2 - jnp.matmul(J2, b1))) + e1
-    J = jnp.matmul(A1T, jnp.matmul(jnp.matmul(DTinv, J2), A1)) + J1
+    Dinv = _inv_tb(_add_eye(_mm(C1, J2)))
+    DTinv = _inv_tb(_add_eye(_mm(J2, C1)))
+    A2D = _mm(A2, Dinv)
+    A = _mm(A2D, A1)
+    b = _mv(A2D, b1 + _mv(C1, e2)) + b2
+    C = _mm(_mm(A2D, C1), _t(A2)) + C2
+    A1T = _t(A1)
+    e = _mv(A1T, _mv(DTinv, e2 - _mv(J2, b1))) + e1
+    J = _mm(A1T, _mm(_mm(DTinv, J2), A1)) + J1
     return A, b, C, e, J
 
 
@@ -320,10 +403,13 @@ def parallel_filter(A, Q, H, R, y, mask=None):
         C_e = jnp.where(m, C_e, Q)
         e_e = jnp.where(m, e_e, jnp.zeros_like(e_e))
         J_e = jnp.where(m, J_e, jnp.zeros_like(J_e))
-    _, b_f, C_f, _, _ = lax.associative_scan(
-        _filter_combine, (A_e, b_e, C_e, e_e, J_e)
+    elems = (
+        _tb(A_e), _tb_vec(b_e), _tb(C_e), _tb_vec(e_e), _tb(J_e)
     )
-    return b_f, C_f
+    _, b_f, C_f, _, _ = lax.associative_scan(
+        _filter_combine, elems, axis=2
+    )
+    return _untb_vec(b_f), _untb(C_f)
 
 
 def filter_nlml(A, Q, H, R, y, means, covs, mask=None):
@@ -359,12 +445,13 @@ def filter_nlml(A, Q, H, R, y, means, covs, mask=None):
 
 def _smoother_combine(elem_a, elem_b):
     """(E₁,g₁,L₁) ⊗ (E₂,g₂,L₂) = (E₁E₂, E₁g₂+g₁, E₁L₂E₁ᵀ+L₁);
-    ``elem_a`` earlier in time (S&GF 2020, eq. 13)."""
+    ``elem_a`` earlier in time (S&GF 2020, eq. 13).  Trailing-batch
+    elements."""
     E1, g1, L1 = elem_a
     E2, g2, L2 = elem_b
-    E = jnp.matmul(E1, E2)
-    g = jnp.matmul(E1, g2) + g1
-    L = jnp.matmul(jnp.matmul(E1, L2), E1.transpose(0, 2, 1)) + L1
+    E = _mm(E1, E2)
+    g = _mv(E1, g2) + g1
+    L = _mm(_mm(E1, L2), _t(E1)) + L1
     return E, g, L
 
 
@@ -394,10 +481,11 @@ def parallel_smoother(A, Q, means, covs):
     # reverse=True composes elems[n-1] ⊗ ... ⊗ elems[i] (descending), so
     # swap the operator's arguments to keep "earlier in time" first; the
     # swapped operator is still associative.
+    elems = (_tb(E), _tb_vec(g), _tb(L))
     _, g_s, L_s = lax.associative_scan(
-        lambda a, b: _smoother_combine(b, a), (E, g, L), reverse=True
+        lambda a, b: _smoother_combine(b, a), elems, reverse=True, axis=2
     )
-    return g_s, L_s
+    return _untb_vec(g_s), _untb(L_s)
 
 
 # -- assembled entry points --------------------------------------------------
@@ -482,26 +570,43 @@ def ssm_posterior(kernel, noise, x_sorted, y_sorted, mask):
 
 def _prior_combine(elem_a, elem_b):
     """Linear-recurrence prefix x_k = A_k x_{k-1} + w_k:
-    (A₁,b₁) ⊗ (A₂,b₂) = (A₂A₁, A₂b₁ + b₂)."""
+    (A₁,b₁) ⊗ (A₂,b₂) = (A₂A₁, A₂b₁ + b₂).  Trailing-batch elements."""
     A1, b1 = elem_a
     A2, b2 = elem_b
-    return jnp.matmul(A2, A1), jnp.matmul(A2, b1) + b2
+    return _mm(A2, A1), _mv(A2, b1) + b2
 
 
-def sample_prior_states(A, Q, key, n_samples):
+def sample_prior_states(A, Q, key, n_samples, block_sizes=None):
     """Joint prior state trajectories x ~ GP-prior SSM, (n, s, n_samples).
 
     Samples all process noises w_k ~ N(0, Q_k) at once (closed-form
     small Cholesky) and resolves the linear recurrence with one
     associative scan — O(log n) depth, like the filter.  A[0] = 0 /
     Q[0] = P∞ makes step 1 draw from the stationary prior.
+
+    :param block_sizes: per-block state sizes for Sum kernels.  Q is
+        block-diagonal there, so its factor is assembled from the clamped
+        closed-form small Choleskys per block -- the generic
+        ``jnp.linalg.cholesky`` fallback NaNs on the near-singular Q of
+        tiny gaps (rounding makes it slightly indefinite).
     """
     n, s = A.shape[0], A.shape[1]
-    Lq = _chol_small(Q)  # (n, s, s)
+    if block_sizes is not None and len(block_sizes) > 1:
+        Lq = jnp.zeros_like(Q)
+        lo = 0
+        for k in block_sizes:
+            Lq = Lq.at[:, lo : lo + k, lo : lo + k].set(
+                _chol_small(Q[:, lo : lo + k, lo : lo + k])
+            )
+            lo += k
+    else:
+        Lq = _chol_small(Q)  # (n, s, s)
     eps = jax.random.normal(key, (n, s, n_samples), dtype=A.dtype)
     w = jnp.matmul(Lq, eps)
-    _, x = lax.associative_scan(_prior_combine, (A, w))
-    return x
+    _, x = lax.associative_scan(
+        _prior_combine, (_tb(A), _tb_vec(w)), axis=2
+    )
+    return _untb_vec(x)
 
 
 def ssm_sample_posterior(kernel, noise, x_sorted, y_sorted, mask, key, n_samples):
@@ -530,7 +635,10 @@ def ssm_sample_posterior(kernel, noise, x_sorted, y_sorted, mask, key, n_samples
     R = jnp.asarray(noise, dtype).reshape(())
 
     k_state, k_obs = jax.random.split(key)
-    xprior = sample_prior_states(A, Q, k_state, n_samples)  # (n, s, S)
+    xprior = sample_prior_states(
+        A, Q, k_state, n_samples,
+        block_sizes=[F.shape[0] for F, _, _ in blocks],
+    )  # (n, s, S)
     f_prior = jnp.matmul(H[None], xprior)[:, 0, :]  # (n, S)
     y_prior = f_prior + jnp.sqrt(R) * jax.random.normal(
         k_obs, f_prior.shape, dtype=dtype

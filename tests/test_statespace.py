@@ -233,3 +233,25 @@ def test_nlml_jits_and_grads_finite():
     assert np.isfinite(float(loss))
     for g in jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestSumKernelSampling:
+    def test_sum_kernel_joint_samples_finite(self):
+        # Regression: Sum-kernel states (s > 3) used the generic
+        # jnp.linalg.cholesky fallback on the near-singular block-diagonal
+        # Q and produced NaN draws; the factor is now assembled from the
+        # clamped closed-form per-block Choleskys.
+        x, y = _data(n=120, seed=11)
+        kern = kernels.Matern32(1, length_scales=0.5) + kernels.Matern52(
+            1, length_scales=2.0
+        )
+        model = StateSpaceGPR(
+            x, y, kern, likelihood=likelihoods.Gaussian(0.05)
+        )
+        s = model.predict_f_samples(
+            x[:40], n_samples=4, key=jax.random.PRNGKey(0)
+        )
+        s = np.asarray(s)
+        assert s.shape == (4, 40, 1)
+        assert np.isfinite(s).all()
+        assert s.std() > 0.05  # actual draws, not zeros
