@@ -38,6 +38,7 @@ from ..ops import ski as _ski
 from ..ops.iterative import lanczos_logdet_quadratic, mbcg
 from .base import GPModel
 from .multioutput import _KernelList
+from .posterior import Posterior as _Posterior
 
 __all__ = ["SKIGPR"]
 
@@ -217,11 +218,8 @@ class SKIGPR(GPModel):
 
     # -- prediction ----------------------------------------------------------
 
-    def _predict(self, x_new, diag=True):
-        rows = self._rows()
-        noise = self._noise()
+    def _solve_alpha(self, rows, noise):
         y_res = self.Y - self.mean_function(self.X)
-
         alpha, *_ = mbcg(
             lambda V: self._mvm(rows, noise, V),
             lambda V: V,
@@ -229,20 +227,23 @@ class SKIGPR(GPModel):
             max_iters=self.max_cg_iters,
             tol=self.cg_tol,
         )
+        return alpha
 
-        idx_s, w_s = self._stencil(x_new)
-        # mean = W* K_g W^T alpha + m(x*)
-        u = _ski.interp_rmatvec(self._train_idx, self._train_w, alpha, self.num_grid)
-        u = _ski.kron_toeplitz_matvec(rows, u, self.grid_shape)
-        mean = _ski.interp_matvec(idx_s, w_s, u) + self.mean_function(x_new)
+    def _grid_weights(self, rows, alpha):
+        """kg_u = K_g W^T alpha -- after caching this, a posterior MEAN at
+        any x* is one interpolation gather: O(n* 4^d)."""
+        u = _ski.interp_rmatvec(
+            self._train_idx, self._train_w, alpha, self.num_grid
+        )
+        return _ski.kron_toeplitz_matvec(rows, u, self.grid_shape)
 
-        # cross-covariance C = W K_g W*^T  [n, n*]
+    def _variance_terms(self, rows, noise, idx_s, w_s, x_new, diag):
+        """(C, K^-1 C, prior term) for the predictive second moment."""
         n_star = x_new.shape[0]
         eye = jnp.eye(n_star, dtype=jnp.result_type(x_new))
         ws_t = _ski.interp_rmatvec(idx_s, w_s, eye, self.num_grid)  # [G, n*]
         s = _ski.kron_toeplitz_matvec(rows, ws_t, self.grid_shape)
         C = _ski.interp_matvec(self._train_idx, self._train_w, s)  # [n, n*]
-
         kinv_c, *_ = mbcg(
             lambda V: self._mvm(rows, noise, V),
             lambda V: V,
@@ -254,11 +255,63 @@ class SKIGPR(GPModel):
             kdiag = jnp.ones(n_star, dtype=jnp.result_type(x_new))
             for k, factor in enumerate(self._factors):
                 kdiag = kdiag * factor.Kdiag(x_new[:, k : k + 1])
-            var = kdiag - jnp.sum(C * kinv_c, axis=0)
-            var = jnp.maximum(var, 0.0)
-            return mean, jnp.broadcast_to(var[:, None], mean.shape)
+            return C, kinv_c, kdiag
         kss = jnp.ones((n_star, n_star), dtype=jnp.result_type(x_new))
         for k, factor in enumerate(self._factors):
             kss = kss * factor.K(x_new[:, k : k + 1])
-        cov = kss - C.T @ kinv_c
-        return mean, cov
+        return C, kinv_c, kss
+
+    def _predict(self, x_new, diag=True, _kg_u=None, _rows=None, _noise=None):
+        rows = self._rows() if _rows is None else _rows
+        noise = self._noise() if _noise is None else _noise
+        if _kg_u is None:
+            _kg_u = self._grid_weights(rows, self._solve_alpha(rows, noise))
+
+        idx_s, w_s = self._stencil(x_new)
+        mean = _ski.interp_matvec(idx_s, w_s, _kg_u) + self.mean_function(
+            x_new
+        )
+        C, kinv_c, prior = self._variance_terms(
+            rows, noise, idx_s, w_s, x_new, diag
+        )
+        if diag:
+            var = jnp.maximum(prior - jnp.sum(C * kinv_c, axis=0), 0.0)
+            return mean, jnp.broadcast_to(var[:, None], mean.shape)
+        return mean, prior - C.T @ kinv_c
+
+    def posterior(self):
+        """Cached predictive posterior: one CG solve for alpha, then the
+        grid weights ``K_g W^T alpha`` are stored -- each subsequent MEAN
+        costs one O(n* 4^d) interpolation (predictive variances still run
+        a per-call CG on the cross-covariance columns)."""
+        rows = self._rows()
+        noise = self._noise()
+        kg_u = self._grid_weights(rows, self._solve_alpha(rows, noise))
+        return SKIPosterior(self, rows, noise, kg_u)
+
+
+class SKIPosterior(_Posterior):
+    """Serving wrapper over a fitted :class:`SKIGPR` (see
+    ``SKIGPR.posterior``)."""
+
+    def __init__(self, model, rows, noise, kg_u):
+        self.model = model
+        self.likelihood = model.likelihood
+        self.rows = list(rows)
+        self.noise = noise
+        self.kg_u = kg_u
+
+    def _predict(self, x_new, diag=True):
+        return self.model._predict(
+            x_new, diag=diag, _kg_u=self.kg_u, _rows=self.rows,
+            _noise=self.noise,
+        )
+
+    def predict_mean(self, x_new):
+        """Mean only -- no CG: one interpolation gather per query batch."""
+        from_numpy = isinstance(x_new, np.ndarray)
+        x_new = jnp.asarray(x_new)
+        idx_s, w_s = self.model._stencil(x_new)
+        out = _ski.interp_matvec(idx_s, w_s, self.kg_u)
+        out = out + self.model.mean_function(x_new)
+        return np.asarray(out) if from_numpy else out

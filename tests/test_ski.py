@@ -204,3 +204,29 @@ class TestValidation:
         with pytest.raises(ValueError, match="Gaussian"):
             SKIGPR(x, y, kernels.Rbf(1), grid_shape=16,
                    likelihood=likelihoods.Bernoulli())
+
+
+class TestPosteriorCaching:
+    def test_cached_posterior_matches_model_predict(self):
+        rng = np.random.RandomState(4)
+        n = 200
+        x = np.sort(rng.uniform(-2, 2, n))[:, None]
+        y = np.sin(3 * x) + 0.1 * rng.randn(n, 1)
+        ski = SKIGPR(
+            x, y, kernels.Rbf(1, length_scales=0.5), grid_shape=96,
+            likelihood=likelihoods.Gaussian(variance=0.05),
+            num_probes=8, max_cg_iters=200, cg_tol=1e-10,
+        )
+        xs = np.linspace(-2, 2, 17)[:, None]
+        m1, v1 = ski.predict_f(xs)
+        post = ski.posterior()
+        m2, v2 = post.predict_f(xs)
+        assert np.allclose(m1, m2, atol=1e-12)
+        assert np.allclose(v1, v2, atol=1e-12)
+        # mean-only serving path (no CG)
+        m3 = post.predict_mean(xs)
+        assert np.allclose(m1, m3, atol=1e-12)
+        my, vy = post.predict_y(xs)
+        assert np.all(np.asarray(vy) > 0.049)  # noise added
+        lpd = post.predict_log_density(xs, np.sin(3 * xs))
+        assert np.all(np.isfinite(np.asarray(lpd)))
