@@ -395,15 +395,32 @@ class GPR(GPModel):
 
         return {k: _np.asarray(v) for k, v in out.items()}
 
-    def posterior(self):
+    def posterior(self, love_rank=None):
         """Cached predictive posterior: factorizes Kyy ONCE (dense solver)
         or CG-solves α once (iterative solver); each subsequent predict is
         O(n·n*) (see :mod:`gptorch_tpu.models.posterior`; no reference
-        analog -- the reference re-Choleskys per predict, gpr.py:88-117)."""
+        analog -- the reference re-Choleskys per predict, gpr.py:88-117).
+
+        :param love_rank: iterative solver only -- also cache a rank-k
+            LOVE root-inverse (Pleiss et al. 2018) so VARIANCE queries
+            cost one (k, n)·(n, n*) GEMM instead of a CG solve per call
+            (the mean is alpha-cached either way).  The rank must cover
+            the kernel spectrum's effective rank: ~128 is ample for
+            smooth kernels on 1-2D inputs; budget 256-512 for d ≳ 3 or
+            short length-scales (measured: n=4096 3-D ARD-Rbf f32 needs
+            k=512 for ~1e-4 absolute variance error; k=96 leaves 2.5e-2).
+            ``None`` (default) keeps CG-exact variances.
+        """
         if self._iterative_eligible(self.X):
             from .posterior import iterative_gpr_posterior
 
-            return iterative_gpr_posterior(self)
+            return iterative_gpr_posterior(self, love_rank=love_rank)
+        if love_rank is not None:
+            raise ValueError(
+                "love_rank applies to solver='iterative' (the dense "
+                "posterior's variances are already exact via the cached "
+                "Cholesky factor)"
+            )
         from .posterior import gpr_posterior
 
         return gpr_posterior(self)

@@ -212,12 +212,18 @@ class IterativeGPRPosterior(Posterior):
 
     mean  = K(x*, X) α + m(x*)
     var   = Kdiag(x*) - Σ (K(X, x*) ⊙ K̂⁻¹K(X, x*))   (diag; CG per call)
+
+    With a LOVE cache (``R_love`` set -- see
+    :func:`gptorch_tpu.ops.iterative.lanczos_root_inverse`), the variance
+    solve is replaced by the cached rank-k root K̂⁻¹ ≈ R Rᵀ:
+
+    var   = Kdiag(x*) - Σ (Rᵀ K(X, x*))²              (one GEMM, no CG)
     """
 
     def __init__(
         self, kernel, likelihood, mean_function, X, alpha,
         kind, fast_jitter, mvm_slab, max_cg_iters, cg_tol, Lpc,
-        log_extra=None,
+        log_extra=None, R_love=None,
     ):
         self.kernel = kernel
         self.likelihood = likelihood
@@ -232,6 +238,8 @@ class IterativeGPRPosterior(Posterior):
         self.Lpc = Lpc  # pivoted-Cholesky preconditioner factor (n, k)
         if log_extra is not None:
             self.log_extra = log_extra
+        if R_love is not None:
+            self.R_love = R_love  # LOVE root-inverse cache (n, love_rank)
 
     def _solve(self, B):
         from ..ops.iterative import mbcg, radial_mvm, woodbury_solve
@@ -256,6 +264,19 @@ class IterativeGPRPosterior(Posterior):
     def _predict(self, x_new, diag=True):
         k_xs = self.kernel.K(self.X, x_new)  # (n, n*)
         mean = k_xs.T @ self.alpha + self.mean_function(x_new)
+        R = getattr(self, "R_love", None)
+        if R is not None:
+            W2 = R.T @ k_xs  # (love_rank, n*) — the only per-query solve work
+            if diag:
+                var = jnp.broadcast_to(
+                    (self.kernel.Kdiag(x_new) - jnp.sum(W2 * W2, axis=0))[
+                        :, None
+                    ],
+                    mean.shape,
+                )
+            else:
+                var = self.kernel.K(x_new) - W2.T @ W2
+            return mean, var
         W = self._solve(k_xs)  # K̂⁻¹ K(X, x*)
         if diag:
             var = jnp.broadcast_to(
@@ -270,8 +291,12 @@ class IterativeGPRPosterior(Posterior):
 # -- builders (attached to the model classes as .posterior()) -------------------
 
 
-def iterative_gpr_posterior(model) -> IterativeGPRPosterior:
-    from ..ops.iterative import pivoted_cholesky
+def iterative_gpr_posterior(model, love_rank=None) -> IterativeGPRPosterior:
+    from ..ops.iterative import (
+        lanczos_root_inverse,
+        pivoted_cholesky,
+        radial_mvm,
+    )
 
     kind = model._fast_kind()
     le = model.kernel.length_scales.raw
@@ -280,6 +305,18 @@ def iterative_gpr_posterior(model) -> IterativeGPRPosterior:
     Lpc = pivoted_cholesky(
         kind, le, lv, model.X, model.precond_rank, log_extra
     )
+    R_love = None
+    if love_rank:
+        ln = model.likelihood.variance.raw.reshape(())
+        q0 = model.probe_seeds[: model.X.shape[0], 0].astype(model.X.dtype)
+        R_love = lanczos_root_inverse(
+            lambda V: radial_mvm(
+                kind, le, lv, ln, model.X, V, model.fast_jitter,
+                model.mvm_slab, log_extra,
+            ),
+            q0,
+            int(min(love_rank, model.X.shape[0])),
+        )
     post = IterativeGPRPosterior(
         model.kernel,
         model.likelihood,
@@ -293,6 +330,7 @@ def iterative_gpr_posterior(model) -> IterativeGPRPosterior:
         model.cg_tol,
         Lpc,
         log_extra,
+        R_love,
     )
     post.alpha = post._solve(model.Y - model.mean_function(model.X))
     return post

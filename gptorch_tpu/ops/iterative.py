@@ -52,6 +52,7 @@ __all__ = [
     "woodbury_solve",
     "woodbury_logdet",
     "mbcg",
+    "lanczos_root_inverse",
     "radial_nlml_iterative",
     "radial_slq_diagnostics",
 ]
@@ -196,6 +197,78 @@ def woodbury_logdet(L, noise, n):
     )
     Lc = jnp.linalg.cholesky(inner)
     return n * jnp.log(noise) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lc)))
+
+
+# -- LOVE: cached Lanczos root-inverse for constant-time variances ----------------
+
+
+def lanczos_root_inverse(mvm, q0, rank: int):
+    """Rank-``rank`` Lanczos factor R (n, rank) with A⁻¹ ≈ R Rᵀ -- the LOVE
+    predictive-variance cache (Pleiss et al. 2018, "Constant-Time Predictive
+    Distributions for Gaussian Processes", arXiv:1803.06058; the capability
+    GPyTorch ships as ``fast_pred_var``; no reference analog -- the
+    reference re-solves per predict, gpr.py:88-117).
+
+    Runs ``rank`` Lanczos steps on the matrix-free operator ``mvm`` from
+    start vector ``q0``, with FULL reorthogonalization (two classical
+    Gram-Schmidt passes per step -- (n, rank) GEMMs, MXU-friendly; drift,
+    not flops, is what kills plain Lanczos here).  The tridiagonal
+    T = QᵀAQ is factored once and R = Q L_T⁻ᵀ cached, so a variance query
+    costs one (rank, n)·(n, n*) GEMM instead of a CG solve per call.
+
+    Breakdown handling: if ‖w‖ underflows (Krylov space exhausted -- only
+    possible when rank approaches n), the new direction collapses to ~0
+    and its off-diagonal T entry with the live block vanishes, so the dead
+    columns decouple; a tiny diagonal jitter keeps T factorizable and the
+    zero Q columns contribute nothing to R.
+    """
+    n = q0.shape[0]
+    dtype = q0.dtype
+    tiny = jnp.finfo(dtype).tiny
+
+    q0 = q0 / jnp.maximum(jnp.linalg.norm(q0), tiny)
+    # Q gets rank+1 columns so the loop can always write v_{j+1}; the
+    # extra column is dropped before building R.
+    Q0 = jnp.zeros((n, rank + 1), dtype).at[:, 0].set(q0)
+
+    def body(j, carry):
+        Q, alphas, betas = carry
+        v = lax.dynamic_slice(Q, (0, j), (n, 1))  # (n, 1)
+        w = mvm(v)
+        alpha = jnp.sum(v * w)
+        w = w - alpha * v
+        # two-pass classical Gram-Schmidt against ALL previous vectors
+        # (columns beyond j are zero, so the full-buffer GEMM is safe)
+        for _ in range(2):
+            w = w - Q @ (Q.T @ w)
+        beta = jnp.linalg.norm(w)
+        v_next = w / jnp.maximum(beta, tiny)
+        Q = lax.dynamic_update_slice(Q, v_next, (0, j + 1))
+        return (Q, alphas.at[j].set(alpha), betas.at[j].set(beta))
+
+    Q, alphas, betas = lax.fori_loop(
+        0,
+        rank,
+        body,
+        (Q0, jnp.zeros((rank,), dtype), jnp.zeros((rank,), dtype)),
+    )
+    Q = Q[:, :rank]
+
+    ii = lax.broadcasted_iota(jnp.int32, (rank, rank), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (rank, rank), 1)
+    T = (
+        jnp.where(ii == jj, alphas[jj], 0.0)
+        + jnp.where(jj == ii + 1, betas[ii], 0.0)
+        + jnp.where(ii == jj + 1, betas[jj], 0.0)
+    )
+    # tiny relative jitter: keeps dead (breakdown) trailing blocks PD
+    # without biasing T⁻¹ in the small-eigenvalue (noise-floor) directions
+    # (1e-6·scale was measured to floor the variance error at ~3e-3)
+    scale = jnp.maximum(jnp.max(jnp.abs(alphas)), tiny)
+    T = T + (16 * jnp.finfo(dtype).eps * scale) * jnp.eye(rank, dtype=dtype)
+    L_T = jnp.linalg.cholesky(T)
+    Rt = jax.scipy.linalg.solve_triangular(L_T, Q.T, lower=True)
+    return Rt.T  # (n, rank)
 
 
 # -- batched preconditioned CG with Lanczos coefficients --------------------------
