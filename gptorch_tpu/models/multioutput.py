@@ -67,6 +67,26 @@ class _KernelList(Module):
         return getattr(self, f"k{int(i)}")
 
 
+def _joint_samples(model, x_new, n_samples, key):
+    """Draws from a model's full (point × output) joint posterior via its
+    ``predict_f_joint``: (S, nt, p), correlated across outputs."""
+    import jax
+
+    from .. import settings
+
+    if key is None:
+        key = settings.next_default_key()
+    from_numpy = isinstance(x_new, np.ndarray)
+    mean, cov = model.predict_f_joint(jnp.asarray(x_new))
+    nt, p = mean.shape
+    L = cholesky(cov.reshape(nt * p, nt * p))
+    eps = jax.random.normal(
+        key, (n_samples, nt * p), dtype=jnp.result_type(mean)
+    )
+    draws = (mean.reshape(-1)[None, :] + eps @ L.T).reshape(n_samples, nt, p)
+    return np.asarray(draws) if from_numpy else draws
+
+
 class ICM(GPModel):
     """Intrinsic coregionalization model over fully-observed outputs.
 
@@ -127,7 +147,10 @@ class ICM(GPModel):
         var_tq = B_qq·k** - Σ_ij (Q_xᵀk_*)²_i (Q_bᵀ B_{:q})²_j / denom_ij.
         """
         if not diag:
-            raise NotImplementedError("ICM full joint covariance: use diag")
+            raise NotImplementedError(
+                "ICM full joint covariance across points AND outputs: "
+                "use predict_f_joint(x_new)"
+            )
         x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
         alpha, lx, qx, lb, qb, sigma2 = self._alpha()
         B = self.coregion_matrix()
@@ -142,6 +165,51 @@ class ICM(GPModel):
         explained = Wx2.T @ inv @ Wb2  # (nt, p)
         var = jnp.maximum(ktt[:, None] * jnp.diag(B)[None, :] - explained, 0.0)
         return mean, var
+
+    def predict_f_joint(self, x_new):
+        """Full joint posterior over the (nt, p) grid of test points ×
+        outputs (the covariance ``_predict(diag=False)`` cannot express in
+        the base model's (nt, nt) contract).
+
+        Joint prior over (train, test) is (B ⊗ K) with row-major (point,
+        output) vec ordering; conditioning via the same eigen-identities
+        as the NLML:
+
+            cov = B ⊗ K** − H Hᵀ,
+            H[(t,q),(i,j)] = (K_*x Q_x)[t,i] · (B Q_b)[q,j] · D_ij^{-1/2}
+
+        with D = λ_x ⊗ λ_b + σ².  O(nt·p·n·p) time/memory.
+
+        :return: mean (nt, p), cov (nt, p, nt, p); ``cov.reshape(nt*p,
+            nt*p)`` is the dense joint covariance in row-major (point,
+            output) order (matches ``np.kron(K, B)`` indexing).
+        """
+        from_numpy = isinstance(x_new, np.ndarray)
+        x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
+        alpha, lx, qx, lb, qb, sigma2 = self._alpha()
+        B = self.coregion_matrix()
+        nt, p = x_new.shape[0], B.shape[0]
+
+        Ks = self.kernel.K(x_new, self.X)  # (nt, n)
+        mean = Ks @ alpha @ B
+
+        A = Ks @ qx  # (nt, n)
+        C = B @ qb  # (p, p)
+        sqrt_inv = 1.0 / jnp.sqrt(lx[:, None] * lb[None, :] + sigma2)  # (n,p)
+        H = (
+            A[:, None, :, None] * C[None, :, None, :]
+            * sqrt_inv[None, None, :, :]
+        ).reshape(nt * p, -1)
+        prior = self.kernel.K(x_new)[:, None, :, None] * B[None, :, None, :]
+        cov = prior.reshape(nt * p, nt * p) - H @ H.T
+        out = mean, cov.reshape(nt, p, nt, p)
+        if from_numpy:
+            return tuple(np.asarray(o) for o in out)
+        return out
+
+    def predict_f_joint_samples(self, x_new, n_samples: int = 1, key=None):
+        """Correlated-across-outputs posterior samples: (S, nt, p)."""
+        return _joint_samples(self, x_new, n_samples, key)
 
 
 class LMC(GPModel):
@@ -297,11 +365,58 @@ class LMC(GPModel):
     def _predict(self, x_new, diag=True):
         """Marginal posterior over all p outputs: mean (n*, p), var (n*, p)."""
         if not diag:
-            raise NotImplementedError("LMC full joint covariance: use diag")
+            raise NotImplementedError(
+                "LMC full joint covariance across points AND outputs: "
+                "use predict_f_joint(x_new)"
+            )
         x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
         mu, s, _ = self._latent_moments(x_new)
         W = self.W.value
         return mu @ W.T + self.mean_function(x_new), s @ jnp.square(W).T
+
+    def predict_f_joint(self, x_new):
+        """Full joint posterior over the (nt, p) test-point × output grid:
+        the latents are independent, so
+
+            cov[(t,q),(u,v)] = Σ_l W[q,l] W[v,l] · S_l[t,u]
+
+        with S_l the per-latent full posterior covariance (the same
+        identities as ``_predict``, ``diag=False``).
+
+        :return: mean (nt, p), cov (nt, p, nt, p) (row-major (point,
+            output) vec ordering when reshaped to (nt·p, nt·p)).
+        """
+        from .sparse_gpr import latent_marginals
+
+        from_numpy = isinstance(x_new, np.ndarray)
+        x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
+        z = self.Z.value
+        W = self.W.value
+        mus, covs = [], []
+        for l, k in enumerate(self.kernels):
+            mu_l, S_l, _ = latent_marginals(
+                k,
+                z,
+                self.q_mu.value[:, l : l + 1],
+                self.q_chol.value[l],
+                x_new,
+                self.jitter,
+                diag=False,
+            )
+            mus.append(mu_l)
+            covs.append(S_l)
+        mu = jnp.stack(mus, axis=1)  # (nt, L)
+        S = jnp.stack(covs)  # (L, nt, nt)
+        mean = mu @ W.T + self.mean_function(x_new)
+        cov = jnp.einsum("ltu,ql,vl->tquv", S, W, W)
+        out = mean, cov
+        if from_numpy:
+            return tuple(np.asarray(o) for o in out)
+        return out
+
+    def predict_f_joint_samples(self, x_new, n_samples: int = 1, key=None):
+        """Correlated-across-outputs posterior samples: (S, nt, p)."""
+        return _joint_samples(self, x_new, n_samples, key)
 
     def posterior(self):
         """Cached predictive posterior (factorize the L latents once,

@@ -80,6 +80,40 @@ class TestICM:
         assert mean == pytest.approx(mean_dense, rel=1e-8, abs=1e-10)
         assert var == pytest.approx(var_dense, rel=1e-6, abs=1e-9)
 
+    def test_predict_f_joint_matches_dense(self):
+        """Full (point × output) joint covariance vs the brute-force joint
+        Gaussian: cov = kron(K**, B) − C K_joint⁻¹ Cᵀ, C = kron(Ks, B)."""
+        model = _model()
+        _, K_joint, _ = _dense_reference(model)
+        p = model.output_dimension
+        B = np.asarray(model.coregion_matrix())
+        x_test = np.random.RandomState(7).randn(4, 2)
+        nt = len(x_test)
+        Ks = np.asarray(model.kernel.K(jnp.asarray(x_test), model.X))
+        Kss = np.asarray(model.kernel.K(jnp.asarray(x_test)))
+        C = np.kron(Ks, B)
+        cov_dense = np.kron(Kss, B) - C @ np.linalg.solve(K_joint, C.T)
+        mean_dense = (C @ np.linalg.solve(K_joint, np.asarray(model.Y).reshape(-1))).reshape(nt, p)
+
+        mean, cov = model.predict_f_joint(x_test)
+        assert isinstance(cov, np.ndarray)  # numpy in -> numpy out
+        assert cov.shape == (nt, p, nt, p)
+        assert mean == pytest.approx(mean_dense, rel=1e-8, abs=1e-10)
+        assert cov.reshape(nt * p, nt * p) == pytest.approx(
+            cov_dense, rel=1e-6, abs=1e-9
+        )
+        # the joint's diagonal IS the marginal variance surface
+        _, var = model.predict_f(x_test)
+        joint_diag = np.einsum("tqtq->tq", cov)
+        assert joint_diag == pytest.approx(var, rel=1e-6, abs=1e-9)
+
+    def test_predict_f_joint_samples(self):
+        model = _model()
+        x_test = np.random.RandomState(9).randn(3, 2)
+        s = model.predict_f_joint_samples(x_test, n_samples=5)
+        assert s.shape == (5, 3, model.output_dimension)
+        assert np.all(np.isfinite(s))
+
     def test_correlated_outputs_beat_independent(self):
         """With strongly correlated outputs, the trained ICM should
         out-evidence p independent GPRs sharing a kernel."""
@@ -214,3 +248,32 @@ class TestLMC:
         lpd_m = m.predict_log_density(x_test, y[:6])
         lpd_p = post.predict_log_density(x_test, y[:6])
         assert lpd_p == pytest.approx(np.asarray(lpd_m), rel=1e-6)
+
+    def test_predict_f_joint(self):
+        """LMC joint covariance: diagonal equals the marginal variances,
+        cross-output blocks carry the mixing signs, sampling works."""
+        from gptorch_tpu.models.multioutput import LMC
+
+        x, y = self._correlated_data(n=60)  # output 1 = -2 x output 0
+        m = LMC(x, y, kernels.Rbf(1), num_latents=1, num_inducing_points=10)
+        m.optimize(method="Adam", max_iter=100, verbose=False)
+        x_test = np.linspace(-2, 2, 5)[:, None]
+
+        mean_j, cov = m.predict_f_joint(x_test)
+        nt, p = mean_j.shape
+        assert cov.shape == (nt, p, nt, p)
+        mean_m, var_m = m.predict_f(x_test)
+        assert mean_j == pytest.approx(mean_m, rel=1e-6, abs=1e-10)
+        assert np.einsum("tqtq->tq", cov) == pytest.approx(
+            var_m, rel=1e-5, abs=1e-9
+        )
+        # symmetric, PSD-ish
+        covm = cov.reshape(nt * p, nt * p)
+        assert covm == pytest.approx(covm.T, abs=1e-9)
+        assert np.linalg.eigvalsh(covm).min() > -1e-7
+        # anti-correlated outputs: same-point cross-output cov is negative
+        same_point_cross = np.array([cov[t, 0, t, 1] for t in range(nt)])
+        assert np.all(same_point_cross < 0)
+
+        s = m.predict_f_joint_samples(x_test, n_samples=4)
+        assert s.shape == (4, nt, p) and np.isfinite(s).all()
