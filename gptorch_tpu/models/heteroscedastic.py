@@ -246,13 +246,21 @@ class HeteroscedasticSVGP(GPModel):
         return (f + jnp.exp(0.5 * g) * eps)[:, :, None]
 
     def predict_y(self, input_new, diag=True, **kwargs):
-        """E[y*] = μ_f, Var[y*] = s_f + E[e^g] = s_f + e^{μ_g + s_g/2}."""
+        """E[y*] = μ_f, Var[y*] = s_f + E[e^g] = s_f + e^{μ_g + s_g/2}.
+
+        ``diag=False``: cov[y*] = S_f (full latent covariance) +
+        diag(e^{μ_g + s_g/2}) -- the noise is independent across points
+        given g, so only the diagonal picks up the expected noise.
+        """
         from_numpy = isinstance(input_new, np.ndarray)
         x_new = jnp.asarray(input_new, dtype=jnp.result_type(self.X))
         if not diag:
-            raise NotImplementedError(
-                "HeteroscedasticSVGP full covariance: use diag"
-            )
+            mu_f, S_f, _ = self._latent_f(x_new, diag=False)
+            mu_g, s_g, _ = self._latent_g(x_new)
+            cov = S_f + jnp.diag(jnp.exp(mu_g + 0.5 * s_g))
+            if from_numpy:
+                return np.asarray(mu_f[:, None]), np.asarray(cov)
+            return mu_f[:, None], cov
         mu_f, s_f, mu_g, s_g, _ = self._moments(x_new)
         mean = mu_f[:, None]
         var = (s_f + jnp.exp(mu_g + 0.5 * s_g))[:, None]

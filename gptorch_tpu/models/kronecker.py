@@ -150,11 +150,14 @@ class GridGPR(GPModel):
         mean_t = Σ_grid α[i₁..i_D] Π_d k_d(x*_t,d, X_d[i_d])
         var_t  = Π_d k_d(t,t) - Σ_j v_tj² / (λ_j + σ²),
                  v_t = ⊗_d (Q_dᵀ k_d(x*_t))
+
+        ``diag=False`` carries the test-pair axes (t, u) through the same
+        per-axis contractions:
+
+        cov_tu = Π_d k_d(t,u) - Σ_j v_tj v_uj / (λ_j + σ²)
+
+        O(nt²·N) time, O(nt²·max intermediate grid slab) memory.
         """
-        if not diag:
-            raise NotImplementedError(
-                "GridGPR full predictive covariance not implemented; use diag"
-            )
         x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
         nt = x_new.shape[0]
         dy = self.Y.shape[1]
@@ -184,16 +187,35 @@ class GridGPR(GPModel):
         # mean now (nt, dy)
 
         inv = (1.0 / (lam + sigma2)).reshape(self.grid_sizes)
+        if diag:
+            expl = inv
+            first = True
+            for W in rotated:
+                W2 = jnp.square(W)
+                if first:
+                    expl = jnp.einsum("ti,i...->t...", W2, expl)
+                    first = False
+                else:
+                    expl = jnp.einsum("ti,ti...->t...", W2, expl)
+            # expl now (nt,)
+            var = jnp.maximum(kdiag - expl, 0.0)
+            var = jnp.broadcast_to(var[:, None], (nt, dy))
+            return mean, var
+
+        # full covariance: same contraction with separate t/u test axes
         expl = inv
         first = True
         for W in rotated:
-            W2 = jnp.square(W)
             if first:
-                expl = jnp.einsum("ti,i...->t...", W2, expl)
+                expl = jnp.einsum("ti,ui,i...->tu...", W, W, expl)
                 first = False
             else:
-                expl = jnp.einsum("ti,ti...->t...", W2, expl)
-        # expl now (nt,)
-        var = jnp.maximum(kdiag - expl, 0.0)
-        var = jnp.broadcast_to(var[:, None], (nt, dy))
-        return mean, var
+                expl = jnp.einsum("ti,ui,tui...->tu...", W, W, expl)
+        # expl now (nt, nt)
+        prior = jnp.ones((nt, nt), dtype=x_new.dtype)
+        for d, k in enumerate(self._kernels()):
+            col = x_new[:, d : d + 1]
+            prior = prior * k.K(col)
+        cov = prior - expl
+        cov = 0.5 * (cov + cov.T)
+        return mean, cov

@@ -147,6 +147,22 @@ class TestHeteroscedasticSVGP:
         assert mu_d == pytest.approx(mu_f)
         assert var_d.ravel() == pytest.approx(np.diag(cov_f), rel=1e-6, abs=1e-10)
 
+    def test_predict_y_full_cov(self):
+        """cov[y*] = S_f + diag(E[e^g]): off-diagonals equal the latent
+        covariance, the diagonal equals the marginal predict_y variance."""
+        x, y, _ = _het_data(n=40, seed=6)
+        m = HeteroscedasticSVGP(x, y, kernels.Rbf(1), num_inducing_points=8)
+        xt = np.asarray(x[:6])
+        mu_d, var_d = m.predict_y(xt, diag=True)
+        mu_y, cov_y = m.predict_y(xt, diag=False)
+        _, cov_f = m.predict_f(xt, diag=False)
+        assert mu_d == pytest.approx(mu_y)
+        assert var_d.ravel() == pytest.approx(
+            np.diag(cov_y), rel=1e-6, abs=1e-10
+        )
+        off = ~np.eye(6, dtype=bool)
+        assert cov_y[off] == pytest.approx(cov_f[off], rel=1e-8, abs=1e-12)
+
     def test_f32_training_stays_stable(self):
         """Float32 (the TPU production dtype): without the soft exp-linear
         overflow guard, one bad Adam step drove e^{-mu_g+s_g/2} past

@@ -58,6 +58,20 @@ class TestGridGPR:
         assert mu_g == pytest.approx(mu_d, rel=1e-8, abs=1e-10)
         assert var_g == pytest.approx(var_d, rel=1e-6, abs=1e-9)
 
+    def test_full_covariance_matches_dense(self):
+        """diag=False carries the (t, u) pair axes through the Kronecker
+        contractions; must equal the dense full posterior covariance, and
+        posterior sampling must ride it."""
+        grid, dense, X, y = _setup()
+        x_test = np.random.RandomState(2).rand(6, 2) * np.asarray([1.0, 2.0])
+        mu_g, cov_g = grid.predict_f(x_test, diag=False)
+        mu_d, cov_d = dense.predict_f(x_test, diag=False)
+        assert cov_g.shape == (6, 6)
+        assert mu_g == pytest.approx(mu_d, rel=1e-8, abs=1e-10)
+        assert cov_g == pytest.approx(cov_d, rel=1e-6, abs=1e-9)
+        s = grid.predict_f_samples(x_test, n_samples=3)
+        assert s.shape == (3, 6, y.shape[1]) and np.isfinite(s).all()
+
     def test_trains(self):
         grid, _, _, _ = _setup(n1=10, n2=8, dy=1)
         l0 = float(grid.loss())
