@@ -32,6 +32,70 @@ from .base import GPModel
 from .. import likelihoods as _likelihoods
 
 
+def grid_predict(kernels, axes, qs, alpha, lam, sigma2, x_new, diag=True):
+    """Posterior moments at off-grid points from cached Kronecker pieces
+    (shared by :meth:`GridGPR._predict` and the cached
+    :class:`~gptorch_tpu.models.posterior.GridGPRPosterior`).
+
+    mean_t = Σ_grid α[i₁..i_D] Π_d k_d(x*_t,d, X_d[i_d])
+    var_t  = Π_d k_d(t,t) - Σ_j v_tj² / (λ_j + σ²),  v_t = ⊗_d (Q_dᵀ k_d(x*_t))
+    cov_tu = Π_d k_d(t,u) - Σ_j v_tj v_uj / (λ_j + σ²)   (diag=False)
+    """
+    x_new = jnp.asarray(x_new, dtype=jnp.result_type(*axes))
+    nt = x_new.shape[0]
+    grid_sizes = tuple(a.shape[0] for a in axes)
+    dy = alpha.shape[-1]
+
+    crosses = []
+    rotated = []
+    kdiag = jnp.ones((nt,), dtype=x_new.dtype)
+    for d, (k, a, q) in enumerate(zip(kernels, axes, qs)):
+        col = x_new[:, d : d + 1]
+        Kc = k.K(col, a)  # (nt, n_d)
+        crosses.append(Kc)
+        rotated.append(Kc @ q)
+        kdiag = kdiag * k.Kdiag(col)
+
+    mean = alpha  # (n_1, .., n_D, dy)
+    first = True
+    for M in crosses:
+        if first:
+            mean = jnp.einsum("ti,i...->t...", M, mean)
+            first = False
+        else:
+            mean = jnp.einsum("ti,ti...->t...", M, mean)
+    # mean now (nt, dy)
+
+    inv = (1.0 / (lam + sigma2)).reshape(grid_sizes)
+    if diag:
+        expl = inv
+        first = True
+        for W in rotated:
+            W2 = jnp.square(W)
+            if first:
+                expl = jnp.einsum("ti,i...->t...", W2, expl)
+                first = False
+            else:
+                expl = jnp.einsum("ti,ti...->t...", W2, expl)
+        var = jnp.maximum(kdiag - expl, 0.0)
+        return mean, jnp.broadcast_to(var[:, None], (nt, dy))
+
+    expl = inv
+    first = True
+    for W in rotated:
+        if first:
+            expl = jnp.einsum("ti,ui,i...->tu...", W, W, expl)
+            first = False
+        else:
+            expl = jnp.einsum("ti,ui,tui...->tu...", W, W, expl)
+    prior = jnp.ones((nt, nt), dtype=x_new.dtype)
+    for d, k in enumerate(kernels):
+        col = x_new[:, d : d + 1]
+        prior = prior * k.K(col)
+    cov = prior - expl
+    return mean, 0.5 * (cov + cov.T)
+
+
 def grid_points(axes: Sequence[np.ndarray]) -> np.ndarray:
     """Full (N, D) design matrix for grid axes [(n_1, 1), ..., (n_D, 1)]."""
     axes = [np.asarray(a).reshape(-1) for a in axes]
@@ -145,77 +209,23 @@ class GridGPR(GPModel):
         return alpha, lams, qs, lam, sigma2
 
     def _predict(self, x_new, diag=True):
-        """Posterior at arbitrary (off-grid) test points.
-
-        mean_t = Σ_grid α[i₁..i_D] Π_d k_d(x*_t,d, X_d[i_d])
-        var_t  = Π_d k_d(t,t) - Σ_j v_tj² / (λ_j + σ²),
-                 v_t = ⊗_d (Q_dᵀ k_d(x*_t))
-
-        ``diag=False`` carries the test-pair axes (t, u) through the same
-        per-axis contractions:
-
-        cov_tu = Π_d k_d(t,u) - Σ_j v_tj v_uj / (λ_j + σ²)
-
-        O(nt²·N) time, O(nt²·max intermediate grid slab) memory.
-        """
-        x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
-        nt = x_new.shape[0]
-        dy = self.Y.shape[1]
+        """Posterior at arbitrary (off-grid) test points -- the
+        :func:`grid_predict` math (diag, or full (nt, nt) covariance
+        carrying the (t, u) pair axes through the same contractions;
+        O(nt²·N) time)."""
         alpha, lams, qs, lam, sigma2 = self._alpha()
+        return grid_predict(
+            self._kernels(), self._axes(), qs, alpha, lam, sigma2,
+            jnp.asarray(x_new, dtype=jnp.result_type(self.X)), diag,
+        )
 
-        # Per-axis cross matrices (nt, n_d) and their Q-rotations.
-        crosses = []
-        rotated = []
-        kdiag = jnp.ones((nt,), dtype=x_new.dtype)
-        for d, (k, a, q) in enumerate(zip(self._kernels(), self._axes(), qs)):
-            col = x_new[:, d : d + 1]
-            Kc = k.K(col, a)  # (nt, n_d)
-            crosses.append(Kc)
-            rotated.append(Kc @ q)  # (nt, n_d)
-            kdiag = kdiag * k.Kdiag(col)
+    def posterior(self):
+        """Cached predictive posterior: the per-axis eigendecompositions
+        and the alpha grid are computed ONCE (the serving pattern of the
+        other models' ``posterior()``)."""
+        from .posterior import GridGPRPosterior
 
-        # mean: contract the alpha grid with the per-axis cross rows,
-        # carrying the test-point axis t through each einsum.
-        mean = alpha  # (n_1, .., n_D, dy)
-        first = True
-        for M in crosses:
-            if first:
-                mean = jnp.einsum("ti,i...->t...", M, mean)
-                first = False
-            else:
-                mean = jnp.einsum("ti,ti...->t...", M, mean)
-        # mean now (nt, dy)
-
-        inv = (1.0 / (lam + sigma2)).reshape(self.grid_sizes)
-        if diag:
-            expl = inv
-            first = True
-            for W in rotated:
-                W2 = jnp.square(W)
-                if first:
-                    expl = jnp.einsum("ti,i...->t...", W2, expl)
-                    first = False
-                else:
-                    expl = jnp.einsum("ti,ti...->t...", W2, expl)
-            # expl now (nt,)
-            var = jnp.maximum(kdiag - expl, 0.0)
-            var = jnp.broadcast_to(var[:, None], (nt, dy))
-            return mean, var
-
-        # full covariance: same contraction with separate t/u test axes
-        expl = inv
-        first = True
-        for W in rotated:
-            if first:
-                expl = jnp.einsum("ti,ui,i...->tu...", W, W, expl)
-                first = False
-            else:
-                expl = jnp.einsum("ti,ui,tui...->tu...", W, W, expl)
-        # expl now (nt, nt)
-        prior = jnp.ones((nt, nt), dtype=x_new.dtype)
-        for d, k in enumerate(self._kernels()):
-            col = x_new[:, d : d + 1]
-            prior = prior * k.K(col)
-        cov = prior - expl
-        cov = 0.5 * (cov + cov.T)
-        return mean, cov
+        alpha, lams, qs, lam, sigma2 = self._alpha()
+        return GridGPRPosterior(
+            self._kernels(), self.likelihood, self._axes(), alpha, qs, lam
+        )

@@ -140,31 +140,28 @@ class ICM(GPModel):
         ytil = qx.T @ self.Y @ qb
         return qx @ (ytil / denom) @ qb.T, lx, qx, lb, qb, sigma2
 
+    def posterior(self):
+        """Cached predictive posterior: the O(n³ + p³) eigendecompositions
+        computed ONCE (see :class:`gptorch_tpu.models.posterior.
+        ICMPosterior`); the serving pattern of the other models."""
+        from .posterior import ICMPosterior
+
+        alpha, lx, qx, lb, qb, sigma2 = self._alpha()
+        return ICMPosterior(
+            self.kernel, self.likelihood, self.X, alpha, lx, qx, lb, qb,
+            self.coregion_matrix(),
+        )
+
     def _predict(self, x_new, diag=True):
         """Posterior over all p outputs at x_new: mean (nt, p), var (nt, p).
 
-        mean = K_*x · α · B;  var_tq = B_qq k(t,t) + σ² free? no -- latent:
-        var_tq = B_qq·k** - Σ_ij (Q_xᵀk_*)²_i (Q_bᵀ B_{:q})²_j / denom_ij.
+        mean = K_*x · α · B;
+        var_tq = B_qq·k** - Σ_ij (Q_xᵀk_*)²_i (Q_bᵀ B_{:q})²_j / denom_ij
+
+        (one implementation, on the posterior object).
         """
-        if not diag:
-            raise NotImplementedError(
-                "ICM full joint covariance across points AND outputs: "
-                "use predict_f_joint(x_new)"
-            )
         x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
-        alpha, lx, qx, lb, qb, sigma2 = self._alpha()
-        B = self.coregion_matrix()
-
-        Ks = self.kernel.K(x_new, self.X)  # (nt, n)
-        mean = Ks @ alpha @ B
-
-        ktt = self.kernel.Kdiag(x_new)  # (nt,)
-        Wx2 = jnp.square(qx.T @ Ks.T)  # (n, nt)
-        Wb2 = jnp.square(qb.T @ B)  # (p, p): column q = Q_bᵀ B[:, q]
-        inv = 1.0 / (lx[:, None] * lb[None, :] + sigma2)  # (n, p)
-        explained = Wx2.T @ inv @ Wb2  # (nt, p)
-        var = jnp.maximum(ktt[:, None] * jnp.diag(B)[None, :] - explained, 0.0)
-        return mean, var
+        return self.posterior()._predict(x_new, diag=diag)
 
     def predict_f_joint(self, x_new):
         """Full joint posterior over the (nt, p) grid of test points ×
@@ -184,28 +181,7 @@ class ICM(GPModel):
             nt*p)`` is the dense joint covariance in row-major (point,
             output) order (matches ``np.kron(K, B)`` indexing).
         """
-        from_numpy = isinstance(x_new, np.ndarray)
-        x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
-        alpha, lx, qx, lb, qb, sigma2 = self._alpha()
-        B = self.coregion_matrix()
-        nt, p = x_new.shape[0], B.shape[0]
-
-        Ks = self.kernel.K(x_new, self.X)  # (nt, n)
-        mean = Ks @ alpha @ B
-
-        A = Ks @ qx  # (nt, n)
-        C = B @ qb  # (p, p)
-        sqrt_inv = 1.0 / jnp.sqrt(lx[:, None] * lb[None, :] + sigma2)  # (n,p)
-        H = (
-            A[:, None, :, None] * C[None, :, None, :]
-            * sqrt_inv[None, None, :, :]
-        ).reshape(nt * p, -1)
-        prior = self.kernel.K(x_new)[:, None, :, None] * B[None, :, None, :]
-        cov = prior.reshape(nt * p, nt * p) - H @ H.T
-        out = mean, cov.reshape(nt, p, nt, p)
-        if from_numpy:
-            return tuple(np.asarray(o) for o in out)
-        return out
+        return self.posterior().predict_f_joint(x_new)
 
     def predict_f_joint_samples(self, x_new, n_samples: int = 1, key=None):
         """Correlated-across-outputs posterior samples: (S, nt, p)."""

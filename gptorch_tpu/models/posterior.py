@@ -288,6 +288,106 @@ class IterativeGPRPosterior(Posterior):
         return mean, var
 
 
+class ICMPosterior(Posterior):
+    """Cached ICM posterior: the input-space and coregionalization
+    eigendecompositions (the O(n³ + p³) work) are computed once; each
+    predict is O(nt·n·p) (diag) / O((nt·p)²·n·p) (joint)."""
+
+    def __init__(self, kernel, likelihood, X, alpha, lx, qx, lb, qb, B):
+        self.kernel = kernel
+        self.likelihood = likelihood
+        self.X = X
+        self.alpha = alpha  # (n, p) = K_joint⁻¹ vec(Y) in matrix form
+        self.lx = lx
+        self.qx = qx
+        self.lb = lb
+        self.qb = qb
+        self.B = B
+
+    def _sigma2(self):
+        return self.likelihood.variance.value.reshape(())
+
+    def _predict(self, x_new, diag=True):
+        if not diag:
+            raise NotImplementedError(
+                "ICM full joint covariance across points AND outputs: "
+                "use predict_f_joint(x_new)"
+            )
+        B = self.B
+        Ks = self.kernel.K(x_new, self.X)  # (nt, n)
+        mean = Ks @ self.alpha @ B
+        ktt = self.kernel.Kdiag(x_new)
+        Wx2 = jnp.square(self.qx.T @ Ks.T)  # (n, nt)
+        Wb2 = jnp.square(self.qb.T @ B)  # (p, p)
+        inv = 1.0 / (self.lx[:, None] * self.lb[None, :] + self._sigma2())
+        explained = Wx2.T @ inv @ Wb2
+        var = jnp.maximum(
+            ktt[:, None] * jnp.diag(B)[None, :] - explained, 0.0
+        )
+        return mean, var
+
+    def predict_f_joint(self, x_new):
+        """Joint (point × output) posterior -- see ICM.predict_f_joint."""
+        from_numpy = isinstance(x_new, np.ndarray)
+        x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
+        B = self.B
+        nt, p = x_new.shape[0], B.shape[0]
+        Ks = self.kernel.K(x_new, self.X)
+        mean = Ks @ self.alpha @ B
+        A = Ks @ self.qx  # (nt, n)
+        C = B @ self.qb  # (p, p)
+        sqrt_inv = 1.0 / jnp.sqrt(
+            self.lx[:, None] * self.lb[None, :] + self._sigma2()
+        )
+        H = (
+            A[:, None, :, None] * C[None, :, None, :]
+            * sqrt_inv[None, None, :, :]
+        ).reshape(nt * p, -1)
+        prior = self.kernel.K(x_new)[:, None, :, None] * B[None, :, None, :]
+        cov = prior.reshape(nt * p, nt * p) - H @ H.T
+        out = mean, cov.reshape(nt, p, nt, p)
+        if from_numpy:
+            return tuple(np.asarray(o) for o in out)
+        return out
+
+    def predict_f_joint_samples(self, x_new, n_samples: int = 1, key=None):
+        """Output-correlated joint draws (S, nt, p) from the cached
+        eigendecompositions."""
+        from .multioutput import _joint_samples
+
+        return _joint_samples(self, x_new, n_samples, key)
+
+
+class GridGPRPosterior(Posterior):
+    """Cached Kronecker-GP posterior: per-axis eigendecompositions and the
+    alpha grid are computed once; each predict is O(nt·Σn_d + nt·N)."""
+
+    def __init__(self, kernels, likelihood, axes, alpha, qs, lam):
+        self.n_axes = len(kernels)
+        for d, (k, a, q) in enumerate(zip(kernels, axes, qs)):
+            setattr(self, f"kern{d}", k)
+            setattr(self, f"axis{d}", a)
+            setattr(self, f"q{d}", q)
+        self.likelihood = likelihood
+        self.alpha = alpha  # grid-shaped (n_1, ..., n_D, dy)
+        self.lam = lam  # (N,) kron eigenvalues
+
+    def _pieces(self):
+        ks = [getattr(self, f"kern{d}") for d in range(self.n_axes)]
+        axs = [getattr(self, f"axis{d}") for d in range(self.n_axes)]
+        qs = [getattr(self, f"q{d}") for d in range(self.n_axes)]
+        return ks, axs, qs
+
+    def _predict(self, x_new, diag=True):
+        from .kronecker import grid_predict
+
+        ks, axs, qs = self._pieces()
+        sigma2 = self.likelihood.variance.value.reshape(())
+        return grid_predict(
+            ks, axs, qs, self.alpha, self.lam, sigma2, x_new, diag
+        )
+
+
 # -- builders (attached to the model classes as .posterior()) -------------------
 
 

@@ -72,6 +72,23 @@ class TestGridGPR:
         s = grid.predict_f_samples(x_test, n_samples=3)
         assert s.shape == (3, 6, y.shape[1]) and np.isfinite(s).all()
 
+    def test_posterior_matches_model(self):
+        """Cached GridGPR posterior (eigendecompose once) == model
+        predictions (diag and full covariance, predict_y too)."""
+        grid, dense, X, y = _setup()
+        x_test = np.random.RandomState(3).rand(5, 2) * np.asarray([1.0, 2.0])
+        post = grid.posterior()
+        mu_m, var_m = grid.predict_f(x_test)
+        mu_p, var_p = post.predict_f(x_test)
+        assert mu_p == pytest.approx(mu_m, rel=1e-10)
+        assert var_p == pytest.approx(var_m, rel=1e-10)
+        _, cov_m = grid.predict_f(x_test, diag=False)
+        _, cov_p = post.predict_f(x_test, diag=False)
+        assert cov_p == pytest.approx(cov_m, rel=1e-10, abs=1e-12)
+        _, vy_m = grid.predict_y(x_test)
+        _, vy_p = post.predict_y(x_test)
+        assert vy_p == pytest.approx(vy_m, rel=1e-10)
+
     def test_trains(self):
         grid, _, _, _ = _setup(n1=10, n2=8, dy=1)
         l0 = float(grid.loss())

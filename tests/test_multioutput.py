@@ -107,6 +107,24 @@ class TestICM:
         joint_diag = np.einsum("tqtq->tq", cov)
         assert joint_diag == pytest.approx(var, rel=1e-6, abs=1e-9)
 
+    def test_posterior_matches_model(self):
+        """Cached ICM posterior (eigendecompose once) == model predictions,
+        incl. the joint covariance and predict_y."""
+        model = _model()
+        x_test = np.random.RandomState(11).randn(4, 2)
+        post = model.posterior()
+        mu_m, var_m = model.predict_f(x_test)
+        mu_p, var_p = post.predict_f(x_test)
+        assert mu_p == pytest.approx(mu_m, rel=1e-10)
+        assert var_p == pytest.approx(var_m, rel=1e-10)
+        _, vy_m = model.predict_y(x_test)
+        _, vy_p = post.predict_y(x_test)
+        assert vy_p == pytest.approx(vy_m, rel=1e-10)
+        mj_m, cj_m = model.predict_f_joint(x_test)
+        mj_p, cj_p = post.predict_f_joint(x_test)
+        assert mj_p == pytest.approx(mj_m, rel=1e-10)
+        assert cj_p == pytest.approx(cj_m, rel=1e-10)
+
     def test_predict_f_joint_samples(self):
         model = _model()
         x_test = np.random.RandomState(9).randn(3, 2)
