@@ -209,6 +209,7 @@ class BayesOpt:
         fit_iters: int = 200,
         n_candidates: int = 4096,
         seed: int = 0,
+        refit_every: int = 1,
     ):
         self.bounds = np.asarray(bounds, dtype=float)
         if self.bounds.ndim == 1:
@@ -219,10 +220,17 @@ class BayesOpt:
         self.noise = noise
         self.fit_iters = fit_iters
         self.n_candidates = n_candidates
+        #: refit hyperparameters every k-th observation; in between, the
+        #: cached posterior is fantasy-conditioned on the new point
+        #: (GPRPosterior.condition_on -- O(n²·1) instead of an O(n³) +
+        #: fit_iters refit per observe).  1 (default) = always refit.
+        self.refit_every = int(refit_every)
         self._key = jax.random.PRNGKey(seed)
         self.X: list = []
         self.Y: list = []
         self._model = None
+        self._post = None
+        self._n_fit = 0
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -243,7 +251,20 @@ class BayesOpt:
     def observe(self, x, y):
         self.X.append(np.asarray(x, dtype=float).reshape(self.d))
         self.Y.append(float(y))
-        self._model = None  # stale
+        if (
+            self._post is not None
+            and len(self.Y) - self._n_fit < self.refit_every
+        ):
+            # cheap path: condition the cached posterior on the new point
+            # in the cached standardization (hyperparameters unchanged)
+            mu, sd = self._y_shift
+            self._post = self._post.condition_on(
+                np.asarray(x, dtype=float).reshape(1, self.d),
+                np.asarray([[(float(y) - mu) / sd]]),
+            )
+        else:
+            self._model = None  # stale: full refit on next suggest
+            self._post = None
 
     def _fit(self):
         from . import kernels, likelihoods
@@ -272,6 +293,8 @@ class BayesOpt:
             m.fit_scan(method="Adam", max_iter=self.fit_iters, learning_rate=0.05)
         self._model = m
         self._y_shift = (mu, sd)
+        self._post = m.posterior()
+        self._n_fit = len(self.Y)
         return m
 
     def suggest(self):
@@ -281,11 +304,27 @@ class BayesOpt:
             u = jax.random.uniform(self._next_key(), (self.d,))
             lo, hi = self.bounds[:, 0], self.bounds[:, 1]
             return np.asarray(lo + np.asarray(u) * (hi - lo))
-        m = self._model if self._model is not None else self._fit()
+        if self._post is None:
+            self._fit()
+        mu, sd = self._y_shift
+        yn = (np.asarray(self.Y)[:, None] - mu) / sd
         return suggest(
-            m,
+            _CachedPosterior(self._post, yn),
             self.bounds,
             acquisition=self.acquisition,
             n_candidates=self.n_candidates,
             key=self._next_key(),
         )
+
+
+class _CachedPosterior:
+    """Adapter handing a (possibly fantasy-conditioned) cached posterior
+    plus the standardized incumbents to :func:`suggest` (which expects a
+    model-shaped object with ``posterior()`` and ``Y``)."""
+
+    def __init__(self, post, Y):
+        self._post = post
+        self.Y = Y
+
+    def posterior(self):
+        return self._post

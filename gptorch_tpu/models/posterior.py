@@ -85,6 +85,52 @@ class GPRPosterior(Posterior):
             var = self.kernel.K(x_new) - A.T @ A
         return mean, var
 
+    def condition_on(self, x_new, y_new):
+        """Fantasy/online update: a NEW posterior that has also observed
+        (x_new, y_new), WITHOUT refactorizing -- the Cholesky factor is
+        extended blockwise,
+
+            L' = [[L, 0], [A', L_S]],  A = L⁻¹K(X, X_b),
+            L_S = chol(K(X_b) + σ²I − A'A),
+            V' = [V; L_S⁻¹(y_b − m(X_b) − A'V)]
+
+        O(n²·n_b) per update instead of the O((n+n_b)³) refit (GPyTorch's
+        ``get_fantasy_model``; no reference analog).  Hyperparameters are
+        NOT re-optimized -- this is exact conditioning at fixed θ, the
+        BayesOpt observe-step primitive.
+
+        :return: a new :class:`GPRPosterior` over the augmented data.
+        """
+        x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
+        y_new = jnp.asarray(y_new, dtype=jnp.result_type(self.V))
+        if y_new.ndim == 1:
+            y_new = y_new[:, None]
+        sigma2 = self.likelihood.variance.value.reshape(())
+        nb = x_new.shape[0]
+
+        A = trtrs(self.kernel.K(self.X, x_new), self.L)  # (n, nb)
+        S = (
+            self.kernel.K(x_new)
+            + sigma2 * jnp.eye(nb, dtype=x_new.dtype)
+            - A.T @ A
+        )
+        L_S = cholesky(S)
+        V2 = trtrs(y_new - self.mean_function(x_new) - A.T @ self.V, L_S)
+
+        n = self.X.shape[0]
+        L_aug = jnp.zeros((n + nb, n + nb), dtype=self.L.dtype)
+        L_aug = L_aug.at[:n, :n].set(self.L)
+        L_aug = L_aug.at[n:, :n].set(A.T)
+        L_aug = L_aug.at[n:, n:].set(L_S)
+        return GPRPosterior(
+            self.kernel,
+            self.likelihood,
+            self.mean_function,
+            jnp.concatenate([self.X, x_new], axis=0),
+            L_aug,
+            jnp.concatenate([self.V, V2], axis=0),
+        )
+
 
 class LowRankPosterior(Posterior):
     """Sparse (VFE/FITC/GPLVM) posterior with cached L = chol(Kuu),

@@ -131,3 +131,38 @@ class TestLoop:
             bo.observe(x, f(x))
         assert bo.best_y < 0.3
         assert bo.best_x.shape == (2,)
+
+    def test_refit_every_fantasy_updates(self):
+        """refit_every=3: between refits the cached posterior is fantasy-
+        conditioned (condition_on), the loop still optimizes, and the
+        fantasy posterior matches a from-scratch conditioning at the same
+        hyperparameters."""
+        bo = bayesopt.BayesOpt(
+            bounds=[[-1.0, 2.0]], fit_iters=80, n_candidates=256, seed=3,
+            refit_every=3,
+        )
+
+        def f(x):
+            return float((x[0] - 0.7) ** 2)
+
+        for _ in range(10):
+            x = bo.suggest()
+            bo.observe(x, f(x))
+        assert abs(bo.best_x[0] - 0.7) < 0.25
+
+        # the cached (possibly fantasy-updated) posterior agrees with the
+        # stored model's posterior re-conditioned on the fantasy block
+        if bo._n_fit < len(bo.Y):
+            mu, sd = bo._y_shift
+            xb = np.asarray(bo.X)[bo._n_fit:]
+            yb = (np.asarray(bo.Y)[bo._n_fit:, None] - mu) / sd
+            ref = bo._model.posterior().condition_on(xb, yb)
+            xt = np.linspace(-1, 2, 7)[:, None]
+            mu_f, var_f = bo._post.predict_f(xt)
+            mu_r, var_r = ref.predict_f(xt)
+            assert np.asarray(mu_f) == pytest.approx(np.asarray(mu_r), rel=1e-7)
+            assert np.asarray(var_f) == pytest.approx(
+                np.asarray(var_r), rel=1e-6, abs=1e-10
+            )
+        else:  # loop length made the last observe a refit boundary
+            assert bo._post is not None

@@ -96,3 +96,52 @@ class TestPosteriorServing:
         post = MODELS["vfe"](x, y).posterior()
         mu, var = post.predict_y(x_test)
         assert isinstance(mu, np.ndarray) and isinstance(var, np.ndarray)
+
+
+class TestConditionOn:
+    """Fantasy/online updates: blockwise Cholesky extension must equal a
+    full refit at fixed hyperparameters."""
+
+    def test_matches_refit(self):
+        x, y, x_test = _data()
+        rng = np.random.RandomState(3)
+        xb = rng.randn(5, x.shape[1])
+        yb = np.sin(xb[:, : y.shape[1]]) + 0.05 * rng.randn(5, y.shape[1])
+
+        model = MODELS["gpr_mean"](x, y)  # non-Zero mean exercises m(X_b)
+        post_up = model.posterior().condition_on(xb, yb)
+
+        refit = GPR(
+            np.concatenate([x, xb]), np.concatenate([y, yb]),
+            model.kernel,
+            mean_function=model.mean_function,
+            likelihood=model.likelihood,
+        )
+        mu_r, var_r = refit.posterior().predict_f(x_test)
+        mu_u, var_u = post_up.predict_f(np.asarray(x_test))
+        assert np.asarray(mu_u) == pytest.approx(mu_r, rel=1e-8, abs=1e-10)
+        assert np.asarray(var_u) == pytest.approx(var_r, rel=1e-7, abs=1e-10)
+        _, cov_r = refit.posterior().predict_f(x_test, diag=False)
+        _, cov_u = post_up.predict_f(np.asarray(x_test), diag=False)
+        assert np.asarray(cov_u) == pytest.approx(cov_r, rel=1e-7, abs=1e-10)
+
+    def test_chains(self):
+        """Repeated one-point updates (the BayesOpt loop shape) stay
+        consistent with a single batch update."""
+        x, y, x_test = _data(dy=1)
+        rng = np.random.RandomState(4)
+        xb = rng.randn(3, x.shape[1])
+        yb = np.sin(xb[:, :1])
+
+        model = MODELS["gpr"](x, y[:, :1])
+        base = model.posterior()
+        one_shot = base.condition_on(xb, yb)
+        chained = base
+        for i in range(3):
+            chained = chained.condition_on(xb[i : i + 1], yb[i : i + 1])
+        mu_a, var_a = one_shot.predict_f(jnp.asarray(x_test))
+        mu_b, var_b = chained.predict_f(jnp.asarray(x_test))
+        assert np.asarray(mu_b) == pytest.approx(np.asarray(mu_a), rel=1e-8)
+        assert np.asarray(var_b) == pytest.approx(
+            np.asarray(var_a), rel=1e-7, abs=1e-12
+        )
