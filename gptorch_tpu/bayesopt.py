@@ -186,6 +186,72 @@ def suggest(
     return np.asarray(x0)
 
 
+def suggest_thompson(
+    model,
+    bounds,
+    q: int = 1,
+    n_candidates: int = 4096,
+    num_features: int = 1024,
+    refine_steps: int = 25,
+    refine_lr: float = 0.05,
+    key=None,
+):
+    """Thompson-sampling proposals: draw ``q`` independent posterior
+    FUNCTION samples (``GPRPosterior.sample_paths``, RFF + Matheron) and
+    minimize each over the box -- argmin over a shared random candidate
+    set, then projected gradient descent THROUGH the sampled path (the
+    paths are differentiable closures).
+
+    Parallel TS is the simplest principled batch strategy: the q points
+    are draws from the posterior over the minimizer, so they diversify
+    automatically (Hernández-Lobato et al. 2017).
+
+    :param model: fitted model (or cached posterior) whose kernel is Rbf
+        or Matérn (RFF spectral forms).
+    :return: (q, d) numpy array (or (d,) when q == 1).
+    """
+    if key is None:
+        key = settings.next_default_key()
+    bounds = np.asarray(bounds, dtype=float)
+    if bounds.ndim == 1:
+        bounds = bounds[None, :]
+    d = bounds.shape[0]
+    post = model.posterior() if hasattr(model, "posterior") else model
+
+    k_path, k_cand = jax.random.split(key)
+    paths = post.sample_paths(n_samples=q, num_features=num_features, key=k_path)
+
+    lo = jnp.asarray(bounds[:, 0])
+    hi = jnp.asarray(bounds[:, 1])
+    u = jax.random.uniform(k_cand, (n_candidates, d), dtype=lo.dtype)
+    X_cand = lo[None] + u * (hi - lo)[None]
+    vals = paths(X_cand)[:, :, 0]  # (q, n_cand); minimization
+    x0 = X_cand[jnp.argmin(vals, axis=1)]  # (q, d)
+    best0 = jnp.min(vals, axis=1)
+
+    if refine_steps > 0:
+        step_scale = (hi - lo) * refine_lr
+
+        def val_s(x, s):
+            return paths(x[None])[s, 0, 0]
+
+        grad_s = jax.vmap(jax.grad(val_s), in_axes=(0, 0))
+        sidx = jnp.arange(q)
+
+        def body(x, _):
+            g = grad_s(x, sidx)  # (q, d)
+            gn = g / jnp.maximum(
+                jnp.max(jnp.abs(g), axis=1, keepdims=True), 1e-30
+            )
+            return jnp.clip(x - step_scale[None] * gn, lo, hi), None
+
+        x1, _ = jax.lax.scan(body, x0, None, length=refine_steps)
+        best1 = jax.vmap(val_s, in_axes=(0, 0))(x1, sidx)
+        x0 = jnp.where((best1 <= best0)[:, None], x1, x0)
+    out = np.asarray(x0)
+    return out[0] if q == 1 else out
+
+
 class BayesOpt:
     """Suggest/observe loop: fit a GPR, propose, evaluate, repeat.
 
@@ -299,13 +365,22 @@ class BayesOpt:
 
     def suggest(self):
         """Next point to evaluate (random init points until 2 observations
-        exist, then acquisition-optimal)."""
+        exist, then acquisition-optimal; ``acquisition="ts"`` draws a
+        posterior path and minimizes it instead)."""
         if len(self.Y) < 2:
             u = jax.random.uniform(self._next_key(), (self.d,))
             lo, hi = self.bounds[:, 0], self.bounds[:, 1]
             return np.asarray(lo + np.asarray(u) * (hi - lo))
         if self._post is None:
             self._fit()
+        if self.acquisition == "ts":
+            return suggest_thompson(
+                self._post,
+                self.bounds,
+                q=1,
+                n_candidates=self.n_candidates,
+                key=self._next_key(),
+            )
         mu, sd = self._y_shift
         yn = (np.asarray(self.Y)[:, None] - mu) / sd
         return suggest(
@@ -315,6 +390,55 @@ class BayesOpt:
             n_candidates=self.n_candidates,
             key=self._next_key(),
         )
+
+    def suggest_batch(self, q: int, strategy: str = "ts"):
+        """Propose ``q`` points to evaluate in parallel.
+
+        * ``"ts"`` -- parallel Thompson sampling: q independent posterior
+          path draws, each minimized (:func:`suggest_thompson`).
+        * ``"believer"`` -- Kriging Believer (Ginsbourger et al. 2010):
+          greedy sequential acquisition where each accepted point is
+          fantasy-conditioned into the posterior at its predicted mean
+          (``GPRPosterior.condition_on`` -- O(n²) per point, the cached
+          posterior is never refit), so later picks avoid earlier ones.
+
+        :return: (q, d) numpy array.
+        """
+        if len(self.Y) < 2:
+            u = jax.random.uniform(self._next_key(), (q, self.d))
+            lo, hi = self.bounds[:, 0], self.bounds[:, 1]
+            return np.asarray(lo[None] + np.asarray(u) * (hi - lo)[None])
+        if self._post is None:
+            self._fit()
+        if strategy == "ts":
+            out = suggest_thompson(
+                self._post,
+                self.bounds,
+                q=q,
+                n_candidates=self.n_candidates,
+                key=self._next_key(),
+            )
+            return out[None] if q == 1 else out
+        if strategy != "believer":
+            raise ValueError(f"unknown batch strategy {strategy!r}")
+        mu, sd = self._y_shift
+        yn = np.asarray((np.asarray(self.Y)[:, None] - mu) / sd)
+        post = self._post  # local fantasy chain; self._post stays real
+        acq = self.acquisition if self.acquisition != "ts" else "ei"
+        picks = []
+        for _ in range(q):
+            x = suggest(
+                _CachedPosterior(post, yn),
+                self.bounds,
+                acquisition=acq,
+                n_candidates=self.n_candidates,
+                key=self._next_key(),
+            )
+            picks.append(x)
+            y_lie, _ = post.predict_f(jnp.asarray(x)[None, :])
+            post = post.condition_on(jnp.asarray(x)[None, :], y_lie)
+            yn = np.concatenate([yn, np.asarray(y_lie)], axis=0)
+        return np.stack(picks, axis=0)
 
 
 class _CachedPosterior:

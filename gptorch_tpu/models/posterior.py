@@ -131,6 +131,63 @@ class GPRPosterior(Posterior):
             jnp.concatenate([self.V, V2], axis=0),
         )
 
+    def sample_paths(self, n_samples: int = 1, num_features: int = 1024, key=None):
+        """Posterior FUNCTION samples: returns a callable
+        ``paths(x) -> (n_samples, n*, dy)`` that evaluates the same drawn
+        functions at arbitrary inputs (Wilson et al. 2020 Matheron rule on
+        RFF prior paths, as :func:`gptorch_tpu.sampling.pathwise_gpr_samples`
+        but built from the CACHED factor only -- no model needed, and the
+        returned paths are differentiable in ``x``).
+
+            f_s(·) = w_sᵀφ(·) + K(·, X)[K̂⁻¹(y − m(X)) − K̂⁻¹(w_sᵀφ(X) + ε_s)]
+                     + m(·)
+
+        where K̂⁻¹(y − m(X)) = L⁻ᵀV is free from the cache.  Thompson
+        sampling over a candidate set is one call; acquisition refinement
+        can ``jax.grad`` straight through the path.
+        """
+        import jax
+
+        from .. import settings
+        from ..sampling import RandomFourierFeatures
+
+        if key is None:
+            key = settings.next_default_key()
+        k_feat, k_w, k_eps = jax.random.split(key, 3)
+        X, L, V = self.X, self.L, self.V
+        n, dy = V.shape
+        dtype = jnp.result_type(X)
+        phi = RandomFourierFeatures(self.kernel, num_features, k_feat)
+        noise = self.likelihood.variance.value.reshape(())
+
+        W = jax.random.normal(k_w, (n_samples, num_features, dy), dtype)
+        f_prior_X = jnp.einsum("sfo,nf->sno", W, phi(X))
+        eps = jnp.sqrt(noise) * jax.random.normal(
+            k_eps, (n_samples, n, dy), dtype
+        )
+        import jax.scipy.linalg as jsl
+
+        alpha_data = jsl.solve_triangular(L.T, V, lower=False)  # (n, dy)
+        B = jnp.moveaxis(f_prior_X + eps, 0, -1).reshape(n, dy * n_samples)
+        U = jsl.solve_triangular(L.T, trtrs(B, L), lower=False)
+        U = jnp.moveaxis(U.reshape(n, dy, n_samples), -1, 0)  # (S, n, dy)
+        coef = alpha_data[None] - U
+
+        mean_function = self.mean_function
+        kernel = self.kernel
+
+        def paths(x):
+            from_numpy = isinstance(x, np.ndarray)
+            x = jnp.asarray(x, dtype=dtype)
+            out = (
+                jnp.einsum("sfo,nf->sno", W, phi(x))
+                + jnp.einsum("nm,smo->sno", kernel.K(x, X), coef)
+                + mean_function(x)[None]
+            )
+            return np.asarray(out) if from_numpy else out
+
+        return paths
+
 
 class LowRankPosterior(Posterior):
     """Sparse (VFE/FITC/GPLVM) posterior with cached L = chol(Kuu),

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .functions import cholesky, trtrs
-from .kernels import Rbf
+from .kernels import Exp, Matern32, Matern52, Rbf
 
 __all__ = [
     "RandomFourierFeatures",
@@ -41,23 +41,45 @@ __all__ = [
     "pathwise_gpr_samples",
 ]
 
+#: Matérn smoothness by kernel class.  In the length-scale-SCALED
+#: coordinates x̃ = x/ℓ (which is what ``Stationary.dist`` computes), the
+#: Matérn-ν spectral density is a multivariate Student-t with 2ν degrees
+#: of freedom: S(ω) ∝ (2ν + ‖ω‖²)^{-(ν+d/2)}.  Sampling ω = z·√(2ν/u)
+#: with z ~ N(0, I), u ~ χ²_{2ν} gives exact Matérn RFF frequencies.
+#: (Exp covers Matern12 via subclassing; order matters below since
+#: Matern12 ⊂ Exp.)
+_MATERN_NU = ((Matern52, 2.5), (Matern32, 1.5), (Exp, 0.5))
+
 
 class RandomFourierFeatures:
-    """Feature map φ whose inner products approximate an RBF kernel:
-    E[φ(x)ᵀφ(x')] = σ² exp(-‖(x-x')/ℓ‖²/2)."""
+    """Feature map φ whose inner products approximate a radial kernel:
+    E[φ(x)ᵀφ(x')] = k(x, x') for Rbf (Gaussian frequencies, Rahimi &
+    Recht 2007) and the Matérn family (Student-t frequencies)."""
 
-    def __init__(self, kernel: Rbf, num_features: int, key):
+    def __init__(self, kernel, num_features: int, key):
+        nu = None
         if not isinstance(kernel, Rbf):
-            raise TypeError(
-                "RandomFourierFeatures supports the Rbf kernel (spectral "
-                f"density closed form); got {type(kernel).__name__}"
-            )
+            for cls, v in _MATERN_NU:
+                if isinstance(kernel, cls):
+                    nu = v
+                    break
+            if nu is None:
+                raise TypeError(
+                    "RandomFourierFeatures supports Rbf and the Matérn "
+                    "family (spectral density closed forms); got "
+                    f"{type(kernel).__name__}"
+                )
         self.kernel = kernel
         self.num_features = int(num_features)
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         d = kernel.input_dim
         dtype = jnp.result_type(kernel.variance.value)
         self.omega = jax.random.normal(k1, (d, self.num_features), dtype)
+        if nu is not None:
+            # t_{2ν} radial mixing: ω ← z·√(2ν/u), u ~ χ²_{2ν} per feature
+            df = 2.0 * nu
+            u = 2.0 * jax.random.gamma(k3, df / 2.0, (self.num_features,), dtype)
+            self.omega = self.omega * jnp.sqrt(df / u)[None, :]
         self.phase = (
             2.0
             * math.pi

@@ -166,3 +166,81 @@ class TestLoop:
             )
         else:  # loop length made the last observe a refit boundary
             assert bo._post is not None
+
+
+class TestThompsonAndBatch:
+    def _model(self, n=30, seed=5):
+        rng = np.random.RandomState(seed)
+        x = np.linspace(-1, 2, n)[:, None]
+        y = (x - 0.7) ** 2 + 0.05 * rng.randn(n, 1)
+        return GPR(
+            x, y, kernels.Matern52(1, length_scales=0.5),
+            likelihood=likelihoods.Gaussian(0.01),
+        )
+
+    def test_suggest_thompson_shapes_and_bounds(self):
+        m = self._model()
+        x1 = bayesopt.suggest_thompson(
+            m, [[-1.0, 2.0]], q=1, n_candidates=128, num_features=256,
+            refine_steps=5, key=jax.random.PRNGKey(0),
+        )
+        assert x1.shape == (1,) and -1.0 <= x1[0] <= 2.0
+        xq = bayesopt.suggest_thompson(
+            m, [[-1.0, 2.0]], q=4, n_candidates=128, num_features=256,
+            refine_steps=5, key=jax.random.PRNGKey(1),
+        )
+        assert xq.shape == (4, 1)
+        assert np.all(xq >= -1.0) and np.all(xq <= 2.0)
+        # independent path draws diversify (not all four identical)
+        assert np.unique(np.round(xq, 4)).size > 1
+
+    def test_ts_concentrates_near_minimum(self):
+        """With dense data on a clean quadratic, most TS draws should land
+        near the true minimizer x = 0.7."""
+        m = self._model(n=60, seed=6)
+        xq = bayesopt.suggest_thompson(
+            m, [[-1.0, 2.0]], q=8, n_candidates=512, num_features=1024,
+            key=jax.random.PRNGKey(2),
+        )
+        assert np.median(np.abs(xq[:, 0] - 0.7)) < 0.2
+
+    def test_ts_loop_optimizes(self):
+        bo = bayesopt.BayesOpt(
+            bounds=[[-1.0, 2.0]], acquisition="ts", fit_iters=80,
+            n_candidates=256, seed=11,
+        )
+        for _ in range(10):
+            x = bo.suggest()
+            bo.observe(x, float((x[0] - 0.7) ** 2))
+        assert abs(bo.best_x[0] - 0.7) < 0.3
+
+    def test_suggest_batch_believer(self):
+        """Kriging-Believer batches stay in bounds, diversify, and leave
+        the real cached posterior untouched."""
+        bo = bayesopt.BayesOpt(
+            bounds=[[-1.0, 2.0]], fit_iters=60, n_candidates=256, seed=7,
+        )
+        rng = np.random.RandomState(8)
+        for _ in range(5):
+            x = rng.uniform(-1, 2, size=(1,))
+            bo.observe(x, float((x[0] - 0.7) ** 2))
+        bo.suggest()  # forces a fit + cached posterior
+        n_before = int(bo._post.X.shape[0])
+        batch = bo.suggest_batch(3, strategy="believer")
+        assert batch.shape == (3, 1)
+        assert np.all(batch >= -1.0) and np.all(batch <= 2.0)
+        assert np.unique(np.round(batch, 3)).size > 1  # lies repel repeats
+        assert int(bo._post.X.shape[0]) == n_before  # fantasies were local
+
+    def test_suggest_batch_ts(self):
+        bo = bayesopt.BayesOpt(
+            bounds=[[-1.0, 2.0]], fit_iters=60, n_candidates=256, seed=9,
+        )
+        rng = np.random.RandomState(10)
+        for _ in range(5):
+            x = rng.uniform(-1, 2, size=(1,))
+            bo.observe(x, float((x[0] - 0.7) ** 2))
+        batch = bo.suggest_batch(4, strategy="ts")
+        assert batch.shape == (4, 1)
+        with pytest.raises(ValueError):
+            bo.suggest_batch(2, strategy="nope")

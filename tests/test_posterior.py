@@ -98,6 +98,46 @@ class TestPosteriorServing:
         assert isinstance(mu, np.ndarray) and isinstance(var, np.ndarray)
 
 
+class TestSamplePaths:
+    """Pathwise draws from the CACHED posterior: moments must match the
+    analytic predictive, and a path is a consistent function."""
+
+    def test_moments_match_predictive(self):
+        rng = np.random.RandomState(6)
+        x = np.linspace(-2, 2, 50)[:, None]
+        y = np.sin(2 * x) + 0.1 * rng.randn(50, 1)
+        from gptorch_tpu import kernels, likelihoods
+
+        m = GPR(x, y, kernels.Matern52(1, length_scales=0.7),
+                likelihood=likelihoods.Gaussian(0.05))
+        post = m.posterior()
+        paths = post.sample_paths(
+            n_samples=3000, num_features=4096, key=jax.random.PRNGKey(7)
+        )
+        x_star = np.linspace(-1.8, 1.8, 20)[:, None]
+        S = paths(x_star)
+        assert isinstance(S, np.ndarray) and S.shape == (3000, 20, 1)
+        mu, var = post.predict_f(x_star)
+        assert S.mean(0) == pytest.approx(np.asarray(mu), abs=0.08)
+        assert S.var(0) == pytest.approx(np.asarray(var), abs=0.08, rel=0.3)
+
+    def test_paths_are_functions(self):
+        """The same draw evaluated twice (and at overlapping points) is
+        consistent, and jax.grad flows through an evaluation."""
+        x, y, _ = _data(dy=1)
+        model = MODELS["gpr"](x, y[:, :1])
+        paths = model.posterior().sample_paths(
+            n_samples=2, num_features=256, key=jax.random.PRNGKey(8)
+        )
+        xa = jnp.asarray(np.random.RandomState(9).randn(4, x.shape[1]))
+        a = paths(xa)
+        b = paths(xa[:2])
+        assert np.asarray(a[:, :2]) == pytest.approx(np.asarray(b), rel=1e-12)
+
+        g = jax.grad(lambda q: paths(q[None, :])[0, 0, 0])(xa[0])
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
 class TestConditionOn:
     """Fantasy/online updates: blockwise Cholesky extension must equal a
     full refit at fixed hyperparameters."""

@@ -30,9 +30,25 @@ class TestRFF:
         assert np.max(np.abs(K_hat - K)) < 0.12
         assert K_hat == pytest.approx(K, abs=0.12)
 
-    def test_rejects_non_rbf(self):
+    @pytest.mark.parametrize(
+        "cls", [kernels.Matern52, kernels.Matern32, kernels.Matern12]
+    )
+    def test_matern_gram_approximation(self, cls):
+        """Student-t spectral frequencies reproduce the Matérn Gram
+        (t_{2ν} in length-scale-scaled coordinates)."""
+        rng = np.random.RandomState(1)
+        x = rng.randn(25, 2)
+        k = cls(2, ARD=True, length_scales=[0.9, 1.3], variance=1.4)
+        phi = RandomFourierFeatures(k, 60000, jax.random.PRNGKey(1))
+        F = np.asarray(phi(jnp.asarray(x)))
+        K = np.asarray(k.K(jnp.asarray(x)))
+        assert F @ F.T == pytest.approx(K, abs=0.08)
+
+    def test_rejects_non_radial(self):
         with pytest.raises(TypeError):
-            RandomFourierFeatures(kernels.Matern32(2), 64, jax.random.PRNGKey(0))
+            RandomFourierFeatures(
+                kernels.ExpSinSquared(2), 64, jax.random.PRNGKey(0)
+            )
 
 
 class TestPathwiseSVGP:
