@@ -197,3 +197,24 @@ def test_multiclass_1d_example():
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert "train accuracy" in result.stdout
+
+
+def test_bayesopt_loop_example():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPTORCH_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(BASE, "examples", "bayesopt_loop.py"),
+            "--no-plot",
+            "--iters", "18",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "regret" in result.stdout
+    assert "parallel proposals" in result.stdout
