@@ -278,6 +278,120 @@ class ExpSinSquared(Stationary):
         return self.variance.value.reshape(()) * jnp.exp(-2.0 * s * s)
 
 
+class SpectralMixture(Kernel):
+    """Spectral mixture kernel (Wilson & Adams 2013): the spectral density
+    is a Q-component Gaussian mixture, giving
+
+        k(τ) = Σ_q w_q · exp(−2π² Σ_d τ_d² v_qd) · Π_d cos(2π τ_d μ_qd),
+
+    τ = x − x'.  Every stationary kernel is a pointwise limit of this
+    family (Bochner), which is what makes it THE pattern-discovery /
+    extrapolation kernel; with μ → 0 it degenerates to a sum of ARD RBFs.
+
+    Parameters (all trainable, positivity-constrained): mixture weights
+    ``weights`` (Q,) -- each w_q is that component's signal variance --
+    spectral means ``means`` (Q, d) in cycles per input unit, and
+    spectral variances ``scales`` (Q, d) (inverse-squared length scales
+    up to 4π² factors).
+
+    TPU notes: smooth elementwise math on a (n, m, d) difference tensor
+    (no sqrt-at-zero hazard), accumulated per-component so only one
+    (n, m, d) temp is live; XLA fuses the exp·cos·Π chain into the Gram
+    assembly.  The kernel-general fused NLML path (``ops/gpr_general``)
+    auto-routes it at large n like any other kernel pytree.  Use
+    :func:`spectral_mixture_init` for the standard data-driven
+    initialization -- SM likelihood surfaces are multimodal and random
+    inits routinely find poor optima.
+
+    (New capability; no reference analog -- reference README.md:36-44
+    lists richer kernels as roadmap items.)
+    """
+
+    def __init__(self, input_dim: int, num_mixtures: int = 4,
+                 weights=None, means=None, scales=None):
+        super().__init__(input_dim)
+        Q = int(num_mixtures)
+        if Q < 1:
+            raise ValueError("num_mixtures must be >= 1")
+        self.num_mixtures = Q
+        d = self.input_dim
+        weights = np.ones(Q) / Q if weights is None else np.asarray(weights, float)
+        means = (
+            np.linspace(0.1, 1.0, Q)[:, None] * np.ones((1, d))
+            if means is None
+            else np.asarray(means, float)
+        )
+        scales = np.ones((Q, d)) if scales is None else np.asarray(scales, float)
+        if weights.shape != (Q,) or means.shape != (Q, d) or scales.shape != (Q, d):
+            raise ValueError(
+                f"expected weights (Q,)={Q,}, means/scales (Q, d)=({Q}, {d}); "
+                f"got {weights.shape}, {means.shape}, {scales.shape}"
+            )
+        self.weights = positive_param(as_array(weights))
+        self.means = positive_param(as_array(means))
+        self.scales = positive_param(as_array(scales))
+
+    def K(self, X, X2=None):
+        X2v = X if X2 is None else X2
+        tau = X[:, None, :] - X2v[None, :, :]  # (n, m, d)
+        t2 = tau * tau
+        w = self.weights.value
+        mu = self.means.value
+        v = self.scales.value
+        two_pi = 2.0 * math.pi
+        out = jnp.zeros(_k_shape(X, X2), dtype=jnp.result_type(tau))
+        for q in range(self.num_mixtures):  # static Q: unrolled, fused
+            e = jnp.exp(-2.0 * math.pi**2 * jnp.sum(t2 * v[q], axis=-1))
+            c = jnp.prod(jnp.cos(two_pi * tau * mu[q]), axis=-1)
+            out = out + w[q] * e * c
+        return out
+
+    def Kdiag(self, X):
+        X = as_array(X) if isinstance(X, np.ndarray) else X
+        total = jnp.sum(self.weights.value)
+        return jnp.broadcast_to(total, (X.shape[0],))
+
+
+def spectral_mixture_init(X, Y, num_mixtures: int = 4, seed: int = 0):
+    """Data-driven :class:`SpectralMixture` initialization (the standard
+    heuristic, e.g. Wilson's SM tutorial / GPyTorch's
+    ``initialize_from_data``):
+
+    * spectral means ~ U(0, ν_d/2) with ν_d the per-dimension Nyquist
+      frequency 1/(2·median nearest spacing) -- frequencies above ν are
+      unidentifiable at the observed sampling;
+    * spectral variances: (mixture-of-widths)·(1/range_d)² so each
+      component's correlation length is of the order of the input range;
+    * weights: var(Y)/Q, so the prior variance matches the data variance.
+
+    :return: a :class:`SpectralMixture` ready to train.
+    """
+    X = np.asarray(X, dtype=float)
+    Y = np.asarray(Y, dtype=float)
+    n, d = X.shape
+    Q = int(num_mixtures)
+    rng = np.random.RandomState(seed)
+
+    spacing = np.empty(d)
+    rang = np.empty(d)
+    for j in range(d):
+        xs = np.sort(X[:, j])
+        diffs = np.diff(xs)
+        diffs = diffs[diffs > 0]
+        spacing[j] = np.median(diffs) if diffs.size else 1.0
+        rang[j] = max(xs[-1] - xs[0], 1e-12)
+    nyquist = 1.0 / (2.0 * spacing)
+
+    means = rng.uniform(0.0, 0.5, size=(Q, d)) * nyquist[None, :]
+    means = np.maximum(means, 1e-8)
+    widths = rng.uniform(0.5, 2.0, size=(Q, d))
+    scales = (widths / rang[None, :]) ** 2
+    weights = np.full(Q, max(Y.var(), 1e-12) / Q)
+    return SpectralMixture(
+        d, Q, weights=weights, means=means, scales=scales
+    )
+
+
 class Linear(Kernel):
     """Linear kernel with per-dimension (ARD) variances
     (kernels.py:238-265)."""

@@ -572,6 +572,19 @@ class TestGeneralNLML:
             + kernels.Polynomial(3, degree=2),
         )
 
+    def test_spectral_mixture_parity(self):
+        """SM rides the kernel-general fused path like any kernel pytree."""
+        self._parity(
+            257,
+            lambda: kernels.SpectralMixture(
+                3, 2,
+                weights=[0.8, 0.5],
+                means=np.full((2, 3), 0.3),
+                scales=np.full((2, 3), 0.5),
+            ),
+            rel=2e-7,
+        )
+
     def test_white_kernel_not_eligible(self):
         rng = np.random.RandomState(0)
         m = GPR(
