@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .functions import cholesky, trtrs
-from .kernels import Exp, Matern32, Matern52, Rbf
+from .kernels import Exp, Matern32, Matern52, Rbf, SpectralMixture
 
 __all__ = [
     "RandomFourierFeatures",
@@ -52,34 +52,64 @@ _MATERN_NU = ((Matern52, 2.5), (Matern32, 1.5), (Exp, 0.5))
 
 
 class RandomFourierFeatures:
-    """Feature map φ whose inner products approximate a radial kernel:
+    """Feature map φ whose inner products approximate a stationary kernel:
     E[φ(x)ᵀφ(x')] = k(x, x') for Rbf (Gaussian frequencies, Rahimi &
-    Recht 2007) and the Matérn family (Student-t frequencies)."""
+    Recht 2007), the Matérn family (Student-t frequencies), and
+    SpectralMixture (frequencies from its own Gaussian-mixture spectral
+    density -- exact by construction)."""
 
     def __init__(self, kernel, num_features: int, key):
-        nu = None
-        if not isinstance(kernel, Rbf):
-            for cls, v in _MATERN_NU:
-                if isinstance(kernel, cls):
-                    nu = v
-                    break
-            if nu is None:
-                raise TypeError(
-                    "RandomFourierFeatures supports Rbf and the Matérn "
-                    "family (spectral density closed forms); got "
-                    f"{type(kernel).__name__}"
-                )
         self.kernel = kernel
         self.num_features = int(num_features)
         k1, k2, k3 = jax.random.split(key, 3)
         d = kernel.input_dim
-        dtype = jnp.result_type(kernel.variance.value)
-        self.omega = jax.random.normal(k1, (d, self.num_features), dtype)
-        if nu is not None:
-            # t_{2ν} radial mixing: ω ← z·√(2ν/u), u ~ χ²_{2ν} per feature
-            df = 2.0 * nu
-            u = 2.0 * jax.random.gamma(k3, df / 2.0, (self.num_features,), dtype)
-            self.omega = self.omega * jnp.sqrt(df / u)[None, :]
+
+        if isinstance(kernel, SpectralMixture):
+            # SM spectral density IS a Gaussian mixture.  Per feature:
+            # component q ~ Cat(w/Σw), ω = s⊙μ_q + √v_q⊙z (random signs s
+            # realize the per-dim Π cos(2πτ_d μ_qd) product form, since
+            # Π_d cos(a_d) = E_s[cos(Σ_d s_d a_d)], s_d ~ ±1 iid).
+            # μ, v, w are BAKED IN at construction (not differentiable
+            # through the draw) -- fine for sampling, which redraws per call.
+            w = kernel.weights.value
+            mu = kernel.means.value  # (Q, d)
+            v = kernel.scales.value  # (Q, d)
+            dtype = jnp.result_type(w)
+            kq, ks, kz = jax.random.split(k3, 3)
+            F = self.num_features
+            q = jax.random.categorical(
+                kq, jnp.log(w / jnp.sum(w))[None, :].repeat(F, axis=0)
+            )  # (F,)
+            s = jax.random.rademacher(ks, (F, d), dtype)
+            z = jax.random.normal(kz, (F, d), dtype)
+            om = s * mu[q] + jnp.sqrt(v[q]) * z  # (F, d), cycles/unit
+            self.omega = (2.0 * math.pi) * om.T  # angular, (d, F)
+            self._amplitude2 = jnp.sum(w)
+            self._scale_inputs = False
+        else:
+            nu = None
+            if not isinstance(kernel, Rbf):
+                for cls, vv in _MATERN_NU:
+                    if isinstance(kernel, cls):
+                        nu = vv
+                        break
+                if nu is None:
+                    raise TypeError(
+                        "RandomFourierFeatures supports Rbf, the Matérn "
+                        "family, and SpectralMixture (spectral density "
+                        f"closed forms); got {type(kernel).__name__}"
+                    )
+            dtype = jnp.result_type(kernel.variance.value)
+            self.omega = jax.random.normal(k1, (d, self.num_features), dtype)
+            if nu is not None:
+                # t_{2ν} radial mixing: ω ← z·√(2ν/u), u ~ χ²_{2ν} per feature
+                df = 2.0 * nu
+                u = 2.0 * jax.random.gamma(
+                    k3, df / 2.0, (self.num_features,), dtype
+                )
+                self.omega = self.omega * jnp.sqrt(df / u)[None, :]
+            self._amplitude2 = None  # read variance at call time
+            self._scale_inputs = True
         self.phase = (
             2.0
             * math.pi
@@ -88,9 +118,12 @@ class RandomFourierFeatures:
 
     def __call__(self, x):
         """φ(x): (n, F)."""
-        ell = self.kernel.length_scales.value
-        var = self.kernel.variance.value.reshape(())
-        proj = (x / ell) @ self.omega + self.phase
+        if self._scale_inputs:
+            x = x / self.kernel.length_scales.value
+            var = self.kernel.variance.value.reshape(())
+        else:
+            var = self._amplitude2
+        proj = x @ self.omega + self.phase
         return jnp.sqrt(2.0 * var / self.num_features) * jnp.cos(proj)
 
 

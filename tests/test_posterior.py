@@ -121,6 +121,29 @@ class TestSamplePaths:
         assert S.mean(0) == pytest.approx(np.asarray(mu), abs=0.08)
         assert S.var(0) == pytest.approx(np.asarray(var), abs=0.08, rel=0.3)
 
+    def test_spectral_mixture_paths(self):
+        """sample_paths works for SM kernels (mixture spectral RFF):
+        moments match the analytic predictive."""
+        rng = np.random.RandomState(11)
+        x = np.linspace(0, 6, 60)[:, None]
+        y = np.cos(2 * np.pi * 0.5 * x) + 0.05 * rng.randn(60, 1)
+        from gptorch_tpu import kernels, likelihoods
+
+        k = kernels.SpectralMixture(
+            1, 2, weights=[0.5, 0.3], means=[[0.5], [0.1]],
+            scales=[[0.02], [0.05]],
+        )
+        m = GPR(x, y, k, likelihood=likelihoods.Gaussian(0.05))
+        post = m.posterior()
+        paths = post.sample_paths(
+            n_samples=3000, num_features=4096, key=jax.random.PRNGKey(12)
+        )
+        x_star = np.linspace(0.5, 5.5, 15)[:, None]
+        S = paths(x_star)
+        mu, var = post.predict_f(x_star)
+        assert S.mean(0) == pytest.approx(np.asarray(mu), abs=0.08)
+        assert S.var(0) == pytest.approx(np.asarray(var), abs=0.08, rel=0.35)
+
     def test_paths_are_functions(self):
         """The same draw evaluated twice (and at overlapping points) is
         consistent, and jax.grad flows through an evaluation."""
@@ -185,3 +208,27 @@ class TestConditionOn:
         assert np.asarray(var_b) == pytest.approx(
             np.asarray(var_a), rel=1e-7, abs=1e-12
         )
+
+
+class TestPosteriorCheckpoint:
+    """Posteriors are Module pytrees, so training.checkpoint save/load
+    round-trips them -- the serving deployment path (factorize once on
+    the trainer, ship the .npz to the server)."""
+
+    @pytest.mark.parametrize("name", ["gpr", "vfe"])
+    def test_round_trip(self, tmp_path, name):
+        from gptorch_tpu.training import checkpoint
+
+        x, y, x_test = _data()
+        model = MODELS[name](x, y)
+        post = model.posterior()
+        p = str(tmp_path / f"{name}_post.npz")
+        checkpoint.save(p, post)
+
+        # a FRESH posterior from an untrained clone provides the structure
+        fresh = MODELS[name](x * 0.0, y * 0.0).posterior()
+        restored = checkpoint.load(p, fresh)
+        mu0, var0 = post.predict_f(x_test)
+        mu1, var1 = restored.predict_f(x_test)
+        assert np.asarray(mu1) == pytest.approx(np.asarray(mu0), rel=1e-12)
+        assert np.asarray(var1) == pytest.approx(np.asarray(var0), rel=1e-12)

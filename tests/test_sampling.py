@@ -44,6 +44,22 @@ class TestRFF:
         K = np.asarray(k.K(jnp.asarray(x)))
         assert F @ F.T == pytest.approx(K, abs=0.08)
 
+    def test_spectral_mixture_gram_approximation(self):
+        """SM frequencies come from its own Gaussian-mixture spectral
+        density (+ random sign flips for the Π cos product form)."""
+        rng = np.random.RandomState(2)
+        x = rng.randn(15, 2)
+        k = kernels.SpectralMixture(
+            2, 3,
+            weights=[0.7, 1.3, 0.4],
+            means=rng.uniform(0.1, 1.0, (3, 2)),
+            scales=rng.uniform(0.2, 1.0, (3, 2)),
+        )
+        phi = RandomFourierFeatures(k, 60000, jax.random.PRNGKey(2))
+        F = np.asarray(phi(jnp.asarray(x)))
+        K = np.asarray(k.K(jnp.asarray(x)))
+        assert F @ F.T == pytest.approx(K, abs=0.06)
+
     def test_rejects_non_radial(self):
         with pytest.raises(TypeError):
             RandomFourierFeatures(
