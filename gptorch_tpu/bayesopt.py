@@ -39,30 +39,49 @@ def _norm_cdf(z):
     return 0.5 * (1.0 + jax.lax.erf(z / _SQRT2))
 
 
+def _safe_sd(var, fill):
+    """√var with NaN-FREE gradients at var <= 0.
+
+    The naive ``sqrt(maximum(var, 0))`` has an infinite sqrt-VJP at the
+    clamp, and a downstream ``where`` cannot mask it (0·inf = NaN — the
+    same cotangent trap as the lax.cond note in functions.py).  Double-
+    where: the dead branch differentiates sqrt at 1.0 (finite, then its
+    cotangent is zeroed by the outer where).
+
+    :return: (positive-mask, sd) where sd = √var when var > 0 else fill.
+    """
+    pos = var > 0.0
+    sd = jnp.sqrt(jnp.where(pos, var, 1.0))
+    return pos, jnp.where(pos, sd, fill)
+
+
 def expected_improvement(mean, var, best, xi=0.0):
     """EI(x) = E[max(best − ξ − f(x), 0)] (minimization), closed form:
 
         EI = (best − ξ − μ)·Φ(z) + σ·φ(z),  z = (best − ξ − μ)/σ.
 
-    Degenerate σ → 0 returns max(best − ξ − μ, 0) exactly.
+    Degenerate σ → 0 returns max(best − ξ − μ, 0) exactly, with finite
+    gradients (posterior variances round slightly negative near the
+    training points, exactly where the EI optimum sits late in a run).
     """
-    sd = jnp.sqrt(jnp.maximum(var, 0.0))
     imp = best - xi - mean
     tiny = jnp.finfo(jnp.result_type(mean)).tiny
-    z = imp / jnp.maximum(sd, tiny)
+    pos, sd = _safe_sd(var, 1.0)  # dead-branch sd=1: z stays finite
+    z = jnp.clip(imp / jnp.maximum(sd, tiny), -1e6, 1e6)
     ei = imp * _norm_cdf(z) + sd * _norm_pdf(z)
-    return jnp.where(sd > 0.0, ei, jnp.maximum(imp, 0.0))
+    return jnp.where(pos, ei, jnp.maximum(imp, 0.0))
 
 
 def log_expected_improvement(mean, var, best, xi=0.0):
     """log EI, stable far from the incumbent (where EI underflows):
     uses log(φ(z)·σ) − log1p-style asymptotics via logaddexp on the two
     EI terms rather than logging the sum directly."""
-    sd = jnp.sqrt(jnp.maximum(var, 0.0))
     tiny = jnp.finfo(jnp.result_type(mean)).tiny
+    _, sd = _safe_sd(var, tiny)
     sd = jnp.maximum(sd, tiny)
     imp = best - xi - mean
-    z = imp / sd
+    # clip keeps z·Φ(z) and z² out of inf (inf·0 = NaN) in f32
+    z = jnp.clip(imp / sd, -1e6, 1e6)
     # EI = sd * (z Φ(z) + φ(z));  h(z) = z Φ(z) + φ(z) > 0 everywhere
     # log h: for z >> 0, h ≈ z; for z << 0, h ≈ φ(z)/z² (Mills ratio)
     log_phi = -0.5 * z * z - 0.5 * math.log(2.0 * math.pi)
@@ -78,16 +97,16 @@ def log_expected_improvement(mean, var, best, xi=0.0):
 
 def probability_of_improvement(mean, var, best, xi=0.0):
     """PI(x) = P(f(x) < best − ξ)."""
-    sd = jnp.sqrt(jnp.maximum(var, 0.0))
     tiny = jnp.finfo(jnp.result_type(mean)).tiny
-    z = (best - xi - mean) / jnp.maximum(sd, tiny)
+    _, sd = _safe_sd(var, tiny)
+    z = jnp.clip((best - xi - mean) / jnp.maximum(sd, tiny), -1e6, 1e6)
     return _norm_cdf(z)
 
 
 def upper_confidence_bound(mean, var, best=None, beta=2.0):
     """LCB for minimization (named UCB per convention): −(μ − √β·σ),
     larger is better like the other acquisitions."""
-    sd = jnp.sqrt(jnp.maximum(var, 0.0))
+    _, sd = _safe_sd(var, 0.0)
     return -(mean - math.sqrt(beta) * sd)
 
 

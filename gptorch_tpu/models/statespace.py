@@ -127,8 +127,15 @@ class StateSpaceGPR(GPModel):
         joint covariance in O(n) work, no n*×n* Cholesky."""
         from .. import settings
 
+        import jax as _jax
+
         if key is None:
             key = settings.next_default_key()
+        # split BEFORE use: ssm_sample_posterior consumes (sub)keys of its
+        # argument, so the observed-noise key must come from a disjoint
+        # branch or the added y-noise would reuse the prior-noise stream
+        # (anticorrelated with the posterior residual -> biased-low spread)
+        key, k_ynoise = _jax.random.split(key)
         if input_new.ndim == 1:
             input_new = input_new[:, None]
         n = self.X.shape[0]
@@ -155,12 +162,9 @@ class StateSpaceGPR(GPModel):
         inv = jnp.argsort(order, stable=True)
         samples = samples[:, inv][:, n:] + self.mean_function(input_new)[None]
         if observed:
-            import jax as _jax
-
             noise = self.likelihood.variance.value.reshape(())
-            _, k_obs = _jax.random.split(key)
             samples = samples + jnp.sqrt(noise) * _jax.random.normal(
-                k_obs, samples.shape, dtype=samples.dtype
+                k_ynoise, samples.shape, dtype=samples.dtype
             )
         return samples
 

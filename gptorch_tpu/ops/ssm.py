@@ -520,13 +520,13 @@ def _sde_from_kernel(kernel, dtype):
     )
 
 
-def ssm_nlml(kernel, noise, x_sorted, y_sorted, mask=None):
-    """Negative log marginal likelihood, exactly equal to the dense GPR
-    NLML for the same (kernel, noise, data) -- in O(n) work / O(log n)
-    depth.
+def assemble_sde(kernel, x_sorted):
+    """Kernel → discretized SSM at the sorted inputs: (A, Q, H, blocks).
 
-    :param x_sorted: (n,) ASCENDING inputs.
-    :param y_sorted: (n, dy) observations in the same order.
+    The single place that encodes the A[0]=0 / Q[0]=P∞ stationary-start
+    convention (dts[0]=0) and the single- vs Sum-kernel block routing;
+    nlml/posterior/sampling/filtering all assemble through here so the
+    discretization cannot drift between them.
     """
     dtype = jnp.result_type(x_sorted)
     blocks = _sde_from_kernel(kernel, dtype)
@@ -537,7 +537,19 @@ def ssm_nlml(kernel, noise, x_sorted, y_sorted, mask=None):
     else:
         _, _, H = stack_sde(blocks)
         A, Q = discretize_blocks(blocks, dts)
-    R = jnp.asarray(noise, dtype).reshape(())
+    return A, Q, H, blocks
+
+
+def ssm_nlml(kernel, noise, x_sorted, y_sorted, mask=None):
+    """Negative log marginal likelihood, exactly equal to the dense GPR
+    NLML for the same (kernel, noise, data) -- in O(n) work / O(log n)
+    depth.
+
+    :param x_sorted: (n,) ASCENDING inputs.
+    :param y_sorted: (n, dy) observations in the same order.
+    """
+    A, Q, H, _ = assemble_sde(kernel, x_sorted)
+    R = jnp.asarray(noise, jnp.result_type(x_sorted)).reshape(())
     means, covs = parallel_filter(A, Q, H, R, y_sorted, mask)
     return -filter_nlml(A, Q, H, R, y_sorted, means, covs, mask)
 
@@ -548,16 +560,8 @@ def ssm_posterior(kernel, noise, x_sorted, y_sorted, mask):
     Masked entries (mask=0) are prediction sites: their y values are
     ignored.  :return: (mean (n, dy), var (n,)).
     """
-    dtype = jnp.result_type(x_sorted)
-    blocks = _sde_from_kernel(kernel, dtype)
-    dts = jnp.concatenate([jnp.zeros((1,), dtype), jnp.diff(x_sorted)])
-    if len(blocks) == 1:
-        F, Pinf, H = blocks[0]
-        A, Q = discretize(F, Pinf, dts)
-    else:
-        _, _, H = stack_sde(blocks)
-        A, Q = discretize_blocks(blocks, dts)
-    R = jnp.asarray(noise, dtype).reshape(())
+    A, Q, H, _ = assemble_sde(kernel, x_sorted)
+    R = jnp.asarray(noise, jnp.result_type(x_sorted)).reshape(())
     means, covs = parallel_filter(A, Q, H, R, y_sorted, mask)
     m_s, P_s = parallel_smoother(A, Q, means, covs)
     f_mean = jnp.matmul(H[None], m_s)[:, 0, :]  # (n, dy)

@@ -244,3 +244,29 @@ class TestThompsonAndBatch:
         assert batch.shape == (4, 1)
         with pytest.raises(ValueError):
             bo.suggest_batch(2, strategy="nope")
+
+
+class TestAcquisitionGradients:
+    """Acquisition gradients must stay finite at clamped variances
+    (posterior diag variances round slightly negative near training
+    points; a NaN there silently disables the refinement stage)."""
+
+    @pytest.mark.parametrize("name", sorted(bayesopt.ACQUISITIONS))
+    @pytest.mark.parametrize("v", [0.0, -1e-12, 1e-30, 0.5])
+    def test_grads_finite_at_degenerate_variance(self, name, v):
+        acq = bayesopt.ACQUISITIONS[name]
+
+        def f(mean, var):
+            return jnp.sum(acq(mean, var, best=0.3))
+
+        mean = jnp.asarray([0.1, 0.7])
+        var = jnp.asarray([v, 0.2])
+        gm, gv = jax.grad(f, argnums=(0, 1))(mean, var)
+        assert np.all(np.isfinite(np.asarray(gm))), (name, v)
+        assert np.all(np.isfinite(np.asarray(gv))), (name, v)
+
+    def test_ei_value_unchanged(self):
+        ei = bayesopt.expected_improvement(
+            jnp.asarray([0.0, 1.0]), jnp.asarray([0.0, 0.0]), best=0.5
+        )
+        assert np.asarray(ei) == pytest.approx([0.5, 0.0])
