@@ -173,16 +173,7 @@ class StateSpaceGPR(GPModel):
         inputs: E[f(x_k) | y_{1..k}] -- the online-estimation view a
         dense GP cannot produce.  Returns (mean (n, dy), var (n,))."""
         resid = self.Y - self.mean_function(self.X)
-        dtype = jnp.result_type(self.X)
-        blocks = _ssm._sde_from_kernel(self.kernel, dtype)
-        x = self.X[:, 0]
-        dts = jnp.concatenate([jnp.zeros((1,), dtype), jnp.diff(x)])
-        if len(blocks) == 1:
-            F, Pinf, H = blocks[0]
-            A, Q = _ssm.discretize(F, Pinf, dts)
-        else:
-            _, _, H = _ssm.stack_sde(blocks)
-            A, Q = _ssm.discretize_blocks(blocks, dts)
+        A, Q, H, _ = _ssm.assemble_sde(self.kernel, self.X[:, 0])
         R = self.likelihood.variance.value.reshape(())
         means, covs = _ssm.parallel_filter(A, Q, H, R, resid)
         f_mean = jnp.matmul(H[None], means)[:, 0, :] + self.mean_function(

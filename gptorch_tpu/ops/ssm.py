@@ -628,14 +628,7 @@ def ssm_sample_posterior(kernel, noise, x_sorted, y_sorted, mask, key, n_samples
     """
     dtype = jnp.result_type(x_sorted)
     n, dy = y_sorted.shape
-    blocks = _sde_from_kernel(kernel, dtype)
-    dts = jnp.concatenate([jnp.zeros((1,), dtype), jnp.diff(x_sorted)])
-    if len(blocks) == 1:
-        F, Pinf, H = blocks[0]
-        A, Q = discretize(F, Pinf, dts)
-    else:
-        _, _, H = stack_sde(blocks)
-        A, Q = discretize_blocks(blocks, dts)
+    A, Q, H, blocks = assemble_sde(kernel, x_sorted)
     R = jnp.asarray(noise, dtype).reshape(())
 
     k_state, k_obs = jax.random.split(key)
