@@ -3,6 +3,7 @@ SVGP; FITC was a stub there and is real here; GPLVM was dead code there and
 is reimplemented in :mod:`gptorch_tpu.models.gplvm`)."""
 
 from .base import GPModel
+from .ensemble import GPEnsemble
 from .gpr import GPR
 from .gplvm import GPLVM
 from .kronecker import GridGPR
@@ -19,5 +20,5 @@ from .statespace import StateSpaceGPR
 __all__ = [
     "GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM",
     "LMC", "LaplaceGP", "HeteroscedasticSVGP", "WarpedGPR", "DeepGP", "Posterior",
-    "SKIGPR", "StateSpaceGPR",
+    "SKIGPR", "StateSpaceGPR", "GPEnsemble",
 ]
