@@ -255,3 +255,45 @@ class Linear(_kernels.Linear):
         else:
             second = jnp.einsum("kq,nq,lq->nkl", Zv, Xcov, Zv)
         return outer + second
+
+
+def uncertain_conditional(kernel, z, w, G, x_mean, x_var):
+    """Moment-matched posterior of a sparse GP at UNCERTAIN inputs
+    x* ~ N(x_mean, diag(x_var)) (Girard et al. 2003; Deisenroth & Rasmussen
+    2011, expressed over inducing features -- the reference applies the
+    same identities inside GPLVM prediction, gplvm.py:527-633).
+
+    Every inducing-point posterior in this package conditions as
+
+        f*(x) | data  ~  N(k(x, Z) w,  k(x, x) - k(x, Z) G k(Z, x))
+
+    for a weight matrix ``w`` (m, p) and a symmetric ``G`` (m, m) (see the
+    models' ``_uncertain_wG``).  Integrating the moments over x* needs only
+    the kernel's ψ-statistics:
+
+        mean_j = ψ₁ w_j
+        var_j  = ψ₀ - tr(G Ψ₂) + w_jᵀ Ψ₂ w_j - mean_j²
+
+    :param x_var: (n*, q) diagonal or (n*, q, q) full input covariances.
+    :return: (mean (n*, p), var (n*, p)).
+    """
+    if not hasattr(kernel, "eKxz"):
+        raise TypeError(
+            "uncertain-input prediction needs a kernel with ψ-statistics "
+            "(gptorch_tpu.ekernels.Rbf / .Linear); got "
+            f"{type(kernel).__module__}.{type(kernel).__name__}"
+        )
+    x_mean = jnp.asarray(x_mean)
+    x_var = jnp.asarray(x_var)
+    try:
+        psi0 = kernel.eKxx(x_mean, x_var)  # Linear: depends on Xcov
+    except TypeError:
+        psi0 = kernel.eKxx(x_mean)  # Rbf: σ², Xcov-independent
+    psi1 = kernel.eKxz(z, x_mean, x_var)  # (n*, m)
+    psi2 = kernel.eKzxKxz(z, x_mean, x_var, sum=False)  # (n*, m, m)
+
+    mean = psi1 @ w  # (n*, p)
+    tr_term = jnp.einsum("skl,kl->s", psi2, G)
+    second = jnp.einsum("skl,kj,lj->sj", psi2, w, w)
+    var = psi0[:, None] - tr_term[:, None] + second - jnp.square(mean)
+    return mean, var

@@ -535,35 +535,18 @@ class GPLVM(GPModel):
         gplvm.py:527-633, reimplemented).
 
         Returns (mean (n*, p), var (n*, p))."""
-        x_mean = jnp.asarray(x_mean)
-        x_var = jnp.asarray(x_var)
+        from ..ekernels import uncertain_conditional
+
         L, LB, c = self._posterior()
-        psi0_s = self.kernel.eKxx(x_mean)  # (n*,) -- σ² for RBF
-        Psi1_s = self.kernel.eKxz(self.Z.value, x_mean, x_var)  # (n*, m)
-        Psi2_s = self.kernel.eKzxKxz(
-            self.Z.value, x_mean, x_var, sum=False
-        )  # (n*, m, m)
-
-        tmp1 = trtrs(Psi1_s.T, L)
-        tmp2 = trtrs(tmp1, LB)
-        mean = tmp2.T @ c  # (n*, p)
-
-        # var_j = ψ0 - tr((Kuu⁻¹ - (Kuu+βΨ2)⁻¹) Ψ2*_i) + [2nd moment of mean]
+        # w = L⁻ᵀLB⁻ᵀc, G = Kuu⁻¹ − (Kuu + βΨ₂)⁻¹ (in whitened form): the
+        # standard sparse conditional sufficient statistics, shared with
+        # the VFE/FITC/SVGP predict_uncertain paths.
         Linv = jax.scipy.linalg.solve_triangular(
             L, jnp.eye(L.shape[0], dtype=L.dtype), lower=True
         )
         LBinvLinv = jax.scipy.linalg.solve_triangular(LB, Linv, lower=True)
-        Kuu_inv = Linv.T @ Linv
-        Sigma_inv = LBinvLinv.T @ LBinvLinv  # (Kuu + βΨ2)⁻¹ in whitened form
-
-        tr_term = jnp.einsum("skl,kl->s", Psi2_s, Kuu_inv - Sigma_inv)
-        # E[m(x)²] - E[m(x)]² where m(x) = k(x,Z) w, w = Σ c-path weights:
-        w = LBinvLinv.T @ c  # (m, p): mean = Psi1_s @ w
-        second = jnp.einsum("skl,kj,lj->sj", Psi2_s, w, w)
-        var = (
-            psi0_s[:, None]
-            - tr_term[:, None]
-            + second
-            - jnp.square(mean)
+        w = LBinvLinv.T @ c
+        G = Linv.T @ Linv - LBinvLinv.T @ LBinvLinv
+        return uncertain_conditional(
+            self.kernel, self.Z.value, w, G, x_mean, x_var
         )
-        return mean, var

@@ -157,6 +157,52 @@ class _InducingPointsGP(GPModel):
     def num_inducing(self) -> int:
         return self.Z.shape[0]
 
+    def _uncertain_wG(self):
+        """(w (m, p), G (m, m)) of the conditional
+        f*(x) ~ N(k(x,Z) w, k(x,x) − k(x,Z) G k(Z,x)) -- the sufficient
+        statistics :func:`gptorch_tpu.ekernels.uncertain_conditional`
+        consumes."""
+        raise NotImplementedError
+
+    def predict_uncertain(self, x_mean, x_var):
+        """Posterior moments at UNCERTAIN inputs x* ~ N(x_mean, x_var)
+        via the kernel's ψ-statistics (moment matching -- Girard et al.
+        2003; the identities the reference only exposes inside GPLVM
+        prediction, gplvm.py:527-633).  Build the model with a
+        ψ-statistics kernel (:class:`gptorch_tpu.ekernels.Rbf` /
+        ``.Linear``).
+
+        At ``x_var = 0`` this equals ``predict_f`` exactly.
+
+        :param x_mean: (n*, q) input means.
+        :param x_var: (n*, q) diagonal or (n*, q, q) full covariances.
+        :return: (mean (n*, p), var (n*, p)).
+        """
+        from .. import mean_functions as _m
+        from ..ekernels import uncertain_conditional
+
+        w, G = self._uncertain_wG()
+        mean, var = uncertain_conditional(
+            self.kernel,
+            jax.lax.stop_gradient(self.Z.value),
+            w,
+            G,
+            x_mean,
+            x_var,
+        )
+        if not isinstance(self.mean_function, _m.Zero):
+            if type(self.mean_function) is _m.Constant:
+                # deterministic shift: E[m] = m, no variance contribution
+                mean = mean + self.mean_function(jnp.asarray(x_mean))
+            else:
+                raise NotImplementedError(
+                    "predict_uncertain supports Zero/Constant mean "
+                    "functions (E[m(x*)] has no closed form for "
+                    f"{type(self.mean_function).__name__} under input "
+                    "uncertainty)"
+                )
+        return mean, var
+
 
 class VFE(_InducingPointsGP):
     """Titsias (2009) collapsed variational free energy (sparse_gpr.py:93-195)."""
@@ -291,6 +337,26 @@ class VFE(_InducingPointsGP):
             var = self.kernel.K(x_new) + tmp2.T @ tmp2 - tmp1.T @ tmp1
         return mean, var
 
+    def _uncertain_wG(self):
+        """w = L⁻ᵀLB⁻ᵀc, G = Kuu⁻¹ − L⁻ᵀB⁻¹L⁻¹ (the _predict identities
+        with k(x, Z) factored out)."""
+        x = self.X
+        z = jax.lax.stop_gradient(self.Z.value)
+        err = self.Y - self.mean_function(x)
+        sigma2 = self.likelihood.variance.value.reshape(())
+        m = self.num_inducing
+
+        L = cholesky(self._kuu(z))
+        A = trtrs(self.kernel.K(z, x), L)
+        B = A @ A.T / sigma2 + jnp.eye(m, dtype=jnp.result_type(L))
+        LB = cholesky(B)
+        c = trtrs(A @ err, LB) / sigma2
+        Linv = trtrs(jnp.eye(m, dtype=jnp.result_type(L)), L)
+        LBinvLinv = trtrs(Linv, LB)
+        w = LBinvLinv.T @ c
+        G = Linv.T @ Linv - LBinvLinv.T @ LBinvLinv
+        return w, G
+
 
 class FITC(_InducingPointsGP):
     """Fully Independent Training Conditional sparse GP.
@@ -387,6 +453,27 @@ class FITC(_InducingPointsGP):
         else:
             var = self.kernel.K(x_new) + tmp2.T @ tmp2 - tmp1.T @ tmp1
         return mean, var
+
+    def _uncertain_wG(self):
+        """Same algebra as VFE with the heteroscedastic Λ in place of σ²."""
+        x = self.X
+        z = jax.lax.stop_gradient(self.Z.value)
+        m = self.num_inducing
+
+        L = cholesky(self._kuu(z))
+        V = trtrs(self.kernel.K(z, x), L)
+        sigma2 = self.likelihood.variance.value.reshape(())
+        lam = self.kernel.Kdiag(x) - jnp.sum(jnp.square(V), axis=0) + sigma2
+        A = V / jnp.sqrt(lam)
+        B = A @ A.T + jnp.eye(m, dtype=jnp.result_type(L))
+        LB = cholesky(B)
+        ytil = (self.Y - self.mean_function(x)) / jnp.sqrt(lam)[:, None]
+        c = trtrs(A @ ytil, LB)
+        Linv = trtrs(jnp.eye(m, dtype=jnp.result_type(L)), L)
+        LBinvLinv = trtrs(Linv, LB)
+        w = LBinvLinv.T @ c
+        G = Linv.T @ Linv - LBinvLinv.T @ LBinvLinv
+        return w, G
 
 
 class SVGP(_InducingPointsGP):
@@ -584,3 +671,21 @@ class SVGP(_InducingPointsGP):
         else:
             f_cov = self.kernel.K(x_new) - alpha @ alpha.T + gamma @ gamma.T
         return f_mean, f_cov
+
+    def _uncertain_wG(self):
+        """Non-whitened: w = Kuu⁻¹ q_mu, G = Kuu⁻¹ − Kuu⁻¹SKuu⁻¹.
+        Whitened (u = L₀v): w = L₀⁻ᵀ m_v, G = L₀⁻ᵀ(I − S_v)L₀⁻¹."""
+        z = self.Z.value
+        m = self.num_inducing
+        L0 = cholesky(self._kuu(z))
+        Linv = trtrs(jnp.eye(m, dtype=jnp.result_type(L0)), L0)
+        Lq = self.induced_output_chol_cov.value
+        mq = self.induced_output_mean.value
+        if self.whiten:
+            w = Linv.T @ mq
+            t = Linv.T @ Lq
+        else:
+            w = Linv.T @ (Linv @ mq)
+            t = Linv.T @ (Linv @ Lq)
+        G = Linv.T @ Linv - t @ t.T
+        return w, G

@@ -263,3 +263,88 @@ class TestFullCovariancePsi:
             [np.sum(v * (mu[i] ** 2 + np.diag(S[i]))) for i in range(n)]
         )
         assert exx == pytest.approx(expected0, rel=1e-12)
+
+
+class TestUncertainConditional:
+    """predict_uncertain on the inducing-point models (shared
+    ekernels.uncertain_conditional): exact at zero input variance,
+    Monte-Carlo-consistent at real input variance."""
+
+    @staticmethod
+    def _data(seed=0, n=90, d=2):
+        rng = np.random.RandomState(seed)
+        x = rng.randn(n, d)
+        y = np.sin(x.sum(-1, keepdims=True)) + 0.1 * rng.randn(n, 1)
+        return x, y, rng.randn(6, d)
+
+    def _models(self, x, y, d):
+        from gptorch_tpu.models import FITC, SVGP, VFE
+
+        mk = lambda cls, **kw: cls(
+            x, y, ekernels.Rbf(d, ARD=True),
+            num_inducing_points=15, jitter=1e-8, **kw
+        )
+        return [mk(VFE), mk(FITC), mk(SVGP), mk(SVGP, whiten=True)]
+
+    def test_zero_variance_equals_predict_f(self):
+        x, y, xq = self._data()
+        for m in self._models(x, y, x.shape[1]):
+            mu0, var0 = m.predict_f(jnp.asarray(xq))
+            mu_u, var_u = m.predict_uncertain(xq, np.zeros_like(xq))
+            name = f"{type(m).__name__}(whiten={getattr(m, 'whiten', '-')})"
+            np.testing.assert_allclose(mu_u, mu0, atol=1e-10, err_msg=name)
+            np.testing.assert_allclose(
+                var_u, np.asarray(var0)[:, :1], atol=1e-10, err_msg=name
+            )
+
+    def test_monte_carlo_consistency(self):
+        import jax
+
+        x, y, xq = self._data()
+        from gptorch_tpu.models import VFE
+
+        m = VFE(
+            x, y, ekernels.Rbf(2, ARD=True),
+            num_inducing_points=20, jitter=1e-8,
+        )
+        rng = np.random.RandomState(3)
+        xv = 0.05 + 0.1 * rng.rand(*xq.shape)
+        mu_u, var_u = m.predict_uncertain(xq, xv)
+        S = 60000
+        draws = xq[None] + np.sqrt(xv)[None] * rng.randn(S, *xq.shape)
+        mus, vs = jax.vmap(lambda xs: m._predict(xs, diag=True))(
+            jnp.asarray(draws)
+        )
+        mc_mean = np.asarray(mus).mean(0)
+        mc_var = np.asarray(vs)[:, :, :1].mean(0) + np.asarray(mus).var(0)
+        np.testing.assert_allclose(mu_u, mc_mean, atol=1e-2)
+        np.testing.assert_allclose(var_u, mc_var, rtol=5e-2)
+
+    def test_constant_mean_shift_and_linear_mean_raises(self):
+        from gptorch_tpu import mean_functions as mf
+        from gptorch_tpu.models import VFE
+
+        x, y, xq = self._data()
+        m = VFE(
+            x, y + 3.0, ekernels.Rbf(2), num_inducing_points=15,
+            jitter=1e-8, mean_function=mf.Constant(1, np.array([3.0])),
+        )
+        mu0, _ = m.predict_f(jnp.asarray(xq))
+        mu_u, _ = m.predict_uncertain(xq, np.zeros_like(xq))
+        np.testing.assert_allclose(mu_u, mu0, atol=1e-10)
+
+        m2 = VFE(
+            x, y, ekernels.Rbf(2), num_inducing_points=15,
+            jitter=1e-8, mean_function=mf.LinearMean(2, 1),
+        )
+        with pytest.raises(NotImplementedError, match="mean"):
+            m2.predict_uncertain(xq, np.zeros_like(xq))
+
+    def test_plain_kernel_raises(self):
+        from gptorch_tpu import kernels
+        from gptorch_tpu.models import VFE
+
+        x, y, xq = self._data()
+        m = VFE(x, y, kernels.Rbf(2), num_inducing_points=15, jitter=1e-8)
+        with pytest.raises(TypeError, match="ψ-statistics"):
+            m.predict_uncertain(xq, np.zeros_like(xq))
