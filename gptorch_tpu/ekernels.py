@@ -297,3 +297,22 @@ def uncertain_conditional(kernel, z, w, G, x_mean, x_var):
     second = jnp.einsum("skl,kj,lj->sj", psi2, w, w)
     var = psi0[:, None] - tr_term[:, None] + second - jnp.square(mean)
     return mean, var
+
+
+def uncertain_predict(kernel, mean_function, z, w, G, x_mean, x_var):
+    """:func:`uncertain_conditional` plus the mean-function contribution:
+    Zero adds nothing, Constant shifts the mean deterministically, anything
+    else has no closed form under input uncertainty and raises."""
+    from . import mean_functions as _m
+
+    mean, var = uncertain_conditional(kernel, z, w, G, x_mean, x_var)
+    if not isinstance(mean_function, _m.Zero):
+        if type(mean_function) is _m.Constant:
+            mean = mean + mean_function(jnp.asarray(x_mean))
+        else:
+            raise NotImplementedError(
+                "predict_uncertain supports Zero/Constant mean functions "
+                "(E[m(x*)] has no closed form for "
+                f"{type(mean_function).__name__} under input uncertainty)"
+            )
+    return mean, var

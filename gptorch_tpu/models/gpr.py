@@ -425,6 +425,36 @@ class GPR(GPModel):
 
         return gpr_posterior(self)
 
+    def predict_uncertain(self, x_mean, x_var):
+        """Posterior moments at UNCERTAIN inputs x* ~ N(x_mean, x_var)
+        by moment matching through the kernel's ψ-statistics (Girard et
+        al. 2003) -- the exact-GP conditional is the z = X special case
+        of the sparse one: f*(x) ~ N(k(x,X) α, k(x,x) − k(x,X)K⁻¹k(X,x))
+        with α = K⁻¹(y − m(X)), G = K⁻¹.  Build the model with a
+        ψ-statistics kernel (:class:`gptorch_tpu.ekernels.Rbf` /
+        ``.Linear``).  At ``x_var = 0`` this equals ``predict_f``
+        exactly.  O(n²) per call (dense solver only).
+
+        :param x_mean: (n*, q) input means.
+        :param x_var: (n*, q) diagonal or (n*, q, q) full covariances.
+        :return: (mean (n*, p), var (n*, p)).
+        """
+        if self.solver != "dense":
+            raise NotImplementedError(
+                "predict_uncertain requires the dense solver (it needs "
+                "the explicit K^-1)"
+            )
+        from ..ekernels import uncertain_predict
+
+        x = self.X
+        L = cholesky(self._compute_kyy())
+        linv = trtrs(jnp.eye(x.shape[0], dtype=jnp.result_type(x)), L)
+        w = linv.T @ (linv @ (self.Y - self.mean_function(x)))
+        g = linv.T @ linv
+        return uncertain_predict(
+            self.kernel, self.mean_function, x, w, g, x_mean, x_var
+        )
+
     def _predict(self, x_new, diag=True, x=None):
         """Posterior p(f* | y) at x_new (gpr.py:88-117)."""
         if x is None and self._iterative_eligible(self.X):

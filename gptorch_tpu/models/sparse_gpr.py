@@ -178,30 +178,18 @@ class _InducingPointsGP(GPModel):
         :param x_var: (n*, q) diagonal or (n*, q, q) full covariances.
         :return: (mean (n*, p), var (n*, p)).
         """
-        from .. import mean_functions as _m
-        from ..ekernels import uncertain_conditional
+        from ..ekernels import uncertain_predict
 
         w, G = self._uncertain_wG()
-        mean, var = uncertain_conditional(
+        return uncertain_predict(
             self.kernel,
+            self.mean_function,
             jax.lax.stop_gradient(self.Z.value),
             w,
             G,
             x_mean,
             x_var,
         )
-        if not isinstance(self.mean_function, _m.Zero):
-            if type(self.mean_function) is _m.Constant:
-                # deterministic shift: E[m] = m, no variance contribution
-                mean = mean + self.mean_function(jnp.asarray(x_mean))
-            else:
-                raise NotImplementedError(
-                    "predict_uncertain supports Zero/Constant mean "
-                    "functions (E[m(x*)] has no closed form for "
-                    f"{type(self.mean_function).__name__} under input "
-                    "uncertainty)"
-                )
-        return mean, var
 
 
 class VFE(_InducingPointsGP):

@@ -348,3 +348,28 @@ class TestUncertainConditional:
         m = VFE(x, y, kernels.Rbf(2), num_inducing_points=15, jitter=1e-8)
         with pytest.raises(TypeError, match="ψ-statistics"):
             m.predict_uncertain(xq, np.zeros_like(xq))
+
+    def test_exact_gpr_zero_variance_and_mc(self):
+        import jax
+
+        from gptorch_tpu.models import GPR
+
+        x, y, xq = self._data()
+        m = GPR(x, y, ekernels.Rbf(2, ARD=True), fast=False)
+        mu0, var0 = m.predict_f(jnp.asarray(xq))
+        mu_u, var_u = m.predict_uncertain(xq, np.zeros_like(xq))
+        np.testing.assert_allclose(mu_u, mu0, atol=1e-9)
+        np.testing.assert_allclose(var_u, np.asarray(var0)[:, :1], atol=1e-9)
+
+        rng = np.random.RandomState(5)
+        xv = 0.02 + 0.05 * rng.rand(*xq.shape)
+        mu_u, var_u = m.predict_uncertain(xq, xv)
+        S = 60000
+        draws = xq[None] + np.sqrt(xv)[None] * rng.randn(S, *xq.shape)
+        mus, vs = jax.vmap(lambda xs: m._predict(xs, diag=True))(
+            jnp.asarray(draws)
+        )
+        mc_mean = np.asarray(mus).mean(0)
+        mc_var = np.asarray(vs)[:, :, :1].mean(0) + np.asarray(mus).var(0)
+        np.testing.assert_allclose(mu_u, mc_mean, atol=1e-2)
+        np.testing.assert_allclose(var_u, mc_var, rtol=5e-2)
