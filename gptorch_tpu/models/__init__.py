@@ -16,9 +16,10 @@ from .posterior import Posterior
 from .ski import SKIGPR
 from .sparse_gpr import FITC, SVGP, VFE
 from .statespace import StateSpaceGPR
+from .streaming import StreamingVFE
 
 __all__ = [
     "GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM",
     "LMC", "LaplaceGP", "HeteroscedasticSVGP", "WarpedGPR", "DeepGP", "Posterior",
-    "SKIGPR", "StateSpaceGPR", "GPEnsemble",
+    "SKIGPR", "StateSpaceGPR", "GPEnsemble", "StreamingVFE",
 ]
