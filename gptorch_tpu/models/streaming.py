@@ -4,16 +4,24 @@ For fixed inducing points and hyperparameters, the Titsias (2009)
 collapsed bound and its optimal q(u) depend on the data ONLY through
 O(m²) sufficient statistics that are ADDITIVE over data points:
 
-    Φ = Σ_b K(Z, X_b) K(X_b, Z)        (m, m)
-    r = Σ_b K(Z, X_b) (y_b − m(X_b))   (m, p)
+    Φ̃ = Σ_b A_b A_bᵀ,  A_b = L⁻¹ K(Z, X_b),  L = chol(Kuu)   (m, m)
+    r̃ = Σ_b A_b (y_b − m(X_b))                                (m, p)
     yy = Σ_b ‖y_b − m(X_b)‖²,  t = Σ_b Σ Kdiag(X_b),  n = Σ_b n_b
 
-so a stream of batches can be absorbed one at a time -- each `update` is
-O(n_b·m² + n_b·m·d) work and O(m²) state, the raw data is never stored,
-and the result is EXACTLY the batch VFE posterior/NLML over everything
-seen (tested to 1e-10).  Updates are pure pytree→pytree functions: jit
-them, `lax.scan` a whole stream through one compiled program, or
-`downdate` to forget a batch (sliding windows).
+A stream of batches can therefore be absorbed one at a time -- each
+`update` is O(n_b·m² + n_b·m·d) work and O(m²) state, the raw data is
+never stored, and the result is EXACTLY the batch VFE posterior/NLML
+over everything seen (tested to 1e-10 in f64).  Updates are pure
+pytree→pytree functions: jit them, `lax.scan` a whole stream through
+one compiled program, or `downdate` to forget a batch (sliding
+windows).
+
+The statistics are accumulated WHITENED (through L) rather than raw:
+each A_b A_bᵀ is symmetric-PSD by construction, so B = I + βΦ̃ stays
+factorizable in f32 -- accumulating the raw Kuf Kfu and whitening at
+read time is the normal-equations trap (two triangular solves of an
+ill-conditioned product lose symmetry and PSD-ness; measured NaN at
+n≈900, m=30, f32).
 
 This is the sparse O(m²) counterpart of the exact-GP online update
 (`GPRPosterior.condition_on`, O(n²) per new point), and the streaming
@@ -88,8 +96,8 @@ class StreamingVFE(Module):
 
         m = z.shape[0]
         dt = jnp.result_type(z)
-        self.phi = jnp.zeros((m, m), dtype=dt)
-        self.r = jnp.zeros((m, output_dim), dtype=dt)
+        self.phi_w = jnp.zeros((m, m), dtype=dt)
+        self.r_w = jnp.zeros((m, output_dim), dtype=dt)
         self.yy = jnp.zeros((), dtype=dt)
         self.kdiag_sum = jnp.zeros((), dtype=dt)
         self.n_seen = jnp.zeros((), dtype=dt)
@@ -102,20 +110,23 @@ class StreamingVFE(Module):
 
     @property
     def output_dimension(self) -> int:
-        return self.r.shape[1]
+        return self.r_w.shape[1]
 
     def _batch_stats(self, x_b, y_b):
         x_b = jnp.asarray(x_b, dtype=jnp.result_type(self.Z.raw))
-        y_b = jnp.asarray(y_b, dtype=jnp.result_type(self.r))
+        y_b = jnp.asarray(y_b, dtype=jnp.result_type(self.r_w))
         if x_b.ndim == 1:
             x_b = x_b[:, None]
         if y_b.ndim == 1:
             y_b = y_b[:, None]
         err = y_b - self.mean_function(x_b)
-        kuf = self.kernel.K(self.Z.value, x_b)
+        L = cholesky(
+            kuu_with_jitter(self.kernel, self.Z.value, self.jitter)
+        )
+        a_b = trtrs(self.kernel.K(self.Z.value, x_b), L)  # L⁻¹ Kuf
         return (
-            kuf @ kuf.T,
-            kuf @ err,
+            a_b @ a_b.T,
+            a_b @ err,
             jnp.sum(jnp.square(err)),
             jnp.sum(self.kernel.Kdiag(x_b)),
             jnp.asarray(x_b.shape[0], dtype=self.n_seen.dtype),
@@ -127,8 +138,8 @@ class StreamingVFE(Module):
         or scan it over a stream."""
         phi, r, yy, t, nb = self._batch_stats(x_b, y_b)
         return self.replace(
-            phi=self.phi + phi,
-            r=self.r + r,
+            phi_w=self.phi_w + phi,
+            r_w=self.r_w + r,
             yy=self.yy + yy,
             kdiag_sum=self.kdiag_sum + t,
             n_seen=self.n_seen + nb,
@@ -139,8 +150,8 @@ class StreamingVFE(Module):
         inverse of :meth:`update` with the same (x_b, y_b)."""
         phi, r, yy, t, nb = self._batch_stats(x_b, y_b)
         return self.replace(
-            phi=self.phi - phi,
-            r=self.r - r,
+            phi_w=self.phi_w - phi,
+            r_w=self.r_w - r,
             yy=self.yy - yy,
             kdiag_sum=self.kdiag_sum - t,
             n_seen=self.n_seen - nb,
@@ -156,16 +167,14 @@ class StreamingVFE(Module):
     # -- bound ------------------------------------------------------------------
 
     def _factors(self):
-        """(L, LB, beta) with B = I + β L⁻¹ Φ L⁻ᵀ."""
+        """(L, LB, beta) with B = I + β Φ̃ (Φ̃ already whitened)."""
         z = self.Z.value
         m = self.num_inducing
         sigma2 = self.likelihood.variance.value.reshape(())
         beta = 1.0 / sigma2
         L = cholesky(kuu_with_jitter(self.kernel, z, self.jitter))
-        linv_phi = trtrs(self.phi, L)  # L⁻¹ Φ
-        a = trtrs(linv_phi.T, L)  # L⁻¹ Φ L⁻ᵀ (symmetric)
-        B = beta * a + jnp.eye(m, dtype=jnp.result_type(L))
-        return L, cholesky(B), beta, a
+        B = beta * self.phi_w + jnp.eye(m, dtype=jnp.result_type(L))
+        return L, cholesky(B), beta
 
     def log_likelihood(self):
         """The collapsed VFE bound over everything seen, computed purely
@@ -177,17 +186,16 @@ class StreamingVFE(Module):
         via Woodbury: (Qff+σ²I)⁻¹ = βI − β² Kfu L⁻ᵀB⁻¹L⁻¹ Kuf and
         log det = n log σ² + log det B."""
         p = self.output_dimension
-        L, LB, beta, a = self._factors()
+        _, LB, beta = self._factors()
         n = self.n_seen
 
-        linv_r = trtrs(self.r, L)
-        c = trtrs(linv_r, LB)  # LB⁻¹ L⁻¹ r
+        c = trtrs(self.r_w, LB)  # LB⁻¹ r̃
         quad = beta * self.yy - beta**2 * jnp.sum(jnp.square(c))
         logdet = p * (
             n * jnp.log(2.0 * jnp.pi / beta)
             + 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB)))
         )
-        trace = p * beta * (self.kdiag_sum - jnp.trace(a))
+        trace = p * beta * (self.kdiag_sum - jnp.trace(self.phi_w))
         return -0.5 * (logdet + quad + trace)
 
     def loss(self):
@@ -196,13 +204,13 @@ class StreamingVFE(Module):
     # -- prediction -------------------------------------------------------------
 
     def _uncertain_wG(self):
-        """w = βL⁻ᵀB⁻¹L⁻¹r, G = Kuu⁻¹ − L⁻ᵀB⁻¹L⁻¹ (the batch-VFE
+        """w = βL⁻ᵀB⁻¹r̃, G = Kuu⁻¹ − L⁻ᵀB⁻¹L⁻¹ (the batch-VFE
         conditional, from the streamed statistics)."""
         m = self.num_inducing
-        L, LB, beta, _ = self._factors()
+        L, LB, beta = self._factors()
         linv = trtrs(jnp.eye(m, dtype=jnp.result_type(L)), L)
         lbinv_linv = trtrs(linv, LB)
-        w = beta * lbinv_linv.T @ (trtrs(trtrs(self.r, L), LB))
+        w = beta * lbinv_linv.T @ trtrs(self.r_w, LB)
         G = linv.T @ linv - lbinv_linv.T @ lbinv_linv
         return w, G
 
@@ -217,6 +225,10 @@ class StreamingVFE(Module):
             var = self.kernel.Kdiag(x_new) - jnp.einsum(
                 "sk,kl,sl->s", ksu, G, ksu
             )
+            # after many absorbed batches the f32 cancellation kxx − kᵀGk
+            # rounds slightly negative exactly where the posterior is
+            # tightest; clamp (predict_y adds the noise after)
+            var = jnp.maximum(var, 0.0)
             var = jnp.broadcast_to(var[:, None], mean.shape)
         else:
             var = self.kernel.K(x_new) - ksu @ G @ ksu.T

@@ -218,3 +218,29 @@ def test_bayesopt_loop_example():
     assert result.returncode == 0, result.stderr[-2000:]
     assert "regret" in result.stdout
     assert "parallel proposals" in result.stdout
+
+
+def test_streaming_gp_example():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPTORCH_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(BASE, "examples", "streaming_gp.py"),
+            "--no-plot",
+            "--batches", "8",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "restart fleet" in result.stdout
+    assert "one compiled program" in result.stdout
+    # the streamed bound must match the batch VFE to float accumulation
+    import re
+
+    m = re.search(r"rel diff ([0-9.e+-]+)", result.stdout)
+    assert m and float(m.group(1)) < 1e-3, result.stdout
