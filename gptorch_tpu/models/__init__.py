@@ -17,9 +17,10 @@ from .ski import SKIGPR
 from .sparse_gpr import FITC, SVGP, VFE
 from .statespace import StateSpaceGPR
 from .streaming import StreamingVFE
+from .vecchia import VecchiaGPR
 
 __all__ = [
     "GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM",
     "LMC", "LaplaceGP", "HeteroscedasticSVGP", "WarpedGPR", "DeepGP", "Posterior",
-    "SKIGPR", "StateSpaceGPR", "GPEnsemble", "StreamingVFE",
+    "SKIGPR", "StateSpaceGPR", "GPEnsemble", "StreamingVFE", "VecchiaGPR",
 ]
