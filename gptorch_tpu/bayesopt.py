@@ -290,6 +290,7 @@ class BayesOpt:
         bounds,
         kernel: Optional[Callable] = None,
         acquisition: str = "ei",
+        input_warp: bool = False,
         noise: float = 1e-4,
         fit_iters: int = 200,
         n_candidates: int = 4096,
@@ -301,6 +302,18 @@ class BayesOpt:
             self.bounds = self.bounds[None, :]
         self.d = self.bounds.shape[0]
         self._kernel_factory = kernel
+        #: wrap the surrogate kernel in a trainable Kumaraswamy input
+        #: warp over the bounds box (Snoek et al. 2014) -- helps when the
+        #: objective's length scale varies across the domain
+        self.input_warp = bool(input_warp)
+        if self.input_warp and acquisition == "ts":
+            raise ValueError(
+                "input_warp is incompatible with acquisition='ts': "
+                "Thompson sampling draws pathwise RFF samples, which "
+                "need a stationary kernel's spectral density (the "
+                "warped kernel is non-stationary). Use 'ei'/'logei'/"
+                "'pi'/'ucb', or suggest_batch(strategy='believer')."
+            )
         self.acquisition = acquisition
         self.noise = noise
         self.fit_iters = fit_iters
@@ -360,13 +373,19 @@ class BayesOpt:
         mu, sd = Y.mean(), max(Y.std(), 1e-12)
         Yn = (Y - mu) / sd
         span = self.bounds[:, 1] - self.bounds[:, 0]
-        kern = (
-            self._kernel_factory()
-            if self._kernel_factory is not None
-            else kernels.Matern52(
+        if self._kernel_factory is not None:
+            kern = self._kernel_factory()
+        elif self.input_warp:
+            # warped kernel lives in unit-box coordinates
+            kern = kernels.InputWarp(
+                kernels.Matern52(self.d, ARD=True, length_scales=0.2),
+                lo=self.bounds[:, 0],
+                hi=self.bounds[:, 1],
+            )
+        else:
+            kern = kernels.Matern52(
                 self.d, ARD=True, length_scales=0.2 * span
             )
-        )
         m = GPR(
             X,
             Yn,

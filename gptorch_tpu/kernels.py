@@ -545,6 +545,61 @@ class DeepKernel(Kernel):
         return self.base.Kdiag(self.net(X))
 
 
+class InputWarp(Kernel):
+    """Kumaraswamy input warping (Snoek et al. 2014, "Input Warping for
+    Bayesian Optimization of Non-Stationary Functions"):
+
+        k(x, x') = base(w(x), w(x')),  w(x)_d = 1 − (1 − x_d^{a_d})^{b_d}
+
+    with per-dimension trainable a, b > 0 (a = b = 1 is the identity).
+    The warp is the Kumaraswamy CDF: monotone on [0, 1], cheap, and able
+    to express exponential-like and logistic-like non-stationarity --
+    the standard trick for BayesOpt surrogates over bounded domains.
+    Inputs are expected in [0, 1] (BayesOpt's normalized box) and are
+    clamped to (ε, 1−ε) so the a, b gradients stay finite at the domain
+    edges.  (New capability -- no reference analog.)
+
+    :param base: kernel over the warped space (same input_dim).
+    :param a, b: initial warp shapes, scalar or (input_dim,).
+    :param lo, hi: optional per-dimension box bounds; when given, inputs
+        are affinely mapped to [0, 1] before the warp (the base kernel
+        then lives in unit-box coordinates).  Default: inputs are
+        already in [0, 1].
+    """
+
+    def __init__(self, base: Kernel, a=1.0, b=1.0, lo=None, hi=None):
+        super().__init__(base.input_dim)
+        d = base.input_dim
+        self.base = base
+        self.a = positive_param(np.broadcast_to(np.asarray(a, float), (d,)))
+        self.b = positive_param(np.broadcast_to(np.asarray(b, float), (d,)))
+        if (lo is None) != (hi is None):
+            raise ValueError("pass both lo and hi, or neither")
+        if lo is not None:
+            self.lo = as_array(np.broadcast_to(np.asarray(lo, float), (d,)))
+            self.span = as_array(
+                np.broadcast_to(np.asarray(hi, float), (d,))
+            ) - self.lo
+        else:
+            self.lo = None
+            self.span = None
+
+    def warp(self, X):
+        eps = 1e-6
+        if self.lo is not None:
+            X = (X - self.lo) / self.span
+        Xc = jnp.clip(X, eps, 1.0 - eps)
+        a = self.a.value
+        b = self.b.value
+        return 1.0 - jnp.power(1.0 - jnp.power(Xc, a), b)
+
+    def K(self, X, X2=None):
+        return self.base.K(self.warp(X), None if X2 is None else self.warp(X2))
+
+    def Kdiag(self, X):
+        return self.base.Kdiag(self.warp(X))
+
+
 class Combination(Kernel):
     """Pair combination (kernels.py:268-284)."""
 

@@ -270,3 +270,29 @@ class TestAcquisitionGradients:
             jnp.asarray([0.0, 1.0]), jnp.asarray([0.0, 0.0]), best=0.5
         )
         assert np.asarray(ei) == pytest.approx([0.5, 0.0])
+
+
+class TestInputWarp:
+    def test_warped_loop_runs_and_improves(self):
+        def f(x):
+            t = x[0] / 4.0
+            return float(np.sin(12.0 * t**0.3))
+
+        bo = bayesopt.BayesOpt(
+            bounds=[(0.0, 4.0)], input_warp=True, seed=0, fit_iters=80
+        )
+        for _ in range(8):
+            x = bo.suggest()
+            bo.observe(x, f(np.asarray(x).ravel()))
+        assert np.isfinite(bo.best_y)
+        assert bo.best_y < 0.0  # found a below-average point
+        bo.suggest()  # refit so the surrogate is live for inspection
+        from gptorch_tpu import kernels
+
+        assert isinstance(bo._model.kernel, kernels.InputWarp)
+
+    def test_ts_with_warp_rejected_at_construction(self):
+        with pytest.raises(ValueError, match="stationary"):
+            bayesopt.BayesOpt(
+                bounds=[(0.0, 1.0)], input_warp=True, acquisition="ts"
+            )

@@ -423,3 +423,71 @@ class TestSpectralMixture:
         pred_r, _ = rbf.predict_f(x_star)
         rmse_rbf = float(np.sqrt(np.mean((np.asarray(pred_r) - y_star) ** 2)))
         assert rmse_sm < 0.7 * rmse_rbf
+
+
+class TestInputWarp:
+    """Kumaraswamy input warping (Snoek et al. 2014)."""
+
+    def _data(self, n=40, d=2, seed=0):
+        rng = np.random.RandomState(seed)
+        return rng.rand(n, d)
+
+    def test_identity_at_unit_shapes(self):
+        x = jnp.asarray(self._data() * 0.98 + 0.01)  # interior (no clip)
+        base = kernels.Rbf(2, ARD=True, length_scales=[0.5, 0.8])
+        warped = kernels.InputWarp(base, a=1.0, b=1.0)
+        np.testing.assert_allclose(
+            np.asarray(warped.K(x)), np.asarray(base.K(x)), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(warped.Kdiag(x)), np.asarray(base.Kdiag(x)), atol=1e-12
+        )
+
+    def test_warp_is_monotone_into_unit_interval(self):
+        warped = kernels.InputWarp(kernels.Rbf(1), a=2.5, b=0.7)
+        x = jnp.linspace(0.0, 1.0, 101)[:, None]
+        w = np.asarray(warped.warp(x))[:, 0]
+        assert np.all(np.diff(w) > 0)
+        assert w.min() >= 0.0 and w.max() <= 1.0
+
+    def test_gram_is_psd_and_symmetric(self):
+        x = jnp.asarray(self._data())
+        warped = kernels.InputWarp(
+            kernels.Matern32(2), a=[2.0, 0.5], b=[0.8, 3.0]
+        )
+        K = np.asarray(warped.K(x))
+        np.testing.assert_allclose(K, K.T, atol=1e-12)
+        assert np.linalg.eigvalsh(K).min() > -1e-10
+
+    def test_warp_params_train_and_recover_nonstationarity(self):
+        import jax as _jax
+
+        from gptorch_tpu.models import GPR
+        from gptorch_tpu.training.fit import fit_optax
+
+        rng = np.random.RandomState(1)
+        x = rng.rand(150, 1)
+        # non-stationary target: fast wiggles near 0, slow near 1
+        y = np.sin(12.0 * x**0.3) + 0.05 * rng.randn(150, 1)
+        m = GPR(
+            x, y, kernels.InputWarp(kernels.Rbf(1, length_scales=0.2)),
+            fast=False,
+        )
+        names = [p for p, _ in m.named_parameters()]
+        assert "kernel.a" in names and "kernel.b" in names
+        g = _jax.grad(lambda mdl: mdl._loss())(m)
+        assert float(jnp.abs(g.kernel.a.raw).sum()) > 0
+        m2, losses, _ = fit_optax(m, max_iter=400, learning_rate=0.05, verbose=False)
+        assert losses[-1] < losses[0]
+        # the learned warp departs decisively from the identity...
+        xg = jnp.linspace(0.05, 0.95, 50)[:, None]
+        dev = float(jnp.max(jnp.abs(m2.kernel.warp(xg) - xg)))
+        assert dev > 0.05, dev
+        # ...stretches the fast-wiggle region near 0 apart (a < 1)...
+        assert float(m2.kernel.a.value[0]) < 1.0
+        # ...and beats the equally-trained stationary kernel by a margin
+        ms = GPR(x, y, kernels.Rbf(1, length_scales=0.2), fast=False)
+        ms, losses_s, _ = fit_optax(
+            ms, max_iter=400, learning_rate=0.05, verbose=False
+        )
+        assert losses[-1] < losses_s[-1] - 20.0
