@@ -327,6 +327,17 @@ class OnlineSGPR(Module):
             out = self.likelihood.predict_mean_covariance(mean_f, cov_f)
         return tuple(np.asarray(o) for o in out) if from_numpy else out
 
+    def predict_uncertain(self, x_mean, x_var):
+        """Moment-matched prediction at uncertain inputs from the
+        streamed summary (needs a ψ-statistics kernel -- see the batch
+        models)."""
+        from ..ekernels import uncertain_predict
+
+        w, G = self._uncertain_wG()
+        return uncertain_predict(
+            self.kernel, self.mean_function, self.Z_old, w, G, x_mean, x_var
+        )
+
     def __repr__(self):
         return (
             f"OnlineSGPR(M={self.num_inducing}, has_old={self.has_old})"

@@ -172,3 +172,21 @@ class TestValidation:
         assert "has_old=True" in repr(o)
         _, cov = o.predict_f(jnp.asarray(x[:6]), diag=False)
         np.testing.assert_allclose(cov, cov.T, atol=1e-9)
+
+
+def test_predict_uncertain_zero_variance_matches_predict_f(data):
+    from gptorch_tpu import ekernels
+
+    x, y, z = data
+    o = OnlineSGPR(
+        ekernels.Rbf(D, ARD=True, length_scales=0.8), z,
+        likelihood=_lik(), jitter=1e-9,
+    )
+    o.step(x[:120], y[:120], fit_iters=0)
+    xq = np.random.RandomState(3).randn(6, D)
+    mu0, var0 = o.predict_f(jnp.asarray(xq))
+    mu_u, var_u = o.predict_uncertain(xq, np.zeros_like(xq))
+    np.testing.assert_allclose(mu_u, mu0, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(var_u)[:, 0], np.asarray(var0)[:, 0], atol=1e-8
+    )
