@@ -110,10 +110,12 @@ class OnlineSGPR(Module):
     def num_inducing(self) -> int:
         return self.Z.shape[0]
 
-    def _d_factors(self):
-        """(L_D, L_Sa, alpha_a) with D = S_a + T Tᵀ, T = S_a L_vs⁻ᵀ,
+    def _compute_d_factors(self):
+        """(L_D, r_a) with D = S_a + T Tᵀ, T = S_a L_vs⁻ᵀ,
         L_vs = chol(V_aa − S_a) -- PSD by construction -- and
-        alpha_a = S_a⁻¹ m_a.  All θ-independent."""
+        r_a = L_Dᵀ S_a⁻¹ m_a (= L_D⁻¹ ŷ_a).  All θ-independent, so
+        :meth:`_absorb` computes them ONCE per step and stores them
+        (the fit loop's bound evaluations reuse the stored factors)."""
         dt = jnp.result_type(self.Z.raw)
         S_a = self.L_Sa @ self.L_Sa.T
         vs = self.V_aa - S_a
@@ -126,7 +128,7 @@ class OnlineSGPR(Module):
         D = S_a + t @ t.T
         L_D = cholesky(D)
         alpha_a = jax.scipy.linalg.cho_solve((self.L_Sa, True), self.m_a)
-        return L_D, L_vs, alpha_a
+        return L_D, L_D.T @ alpha_a
 
     # -- the online bound -----------------------------------------------------
 
@@ -157,11 +159,10 @@ class OnlineSGPR(Module):
         )
 
         if self.has_old:
-            L_D, _, alpha_a = self._d_factors()
+            L_D, r_a = self.L_D, self.r_a
             k_ba = self.kernel.K(z, self.Z_old)
             # A_a = L⁻¹ K_ba L_D⁻ᵀ
             a_a = trtrs(trtrs(k_ba, L).T, L_D).T
-            r_a = L_D.T @ alpha_a  # = L_D⁻¹ ŷ_a
             k_aa = kuu_with_jitter(self.kernel, self.Z_old, self.jitter)
             w_aa = trtrs(k_aa, L_D)  # L_D⁻¹ K_aa
             tr_a = jnp.trace(trtrs(w_aa.T, L_D))  # tr(L_D⁻¹K_aaL_D⁻ᵀ)
@@ -250,10 +251,11 @@ class OnlineSGPR(Module):
         b = jnp.eye(m_ind, dtype=dt) + a_f @ a_f.T
         t_vec = a_f @ r_f
         if self.has_old:
-            L_D, _, alpha_a = self._d_factors()
-            a_a = trtrs(trtrs(self.kernel.K(z, self.Z_old), L).T, L_D).T
+            a_a = trtrs(
+                trtrs(self.kernel.K(z, self.Z_old), L).T, self.L_D
+            ).T
             b = b + a_a @ a_a.T
-            t_vec = t_vec + a_a @ (L_D.T @ alpha_a)
+            t_vec = t_vec + a_a @ self.r_a
         LB = cholesky(b)
         c = trtrs(t_vec, LB)
         # m_u = L B⁻¹ t = L LB⁻ᵀ c;  S_u = L B⁻¹ Lᵀ = (LB⁻¹Lᵀ)ᵀ(LB⁻¹Lᵀ)
@@ -275,6 +277,7 @@ class OnlineSGPR(Module):
         self.V_aa = v_aa
         self.L_Vaa = cholesky(v_aa)
         self.has_old = True
+        self.L_D, self.r_a = self._compute_d_factors()
         d = self.Z.shape[1]
         self.X = jnp.zeros((0, d), dtype=dt)
         self.Y = jnp.zeros((0, self.output_dim), dtype=dt)
