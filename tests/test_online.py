@@ -190,3 +190,22 @@ def test_predict_uncertain_zero_variance_matches_predict_f(data):
     np.testing.assert_allclose(
         np.asarray(var_u)[:, 0], np.asarray(var0)[:, 0], atol=1e-8
     )
+
+
+def test_checkpoint_roundtrip(data, tmp_path):
+    from gptorch_tpu.training import checkpoint
+
+    x, y, z = data
+    o = OnlineSGPR(_kern(), z, likelihood=_lik(), jitter=1e-6)
+    o.step(x[:100], y[:100], fit_iters=20)
+    path = str(tmp_path / "online.npz")
+    checkpoint.save(path, o)
+    fresh = OnlineSGPR(_kern(), z, likelihood=_lik(), jitter=1e-6)
+    fresh.step(x[:10], y[:10], fit_iters=0)  # materialize the old-state slots
+    loaded = checkpoint.load(path, fresh)
+    xq = np.random.RandomState(9).randn(5, D)
+    np.testing.assert_allclose(
+        np.asarray(loaded.predict_f(jnp.asarray(xq))[0]),
+        np.asarray(o.predict_f(jnp.asarray(xq))[0]),
+        rtol=1e-10,
+    )

@@ -144,3 +144,17 @@ class TestStreamingAlgebra:
     def test_repr(self, setup):
         *_, stream = setup
         assert "n_seen=240" in repr(stream)
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    from gptorch_tpu.training import checkpoint
+
+    x, y, z, kern, lik, _, stream = setup
+    path = str(tmp_path / "stream.npz")
+    checkpoint.save(path, stream)
+    fresh = StreamingVFE(kern, z, likelihood=lik, jitter=1e-6)
+    loaded = checkpoint.load(path, fresh)
+    assert float(loaded.log_likelihood()) == pytest.approx(
+        float(stream.log_likelihood()), rel=1e-12
+    )
+    assert float(loaded.n_seen) == float(stream.n_seen)

@@ -186,3 +186,18 @@ class TestValidationAndHostOps:
         v = VecchiaGPR(x, y, _kern(), num_neighbors=20)
         back = np.asarray(v.nn_idx).astype(np.int32)
         assert np.array_equal(back.astype(np.float64), np.asarray(v.nn_idx))
+
+
+def test_checkpoint_roundtrip(data, tmp_path):
+    from gptorch_tpu.training import checkpoint
+
+    x, y = data
+    v = VecchiaGPR(x, y, _kern(), num_neighbors=25)
+    from gptorch_tpu.training.fit import fit_optax
+
+    v, _, _ = fit_optax(v, max_iter=30, learning_rate=0.05, verbose=False)
+    path = str(tmp_path / "vecchia.npz")
+    checkpoint.save(path, v)
+    fresh = VecchiaGPR(x, y, _kern(), num_neighbors=25)
+    loaded = checkpoint.load(path, fresh)
+    assert float(loaded.loss()) == pytest.approx(float(v.loss()), rel=1e-12)
