@@ -42,8 +42,6 @@ No reference analog.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

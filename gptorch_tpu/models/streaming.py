@@ -38,7 +38,6 @@ carries no θ arguments by design).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
