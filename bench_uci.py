@@ -133,12 +133,6 @@ def _split_standardize(x, y, seed=0, test_frac=0.1):
     )
 
 
-def _nlpd(y_true, mu, var):
-    return float(
-        np.mean(0.5 * np.log(2 * np.pi * var) + (y_true - mu) ** 2 / (2 * var))
-    )
-
-
 def run_dataset(name, iters_gpr=300, iters_svgp=3000, verbose=False):
     import jax
 
@@ -172,8 +166,10 @@ def run_dataset(name, iters_gpr=300, iters_svgp=3000, verbose=False):
 
     mu = np.asarray(mu_s)[:, :1] * ys + ym  # back to original units
     var = np.asarray(var_s)[:, :1] * ys**2
-    rmse = float(np.sqrt(np.mean((yte_raw - mu) ** 2)))
-    nlpd = _nlpd(yte_raw, mu, var)
+    from gptorch_tpu import metrics as _metrics
+
+    summary = _metrics.summarize(yte_raw, mu, var)
+    rmse, nlpd = summary["rmse"], summary["nlpd"]
     # trivial baseline: predict the train mean with the train variance
     rmse0 = float(np.sqrt(np.mean((yte_raw - ym) ** 2)))
     record = {
@@ -182,6 +178,8 @@ def run_dataset(name, iters_gpr=300, iters_svgp=3000, verbose=False):
         "unit": "rmse",
         "vs_baseline": round(rmse0 / rmse, 4),
         "nlpd": round(nlpd, 4),
+        "crps": round(summary["crps"], 4),
+        "coverage95": round(summary["coverage95"], 3),
         "nlml": round(nlml, 2),
         "n": int(n),
         "d": int(d),
