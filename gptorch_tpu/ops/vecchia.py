@@ -74,6 +74,61 @@ def _conditional_moments(kernel, noise, xnn, rnn, mask, x_i):
     return mu, var
 
 
+def vecchia_nlml_rows(
+    kernel, noise, x, resid, nn_idx, nn_mask, rows, chunk: int = 4096
+):
+    """Vecchia log-likelihood of a SUBSET of conditionals -- the
+    data-parallel unit (:mod:`gptorch_tpu.parallel.vecchia` shards the
+    rows over a mesh; :func:`vecchia_nlml` evaluates all of them).
+
+    :param x: (n, d) FULL inputs in Vecchia order (gather source).
+    :param resid: (n, p) FULL residuals.
+    :param nn_idx: (r, m) neighbor row indices for these conditionals.
+    :param nn_mask: (r, m) float mask, 1 = real neighbor.
+    :param rows: (r,) int32 target row indices into x/resid.
+    :param chunk: conditionals per ``lax.map`` step.
+    :return: scalar Σ over these rows of log N(residᵢ | conditional).
+    """
+    r = rows.shape[0]
+    p = resid.shape[1]
+    dt = jnp.result_type(x)
+    noise = jnp.asarray(noise, dt).reshape(())
+
+    chunk = int(min(chunk, r))
+    n_pad = (-r) % chunk
+    row_mask = jnp.concatenate(
+        [jnp.ones((r,), dt), jnp.zeros((n_pad,), dt)]
+    )
+    rowsp = jnp.concatenate([rows, jnp.zeros((n_pad,), rows.dtype)])
+    ip = jnp.concatenate(
+        [nn_idx, jnp.zeros((n_pad, nn_idx.shape[1]), nn_idx.dtype)]
+    )
+    mp = jnp.concatenate([nn_mask, jnp.zeros((n_pad, nn_mask.shape[1]), dt)])
+
+    def one_chunk(args):
+        tgt, idx, msk, rmask = args
+        xi = x[tgt]
+        ri = resid[tgt]
+        xnn = x[idx]  # gather against the ORIGINAL rows
+        rnn = resid[idx]
+        mu, var = _conditional_moments(kernel, noise, xnn, rnn, msk, xi)
+        lp = -0.5 * (
+            jnp.log(2.0 * jnp.pi * var)[:, None]
+            + jnp.square(ri - mu) / var[:, None]
+        )
+        return jnp.sum(lp * rmask[:, None])
+
+    c = chunk
+    k = (r + n_pad) // c
+    args = (
+        rowsp.reshape(k, c),
+        ip.reshape(k, c, -1),
+        mp.reshape(k, c, -1),
+        row_mask.reshape(k, c),
+    )
+    return jnp.sum(lax.map(one_chunk, args))
+
+
 def vecchia_nlml(
     kernel, noise, x, resid, nn_idx, nn_mask, chunk: int = 4096
 ):
@@ -87,43 +142,10 @@ def vecchia_nlml(
     :param chunk: rows per ``lax.map`` step ((chunk, m, m) live memory).
     :return: scalar Σᵢ log N(residᵢ | conditional) (log-LIKELIHOOD).
     """
-    n, p = resid.shape
-    dt = jnp.result_type(x)
-    noise = jnp.asarray(noise, dt).reshape(())
-
-    chunk = int(min(chunk, n))
-    n_pad = (-n) % chunk
-    row_mask = jnp.concatenate(
-        [jnp.ones((n,), dt), jnp.zeros((n_pad,), dt)]
+    rows = jnp.arange(resid.shape[0], dtype=jnp.int32)
+    return vecchia_nlml_rows(
+        kernel, noise, x, resid, nn_idx, nn_mask, rows, chunk=chunk
     )
-    xp = jnp.concatenate([x, jnp.zeros((n_pad, x.shape[1]), dt)])
-    rp = jnp.concatenate([resid, jnp.zeros((n_pad, p), dt)])
-    ip = jnp.concatenate(
-        [nn_idx, jnp.zeros((n_pad, nn_idx.shape[1]), nn_idx.dtype)]
-    )
-    mp = jnp.concatenate([nn_mask, jnp.zeros((n_pad, nn_mask.shape[1]), dt)])
-
-    def one_chunk(args):
-        xi, ri, idx, msk, rmask = args
-        xnn = x[idx]  # gather against the ORIGINAL rows
-        rnn = resid[idx]
-        mu, var = _conditional_moments(kernel, noise, xnn, rnn, msk, xi)
-        lp = -0.5 * (
-            jnp.log(2.0 * jnp.pi * var)[:, None]
-            + jnp.square(ri - mu) / var[:, None]
-        )
-        return jnp.sum(lp * rmask[:, None])
-
-    c = chunk
-    k = (n + n_pad) // c
-    args = (
-        xp.reshape(k, c, -1),
-        rp.reshape(k, c, p),
-        ip.reshape(k, c, -1),
-        mp.reshape(k, c, -1),
-        row_mask.reshape(k, c),
-    )
-    return jnp.sum(lax.map(one_chunk, args))
 
 
 def vecchia_predict(kernel, noise, x, resid, nn_idx, x_new, chunk: int = 4096):

@@ -34,6 +34,7 @@ from . import gpr
 from . import mesh
 from . import solves
 from . import svgp
+from . import vecchia
 
 from .mesh import make_mesh
 from .gram import ring_gram, sharded_gram
@@ -41,6 +42,7 @@ from .cholesky import distributed_cholesky
 from .adjoint import make_distributed_nlml, memory_plan
 from .gpr import DistributedGPR
 from .svgp import dp_svgp_loss
+from .vecchia import make_sharded_vecchia_nlml
 
 __all__ = [
     "adjoint",
