@@ -118,6 +118,26 @@ class LowerCholesky(Bijector):
         return jnp.sum(jnp.diagonal(x, axis1=-2, axis2=-1))
 
 
+class Shift(Bijector):
+    """y = x + shift (e.g. Chain([Shift(2), Exp()]) constrains to
+    (2, ∞) -- the Student-t dof parameterization)."""
+
+    def __init__(self, shift: float):
+        self.shift = float(shift)
+
+    def forward(self, x):
+        return x + self.shift
+
+    def inverse(self, y):
+        return y - self.shift
+
+    def forward_log_det_jacobian(self, x):
+        return jnp.zeros((), dtype=jnp.result_type(x))
+
+    def __repr__(self):
+        return f"Shift({self.shift})"
+
+
 class Chain(Bijector):
     """Compose bijectors: Chain([f, g]).forward(x) = f(g(x)).
 

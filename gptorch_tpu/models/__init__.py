@@ -17,11 +17,12 @@ from .ski import SKIGPR
 from .sparse_gpr import FITC, SVGP, VFE
 from .statespace import StateSpaceGPR
 from .streaming import StreamingVFE
+from .studentt import TPR
 from .online import OnlineSGPR
 from .vecchia import VecchiaGPR
 
 __all__ = [
     "GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM",
     "LMC", "LaplaceGP", "HeteroscedasticSVGP", "WarpedGPR", "DeepGP", "Posterior",
-    "SKIGPR", "StateSpaceGPR", "GPEnsemble", "StreamingVFE", "VecchiaGPR", "OnlineSGPR",
+    "SKIGPR", "StateSpaceGPR", "GPEnsemble", "StreamingVFE", "VecchiaGPR", "OnlineSGPR", "TPR",
 ]
