@@ -600,6 +600,102 @@ class InputWarp(Kernel):
         return self.base.Kdiag(self.warp(X))
 
 
+class MultiFidelity(Kernel):
+    """Kennedy & O'Hagan (2000) AR(1) multi-fidelity covariance over
+    fidelity-TAGGED inputs: rows are (x, s) with s ∈ {0..L−1} in the
+    LAST column (0 = lowest fidelity), and
+
+        f_0 = g_0,   f_t = ρ_{t−1} f_{t−1} + g_t,   g_t ~ GP(0, k_t)
+
+    so cov(f_i(x), f_j(x')) = Σ_{t ≤ min(i,j)} [∏_{k=t}^{i−1}ρ_k]
+    [∏_{k=t}^{j−1}ρ_k] · k_t(x, x').  Because it is just a kernel, the
+    whole exact-GP stack composes: `GPR` + cached posteriors + BayesOpt
+    acquisitions give multi-fidelity regression/optimization with no new
+    model code.  (New capability -- no reference analog.)
+
+    :param kernels_per_level: L kernels [k_0 … k_{L−1}] over the x part
+        (shared input_dim; k_t models the t-th discrepancy).
+    :param rho: initial AR coefficients (L−1,), trainable, unconstrained
+        (sign allowed -- anti-correlated fidelities exist).
+    """
+
+    def __init__(self, kernels_per_level, rho=None):
+        ks = list(kernels_per_level)
+        if len(ks) < 1:
+            raise ValueError("need at least one fidelity level")
+        d = ks[0].input_dim
+        if any(k.input_dim != d for k in ks):
+            raise ValueError("all level kernels need the same input_dim")
+        super().__init__(d + 1)  # + the fidelity column
+        self.num_levels = len(ks)
+        for t, k in enumerate(ks):
+            setattr(self, f"level{t}", k)
+        if self.num_levels > 1:
+            init = (
+                np.ones(self.num_levels - 1)
+                if rho is None
+                else np.broadcast_to(
+                    np.asarray(rho, float), (self.num_levels - 1,)
+                )
+            )
+            self.rho = Param(init)
+
+    def _levels(self):
+        return [getattr(self, f"level{t}") for t in range(self.num_levels)]
+
+    def _coeff(self):
+        """C (L_kernels, L, L): C[t, i, j] = coefficient of k_t in
+        cov(f_i, f_j) = w[t, i] · w[t, j] with w[t, i] = ∏_{k=t}^{i−1}ρ_k
+        (0 for t > i)."""
+        L = self.num_levels
+        if L == 1:
+            return jnp.ones((1, 1, 1))  # weak dtype: preserves K's
+        rho = self.rho.value
+        dt = jnp.result_type(rho)
+        # w[t, i] = ∏_{k=t}^{i−1} ρ_k (0 for i < t), built by a static
+        # product chain -- the cumprod-ratio form divides 0/0 at ρ = 0
+        rows = []
+        for t in range(L):
+            entries = [jnp.zeros((), dt)] * t
+            acc = jnp.ones((), dt)
+            entries.append(acc)
+            for i in range(t + 1, L):
+                acc = acc * rho[i - 1]
+                entries.append(acc)
+            rows.append(jnp.stack(entries))
+        w = jnp.stack(rows)  # (L, L)
+        return w[:, :, None] * w[:, None, :]  # (L, L, L)
+
+    def _split(self, X):
+        return X[:, :-1], X[:, -1].astype(jnp.int32)
+
+    def K(self, X, X2=None):
+        x1, s1 = self._split(X)
+        x2, s2 = self._split(X2) if X2 is not None else (None, s1)
+        C = self._coeff()
+        out = 0.0
+        for t, k in enumerate(self._levels()):
+            coeff = C[t][s1[:, None], s2[None, :]]  # (n1, n2)
+            out = out + coeff * k.K(x1, x2)
+        return out
+
+    def Kdiag(self, X):
+        x1, s1 = self._split(X)
+        C = self._coeff()
+        out = 0.0
+        for t, k in enumerate(self._levels()):
+            out = out + C[t][s1, s1] * k.Kdiag(x1)
+        return out
+
+
+def add_fidelity(x, level: int):
+    """Tag raw inputs (n, d) with a fidelity column -> (n, d+1)."""
+    x = np.asarray(x)
+    return np.concatenate(
+        [x, np.full((x.shape[0], 1), float(level), dtype=x.dtype)], axis=1
+    )
+
+
 class Combination(Kernel):
     """Pair combination (kernels.py:268-284)."""
 
