@@ -41,7 +41,12 @@ def _coerce_io(predict_func):
     def predict(self, input_new, *args, **kwargs):
         from_numpy = isinstance(input_new, np.ndarray)
         if from_numpy:
-            input_new = as_array(input_new, dtype=jnp.result_type(self.X))
+            # dtype reference: training inputs, else the inducing points
+            # (StreamingVFE has no X; OnlineSGPR's is empty post-absorb)
+            ref = getattr(self, "X", None)
+            if ref is None or getattr(ref, "size", 1) == 0:
+                ref = self.Z.raw
+            input_new = as_array(input_new, dtype=jnp.result_type(ref))
         out = predict_func(self, input_new, *args, **kwargs)
         if from_numpy:
             if isinstance(out, tuple):
@@ -202,12 +207,6 @@ class GPModel(Module):
         )
         self._adopt(trained)
         return losses
-
-    def _adopt(self, other: "GPModel"):
-        """Copy another instance's pytree state into self (in-place update
-        after functional training)."""
-        object.__setattr__(self, "_dynamic", dict(other._dynamic))
-        object.__setattr__(self, "_static", dict(other._static))
 
     # -- prediction -------------------------------------------------------------------
 

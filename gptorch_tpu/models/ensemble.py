@@ -175,6 +175,11 @@ class GPEnsemble(Module):
         """Sum of member losses: the members share no parameters, so the
         fleet gradient decomposes exactly into per-member gradients --
         summing loses nothing and gives the trainers one scalar."""
+        if x is not None or y is not None:
+            raise ValueError(
+                "GPEnsemble trains on its constructor data (minibatch the "
+                "members' rows upstream if needed)"
+            )
         return jnp.sum(self.losses(key=key))
 
     def loss(self, key=None):
@@ -221,8 +226,7 @@ class GPEnsemble(Module):
                 key=key,
                 verbose=False,
             )
-        object.__setattr__(self, "_dynamic", dict(trained._dynamic))
-        object.__setattr__(self, "_static", dict(trained._static))
+        self._adopt(trained)
         return losses
 
     # -- member access -----------------------------------------------------------

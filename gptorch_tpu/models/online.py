@@ -52,7 +52,56 @@ from ..functions import cholesky, trtrs
 from ..module import Module
 from ..param import Param
 from ..util import as_array
+from .base import _coerce_io
 from .sparse_gpr import kuu_with_jitter
+
+
+class _CachedStep:
+    """One jitted optimizer step, reused across OnlineSGPR.step calls
+    (jax.jit caches on function identity + treedefs + shapes, so the
+    same batch shape never recompiles)."""
+
+    def __init__(self, method: str, learning_rate):
+        from ..training.fit import make_optimizer
+
+        if method == "LBFGS":
+            raise ValueError(
+                "OnlineSGPR.step supports first-order optimizers "
+                "(the cached-step fast path has no value_fn plumbing)"
+            )
+        self._tx = make_optimizer(method, learning_rate)
+
+        import optax
+
+        from ..module import with_trainable
+
+        tx = self._tx
+
+        @jax.jit
+        def step(values, opt_state, model):
+            lval, grads = jax.value_and_grad(
+                lambda v: with_trainable(model, v)._loss()
+            )(values)
+            updates, opt_state2 = tx.update(grads, opt_state, values)
+            return optax.apply_updates(values, updates), opt_state2, lval
+
+        self._step = step
+
+    def init(self, values):
+        return self._tx.init(values)
+
+    def __call__(self, values, opt_state, model):
+        return self._step(values, opt_state, model)
+
+
+_STEP_CACHE: dict = {}
+
+
+def _cached_step(method: str, learning_rate) -> _CachedStep:
+    key = (method, None if learning_rate is None else float(learning_rate))
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = _CachedStep(method, learning_rate)
+    return _STEP_CACHE[key]
 
 
 class OnlineSGPR(Module):
@@ -217,22 +266,23 @@ class OnlineSGPR(Module):
         self.X = x_b
         self.Y = y_b
         if fit_iters > 0:
-            from ..training import fit as _fit
+            from ..module import get_trainable, with_trainable
+            from ..training.fit import _nonfinite_loss_error
 
-            trained, _, _ = _fit.fit_optax(
-                self,
-                method=method,
-                max_iter=fit_iters,
-                learning_rate=learning_rate,
-                verbose=False,
-            )
-            self._adopt(trained)
+            # the jitted step is cached per (method, lr) at module level:
+            # fit_optax builds a fresh @jax.jit closure per call, which
+            # would recompile the SAME bound on every streamed batch
+            # (minutes each through the TPU tunnel)
+            step = _cached_step(method, learning_rate)
+            values = get_trainable(self)
+            opt_state = step.init(values)
+            for i in range(fit_iters):
+                values, opt_state, lval = step(values, opt_state, self)
+                if i % 25 == 0 and not bool(jnp.isfinite(lval)):
+                    raise _nonfinite_loss_error(i)
+            self._adopt(with_trainable(self, values))
         self._absorb()
         return self
-
-    def _adopt(self, other):
-        object.__setattr__(self, "_dynamic", dict(other._dynamic))
-        object.__setattr__(self, "_static", dict(other._static))
 
     def _collapsed_posterior(self):
         """Optimal q(u) at the CURRENT (θ, Z) given batch + old summary:
@@ -257,7 +307,7 @@ class OnlineSGPR(Module):
         LB = cholesky(b)
         c = trtrs(t_vec, LB)
         # m_u = L B⁻¹ t = L LB⁻ᵀ c;  S_u = L B⁻¹ Lᵀ = (LB⁻¹Lᵀ)ᵀ(LB⁻¹Lᵀ)
-        m_u = L @ _ut_solve(LB, c)
+        m_u = L @ trtrs(c, LB.T, lower=False)
         half = trtrs(L.T, LB)  # LB⁻¹ Lᵀ
         S_u = half.T @ half
         return m_u, S_u, L
@@ -314,19 +364,16 @@ class OnlineSGPR(Module):
             var = self.kernel.K(x_new) - ksu @ G @ ksu.T
         return mean, var
 
+    @_coerce_io
     def predict_f(self, input_new, diag=True):
-        from_numpy = isinstance(input_new, np.ndarray)
-        out = self._predict(input_new, diag=diag)
-        return tuple(np.asarray(o) for o in out) if from_numpy else out
+        return self._predict(input_new, diag=diag)
 
+    @_coerce_io
     def predict_y(self, input_new, diag=True):
-        from_numpy = isinstance(input_new, np.ndarray)
         mean_f, cov_f = self._predict(input_new, diag=diag)
         if diag:
-            out = self.likelihood.predict_mean_variance(mean_f, cov_f)
-        else:
-            out = self.likelihood.predict_mean_covariance(mean_f, cov_f)
-        return tuple(np.asarray(o) for o in out) if from_numpy else out
+            return self.likelihood.predict_mean_variance(mean_f, cov_f)
+        return self.likelihood.predict_mean_covariance(mean_f, cov_f)
 
     def predict_uncertain(self, x_mean, x_var):
         """Moment-matched prediction at uncertain inputs from the
@@ -343,10 +390,3 @@ class OnlineSGPR(Module):
         return (
             f"OnlineSGPR(M={self.num_inducing}, has_old={self.has_old})"
         )
-
-
-def _ut_solve(lower, rhs):
-    """(lowerᵀ)⁻¹ rhs -- the upper-triangular transposed solve."""
-    return jax.scipy.linalg.solve_triangular(
-        lower.T, rhs, lower=False
-    )

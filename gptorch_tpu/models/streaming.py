@@ -47,6 +47,7 @@ from ..functions import cholesky, trtrs
 from ..module import Module
 from ..param import Param
 from ..util import as_array
+from .base import _coerce_io
 from .sparse_gpr import kuu_with_jitter
 
 
@@ -158,10 +159,7 @@ class StreamingVFE(Module):
 
     def observe(self, x_b, y_b) -> "StreamingVFE":
         """In-place convenience wrapper around :meth:`update`."""
-        new = self.update(x_b, y_b)
-        object.__setattr__(self, "_dynamic", dict(new._dynamic))
-        object.__setattr__(self, "_static", dict(new._static))
-        return self
+        return self._adopt(self.update(x_b, y_b))
 
     # -- bound ------------------------------------------------------------------
 
@@ -233,19 +231,16 @@ class StreamingVFE(Module):
             var = self.kernel.K(x_new) - ksu @ G @ ksu.T
         return mean, var
 
+    @_coerce_io
     def predict_f(self, input_new, diag=True):
-        from_numpy = isinstance(input_new, np.ndarray)
-        out = self._predict(input_new, diag=diag)
-        return tuple(np.asarray(o) for o in out) if from_numpy else out
+        return self._predict(input_new, diag=diag)
 
+    @_coerce_io
     def predict_y(self, input_new, diag=True):
-        from_numpy = isinstance(input_new, np.ndarray)
         mean_f, cov_f = self._predict(input_new, diag=diag)
         if diag:
-            out = self.likelihood.predict_mean_variance(mean_f, cov_f)
-        else:
-            out = self.likelihood.predict_mean_covariance(mean_f, cov_f)
-        return tuple(np.asarray(o) for o in out) if from_numpy else out
+            return self.likelihood.predict_mean_variance(mean_f, cov_f)
+        return self.likelihood.predict_mean_covariance(mean_f, cov_f)
 
     def predict_uncertain(self, x_mean, x_var):
         """Moment-matched prediction at uncertain inputs (needs a

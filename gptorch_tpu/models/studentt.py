@@ -96,37 +96,44 @@ class TPR(GPModel):
             - half * jnp.log1p(beta / (nu - 2.0))
         )
 
-    def _predict(self, x_new, diag=True, x=None):
-        """MVT conditional (Shah et al. 2014, eq. 13-14): the GP mean,
-        covariance scaled by (ν + β − 2)/(ν + n − 2) -- LARGER when the
-        training residual is surprising, smaller when it is tame."""
-        x = x if x is not None else self.X
-        n, p = self.Y.shape
+    def _joint(self):
+        """(L, V, scale): ONE factorization serving every predictive
+        quantity.  scale = (ν + β − 2)/(ν + n − 2) per output, with
+        β = rᵀKyy⁻¹r the training residual energy."""
+        n = self.X.shape[0]
         nu = self.nu.value.reshape(())
-
-        k_ys = self.kernel.K(x, x_new)
-        L = self._kyy_chol(x)
-        A = trtrs(k_ys, L)
-        V = trtrs(self.Y - self.mean_function(x), L)
-        mean_f = A.T @ V + self.mean_function(x_new)
-
-        # per-output residual energy -> per-output scale; the base-class
-        # diag contract is (n*, dy)-broadcastable so the scale applies
-        # column-wise
+        L = self._kyy_chol(self.X)
+        V = trtrs(self.Y - self.mean_function(self.X), L)
         beta = jnp.sum(jnp.square(V), axis=0)  # (p,)
         scale = (nu + beta - 2.0) / (nu + n - 2.0)  # (p,)
+        return L, V, scale
+
+    def _conditional(self, x_new, diag):
+        """MVT conditional (Shah et al. 2014, eq. 13-14): the GP mean,
+        covariance scaled by (ν + β − 2)/(ν + n − 2) -- LARGER when the
+        training residual is surprising, smaller when it is tame.
+        Returns (mean, var_f, scale)."""
+        p = self.Y.shape[1]
+        L, V, scale = self._joint()
+        A = trtrs(self.kernel.K(self.X, x_new), L)
+        mean_f = A.T @ V + self.mean_function(x_new)
+
         if diag:
             base = (self.kernel.Kdiag(x_new) - jnp.sum(A * A, axis=0))[
                 :, None
             ]
-            return mean_f, base * scale[None, :]
+            return mean_f, base * scale[None, :], scale
         if p != 1:
             raise NotImplementedError(
                 "full-covariance TPR predictions support one output "
                 "column (the per-output scales differ); use diag=True"
             )
         base = self.kernel.K(x_new) - A.T @ A
-        return mean_f, base * scale.reshape(())
+        return mean_f, base * scale.reshape(()), scale
+
+    def _predict(self, x_new, diag=True):
+        mean_f, var_f, _ = self._conditional(x_new, diag)
+        return mean_f, var_f
 
     def predictive_dof(self):
         """Degrees of freedom of the posterior predictive t marginals
@@ -147,18 +154,12 @@ class TPR(GPModel):
         y_new = jnp.asarray(y_new, dtype=jnp.result_type(self.Y))
         if y_new.ndim == 1:
             y_new = y_new[:, None]
-        mean_f, var_f = self._predict(x_new, diag=True)
+        mean_f, var_f, scale = self._conditional(x_new, diag=True)
         # observation variance: noise is inside Kyy, so the predictive
         # marginal of y* adds sigma^2 under the SAME t scale
         sigma2 = self.likelihood.variance.value.reshape(())
         nu = self.nu.value.reshape(())
         n = self.X.shape[0]
-        beta = jnp.sum(
-            jnp.square(trtrs(self.Y - self.mean_function(self.X),
-                             self._kyy_chol(self.X))),
-            axis=0,
-        )
-        scale = (nu + beta - 2.0) / (nu + n - 2.0)
         var_y = var_f + sigma2 * scale[None, :]
         dof = nu + n
         # t density with mean m, SCALE s where var = s²·dof/(dof−2)
@@ -172,6 +173,35 @@ class TPR(GPModel):
         )
         return np.asarray(out) if from_numpy else out
 
+    def _sample(self, input_new, n_samples, key, observed, **kwargs):
+        """Multivariate-t posterior draws (dof ν + n): the base class's
+        Gaussian sampler would understate the heavy tails and add
+        UNSCALED observation noise.  x = μ + chol(S) z √(dof/g),
+        z ~ N(0, I), g ~ χ²_dof, S = cov·(dof−2)/dof."""
+        from .. import settings
+        from ..functions import cholesky as _chol
+
+        if key is None:
+            key = settings.next_default_key()
+        mean_f, cov, scale = self._conditional(input_new, diag=False)
+        if observed:
+            sigma2 = self.likelihood.variance.value.reshape(())
+            cov = cov + sigma2 * scale.reshape(()) * jnp.eye(
+                cov.shape[0], dtype=jnp.result_type(cov)
+            )
+        nu = self.nu.value.reshape(())
+        dof = nu + self.X.shape[0]
+        s_mat = cov * (dof - 2.0) / dof  # t SCALE matrix from covariance
+        chol_s = _chol(s_mat)
+        k_z, k_g = jax.random.split(key)
+        z = jax.random.normal(
+            k_z, (n_samples,) + mean_f.shape, dtype=jnp.result_type(mean_f)
+        )
+        g = 2.0 * jax.random.gamma(
+            k_g, 0.5 * dof, (n_samples, 1, 1), dtype=jnp.result_type(mean_f)
+        )  # χ²_dof
+        return mean_f + (chol_s[None] @ z) * jnp.sqrt(dof / g)
+
     def predict_y(self, input_new, diag=True, **kwargs):
         """Observation posterior: adds σ² under the t scale (the noise
         lives inside the joint t covariance)."""
@@ -181,16 +211,8 @@ class TPR(GPModel):
         x_new = jnp.asarray(input_new, dtype=jnp.result_type(self.X))
         if x_new.ndim == 1:
             x_new = x_new[:, None]
-        mean_f, var_f = self._predict(x_new, diag=diag)
+        mean_f, var_f, scale = self._conditional(x_new, diag=diag)
         sigma2 = self.likelihood.variance.value.reshape(())
-        nu = self.nu.value.reshape(())
-        n = self.X.shape[0]
-        beta = jnp.sum(
-            jnp.square(trtrs(self.Y - self.mean_function(self.X),
-                             self._kyy_chol(self.X))),
-            axis=0,
-        )
-        scale = (nu + beta - 2.0) / (nu + n - 2.0)
         if diag:
             out = (mean_f, var_f + sigma2 * scale[None, :])
         else:

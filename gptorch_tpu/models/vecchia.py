@@ -83,9 +83,13 @@ class VecchiaGPR(GPModel):
         # training is order-insensitive, predictions gather by index)
         self.X = self.X[order]
         self.Y = self.Y[order]
-        nn_idx, nn_mask = _ops.previous_neighbors(
-            np.asarray(self.X, dtype=np.float64), self.num_neighbors
-        )
+        from scipy.spatial import cKDTree
+
+        xo = np.asarray(self.X, dtype=np.float64)
+        nn_idx, nn_mask = _ops.previous_neighbors(xo, self.num_neighbors)
+        # the training set is frozen at construction: build the
+        # prediction-time neighbor tree ONCE (static aux data)
+        self._kdtree = cKDTree(xo)
         # stored FLOAT (cast to int at the gather) so the whole model
         # stays jax.grad-able -- integer pytree leaves break grad; floats
         # carry row indices exactly for n < 2^24
@@ -122,10 +126,11 @@ class VecchiaGPR(GPModel):
         x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
         if x_new.ndim == 1:
             x_new = x_new[:, None]
-        nn = _ops.test_point_neighbors(
-            np.asarray(self.X, dtype=np.float64),
+        nn = _ops.query_point_neighbors(
+            self._kdtree,
             np.asarray(x_new, dtype=np.float64),
             self.num_neighbors,
+            self.X.shape[0],
         )
         resid = self.Y - self.mean_function(self.X)
         noise = self.likelihood.variance.value.reshape(())

@@ -179,6 +179,14 @@ class Module:
             obj.__setattr__(k, v)
         return obj
 
+    def _adopt(self, other: "Module") -> "Module":
+        """Copy another instance's pytree state into self (the in-place
+        update every mutating convenience method performs after
+        functional training/updating).  Returns self."""
+        object.__setattr__(self, "_dynamic", dict(other._dynamic))
+        object.__setattr__(self, "_static", dict(other._static))
+        return self
+
     # -- priors ----------------------------------------------------------------
 
     def log_prior(self):

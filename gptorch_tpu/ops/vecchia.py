@@ -258,11 +258,18 @@ def test_point_neighbors(
     """(n*, m) indices of each test point's m nearest training points."""
     from scipy.spatial import cKDTree
 
+    x_new = np.asarray(x_new, dtype=np.float64)
     tree = cKDTree(np.asarray(x_train, dtype=np.float64))
-    _, idx = tree.query(
-        np.asarray(x_new, dtype=np.float64), k=min(m, len(x_train))
-    )
-    idx = np.atleast_2d(idx)
+    return query_point_neighbors(tree, x_new, m, len(x_train))
+
+
+def query_point_neighbors(tree, x_new, m: int, n_train: int) -> np.ndarray:
+    """As :func:`test_point_neighbors` but against a prebuilt cKDTree
+    (models cache the tree at construction)."""
+    _, idx = tree.query(np.asarray(x_new, dtype=np.float64),
+                        k=min(m, n_train))
+    # query squeezes k=1 -> (n*,); force the (n*, k) orientation
+    idx = np.asarray(idx).reshape(len(x_new), -1)
     # n_train < m: duplicate-pad with the nearest index; the duplicated
     # Gram rows stay PD through the +noise diagonal
     if idx.shape[1] < m:

@@ -27,7 +27,7 @@ def make_sharded_vecchia_nlml(mesh: Mesh, axis: str, chunk: int = 4096):
 
     :return: ``nlml(kernel, noise, x, resid, nn_idx, nn_mask)`` where
         ``nn_idx``/``nn_mask``/the CONDITIONAL rows are sharded over
-        ``axis`` (row count must divide the axis size) and
+        ``axis`` (the axis size must divide the row count) and
         ``x``/``resid`` are replicated for the gathers.  Fully
         differentiable in (kernel, noise) -- the adjoint's collective is
         the same single psum.

@@ -140,3 +140,24 @@ class TestTraining:
         extra = np.asarray(var_y) - np.asarray(var_f)
         np.testing.assert_allclose(extra, extra[0, 0], rtol=1e-8)
         assert extra[0, 0] > 0
+
+
+def test_samples_match_t_moments(data):
+    """predict_y_samples must agree with predict_y's variance (scaled
+    noise) and show the t's positive excess kurtosis -- the base class's
+    Gaussian sampler did neither (review finding)."""
+    x, y = data
+    t = TPR(x, y, _kern(), likelihood=_lik(), nu=4.0)
+    xq = np.random.RandomState(5).randn(5, D)
+    s = np.asarray(
+        t.predict_y_samples(xq, n_samples=200000, key=jax.random.PRNGKey(0))
+    )
+    mu_y, var_y = t.predict_y(jnp.asarray(xq))
+    np.testing.assert_allclose(
+        s.var(axis=0), np.asarray(var_y), rtol=0.08
+    )
+    np.testing.assert_allclose(s.mean(axis=0), np.asarray(mu_y), atol=0.02)
+    kurt = (
+        ((s - s.mean(axis=0)) ** 4).mean(axis=0) / s.var(axis=0) ** 2 - 3.0
+    )
+    assert np.all(kurt > 0.01)  # heavier than Gaussian

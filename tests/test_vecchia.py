@@ -235,3 +235,16 @@ class TestShardedVecchia:
             np.asarray(gd.kernel.length_scales.raw),
             rtol=1e-9,
         )
+
+
+def test_predict_with_one_neighbor_and_tiny_n(data):
+    """m=1 used to crash: cKDTree.query squeezes k=1 to (n*,) and the
+    padding then ran along the wrong axis (review finding, reproduced)."""
+    x, y = data
+    v = VecchiaGPR(x[:60], y[:60], _kern(), num_neighbors=1, chunk=16)
+    xq = np.random.RandomState(7).randn(50, D)
+    mu, var = v.predict_f(jnp.asarray(xq))
+    assert mu.shape == (50, 1) and np.all(np.isfinite(np.asarray(mu)))
+    v2 = VecchiaGPR(x[:3], y[:3], _kern(), num_neighbors=2)
+    mu2, _ = v2.predict_f(jnp.asarray(xq[:5]))
+    assert np.all(np.isfinite(np.asarray(mu2)))
