@@ -244,3 +244,23 @@ def test_streaming_gp_example():
 
     m = re.search(r"rel diff ([0-9.e+-]+)", result.stdout)
     assert m and float(m.group(1)) < 1e-3, result.stdout
+
+
+def test_active_learning_example():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPTORCH_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(BASE, "examples", "active_learning.py"),
+            "--no-plot",
+            "--rounds", "3",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "ALC beats random: True" in result.stdout
