@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -694,6 +695,260 @@ def add_fidelity(x, level: int):
     return np.concatenate(
         [x, np.full((x.shape[0], 1), float(level), dtype=x.dtype)], axis=1
     )
+
+
+class Cosine(Stationary):
+    """Standard cosine kernel  k(x, x') = σ² cos(2π Σ_d (x_d − x'_d)/ℓ_d)
+    -- a pure oscillation along the (signed, length-scale-weighted) sum of
+    coordinate differences; the d=1 building block of strictly periodic
+    GPs.  Distinct from the reference's ``Periodic`` (which is σ² cos(r)
+    of the UNSIGNED distance, reference kernels.py:228-235).  (New
+    capability; reference README.md:36-44 lists richer kernels as
+    roadmap items.)
+    """
+
+    def K(self, X, X2=None):
+        other = X if X2 is None else X2
+        ell = self.length_scales.value
+        proj1 = jnp.sum(X / ell, axis=1)
+        proj2 = proj1 if X2 is None else jnp.sum(other / ell, axis=1)
+        delta = proj1[:, None] - proj2[None, :]
+        return self.variance.value.reshape(()) * jnp.cos(
+            2.0 * math.pi * delta
+        )
+
+
+class ArcCosine(Kernel):
+    """Arc-cosine kernel of order q ∈ {0, 1, 2} (Cho & Saul 2009): the
+    exact covariance of an infinitely wide single-layer network with
+    Heaviside (q=0), ReLU (q=1) or squared-ReLU (q=2) activations,
+
+        k(x, x') = σ²/π · (s_x s_x')^{q/2} · J_q(θ),
+        cos θ = s_xx' / √(s_x s_x'),
+        s_xx' = σ_b² + Σ_d σ_{w,d}² x_d x'_d,
+
+    with J_0 = π − θ,  J_1 = sin θ + (π − θ)cos θ,
+    J_2 = 3 sin θ cos θ + (π − θ)(1 + 2cos²θ).  Per-dimension (ARD)
+    weight variances and a bias variance are trainable.  (New
+    capability -- a standard GPflow/GPyTorch kernel the reference
+    lacks.)
+
+    TPU note: the inner products are one MXU matmul; θ's arccos has an
+    infinite derivative at |cos θ| = 1 (i.e. exactly on the self-Gram
+    diagonal), so the off-diagonal path clamps cos θ strictly inside
+    (−1, 1) and the self-Gram diagonal is overwritten with the exact
+    θ = 0 value via where-on-iota (no n² eye materialized).
+    """
+
+    _J0 = staticmethod(lambda th: math.pi - th)
+    _J1 = staticmethod(lambda th: jnp.sin(th) + (math.pi - th) * jnp.cos(th))
+
+    def __init__(
+        self,
+        input_dim: int,
+        order: int = 1,
+        variance: float = 1.0,
+        weight_variances=1.0,
+        bias_variance: float = 1.0,
+        ARD=None,
+    ):
+        super().__init__(input_dim)
+        if int(order) not in (0, 1, 2):
+            raise ValueError("ArcCosine order must be 0, 1 or 2")
+        self.order = int(order)
+        self.variance = positive_param(as_array(variance))
+        weight_variances, self.ARD = self._validate_ard_shape(
+            weight_variances, ARD
+        )
+        self.weight_variances = positive_param(as_array(weight_variances))
+        self.bias_variance = positive_param(as_array(float(bias_variance)))
+
+    def _dot(self, X, X2):
+        w = self.weight_variances.value
+        b = self.bias_variance.value.reshape(())
+        return b + jnp.matmul(
+            X * w, X2.T, preferred_element_type=jnp.result_type(X)
+        )
+
+    def _diag_dot(self, X):
+        w = self.weight_variances.value
+        b = self.bias_variance.value.reshape(())
+        return b + jnp.sum(X * X * w, axis=1)
+
+    def _J(self, theta):
+        if self.order == 0:
+            return self._J0(theta)
+        if self.order == 1:
+            return self._J1(theta)
+        c = jnp.cos(theta)
+        return 3.0 * jnp.sin(theta) * c + (math.pi - theta) * (
+            1.0 + 2.0 * c * c
+        )
+
+    def K(self, X, X2=None):
+        self_gram = X2 is None
+        X2v = X if self_gram else X2
+        s12 = self._dot(X, X2v)
+        s1 = self._diag_dot(X)
+        s2 = s1 if self_gram else self._diag_dot(X2v)
+        denom = jnp.sqrt(s1[:, None] * s2[None, :])
+        eps = 1e-6
+        cos_theta = jnp.clip(s12 / denom, -1.0 + eps, 1.0 - eps)
+        theta = jnp.arccos(cos_theta)
+        scale = (
+            self.variance.value.reshape(()) / math.pi
+        ) * jnp.power(s1[:, None] * s2[None, :], 0.5 * self.order)
+        out = scale * self._J(theta)
+        if self_gram:
+            # exact θ=0 diagonal (the clamp above perturbs it and its
+            # arccos VJP is singular there); where-on-iota, no eye
+            n = out.shape[0]
+            ii = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            jj = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            out = jnp.where(ii == jj, self.Kdiag(X)[:, None], out)
+        return out
+
+    def Kdiag(self, X):
+        s = self._diag_dot(X)
+        j0 = {0: math.pi, 1: math.pi, 2: 3.0 * math.pi}[self.order]
+        return (
+            self.variance.value.reshape(())
+            / math.pi
+            * j0
+            * jnp.power(s, float(self.order))
+        )
+
+
+class ChangePoints(Kernel):
+    """Smoothly switch between regimes along a 1-D input (GPflow-style
+    changepoint construction): with N+1 kernels and N ordered locations
+    b_i, sigmoid gates σ_i(x) = sigmoid(s_i (x − b_i)) define soft regime
+    weights
+
+        w_0(x) = 1 − σ_1(x),
+        w_i(x) = σ_i(x)(1 − σ_{i+1}(x)),   0 < i < N,
+        w_N(x) = σ_N(x),
+
+    and k(x, x') = Σ_i w_i(x) w_i(x') k_i(x, x') -- PSD as a sum of
+    rank-1-scaled PSD kernels.  Locations and steepnesses are trainable.
+    (New capability -- no reference analog.)
+
+    :param kernels: list of N+1 kernels over the 1-D input.
+    :param locations: N initial changepoint positions (ordered).
+    :param steepness: positive gate sharpness, scalar or (N,).
+    """
+
+    def __init__(self, kernels, locations, steepness=1.0):
+        ks = list(kernels)
+        locations = np.atleast_1d(np.asarray(locations, dtype=float))
+        if len(ks) != locations.shape[0] + 1:
+            raise ValueError(
+                f"need len(kernels) == len(locations) + 1, got "
+                f"{len(ks)} kernels and {locations.shape[0]} locations"
+            )
+        if any(k.input_dim != 1 for k in ks):
+            raise ValueError("ChangePoints requires 1-D component kernels")
+        super().__init__(1)
+        self.num_regimes = len(ks)
+        for i, k in enumerate(ks):
+            setattr(self, f"regime{i}", k)
+        self.locations = Param(locations)
+        self.steepness = positive_param(
+            as_array(np.broadcast_to(np.asarray(steepness, float),
+                                     locations.shape))
+        )
+
+    def _kernels(self):
+        return [getattr(self, f"regime{i}") for i in range(self.num_regimes)]
+
+    def _weights(self, X):
+        """(n, N+1) soft regime weights."""
+        x = X[:, 0]
+        sig = jax.nn.sigmoid(
+            self.steepness.value[None, :]
+            * (x[:, None] - self.locations.value[None, :])
+        )  # (n, N)
+        ones = jnp.ones((x.shape[0], 1), dtype=sig.dtype)
+        left = jnp.concatenate([ones, sig], axis=1)  # σ_0 := 1
+        right = jnp.concatenate([1.0 - sig, ones], axis=1)  # 1−σ_{N+1} := 1
+        return left * right
+
+    def K(self, X, X2=None):
+        w1 = self._weights(X)
+        w2 = w1 if X2 is None else self._weights(X2)
+        out = 0.0
+        for i, k in enumerate(self._kernels()):
+            out = out + (w1[:, i : i + 1] * w2[None, :, i]) * k.K(X, X2)
+        return out
+
+    def Kdiag(self, X):
+        w = self._weights(X)
+        out = 0.0
+        for i, k in enumerate(self._kernels()):
+            out = out + jnp.square(w[:, i]) * k.Kdiag(X)
+        return out
+
+
+class Coregion(Kernel):
+    """Coregionalization kernel over integer task indices (the Hadamard
+    multitask building block):  inputs are a single column of task ids
+    s ∈ {0..T−1} and
+
+        k(s, s') = B[s, s'],   B = W Wᵀ + diag(κ)  ≻ 0,
+
+    with W (T, rank) unconstrained and κ (T,) positive, both trainable.
+    Composed with :class:`ActiveDims` and ``*`` it gives per-observation
+    multitask GPs on ragged designs -- every observation carries its own
+    task id, unlike the Kronecker-structured :class:`~gptorch_tpu.models.
+    ICM`/LMC models which need all tasks observed at all inputs::
+
+        k = ActiveDims(Rbf(d), range(d), d + 1) \\
+            * ActiveDims(Coregion(T, rank), [d], d + 1)
+        model = GPR(x_with_task_col, y, k)
+
+    Task ids may be stored as FLOATS in the input matrix (cast at the
+    gather) so whole-model ``jax.grad`` never sees integer leaves.
+    (New capability -- no reference analog.)
+    """
+
+    def __init__(self, output_dim: int, rank: int = 1, W=None, kappa=None):
+        super().__init__(1)
+        T, r = int(output_dim), int(rank)
+        if T < 1 or r < 1:
+            raise ValueError("output_dim and rank must be >= 1")
+        self.output_dim = T
+        self.rank = r
+        if W is None:
+            # deterministic, symmetry-breaking init: identical columns
+            # would keep B rank-1 under gradient flow forever
+            base = np.linspace(-0.5, 0.5, T * r).reshape(T, r)
+            W = 0.3 * base + 0.1
+        self.W = Param(np.asarray(W, dtype=float).reshape(T, r))
+        self.kappa = positive_param(
+            as_array(
+                np.ones(T)
+                if kappa is None
+                else np.broadcast_to(np.asarray(kappa, float), (T,))
+            )
+        )
+
+    def B(self):
+        W = self.W.value
+        return W @ W.T + jnp.diag(self.kappa.value)
+
+    def _idx(self, X):
+        return X[:, 0].astype(jnp.int32)
+
+    def K(self, X, X2=None):
+        B = self.B()
+        s1 = self._idx(X)
+        s2 = s1 if X2 is None else self._idx(X2)
+        return B[s1[:, None], s2[None, :]]
+
+    def Kdiag(self, X):
+        s = self._idx(X)
+        Bdiag = jnp.sum(jnp.square(self.W.value), axis=1) + self.kappa.value
+        return Bdiag[s]
 
 
 class Combination(Kernel):

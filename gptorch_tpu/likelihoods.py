@@ -20,6 +20,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .module import Module
 from .param import positive_param
@@ -275,6 +276,181 @@ class StudentT(Likelihood):
         nu = self.df.value.reshape(())
         s2 = self.scale2.value.reshape(())
         return jnp.broadcast_to(nu * s2 / (nu - 2.0), F.shape)
+
+
+class Gamma(Likelihood):
+    """Gamma observation model for positive data with an exp link on the
+    scale:  y | f ~ Gamma(shape k, scale θ = e^f), so E[y|f] = k e^f.
+    The shape k > 0 is trainable.  The variational expectation is closed
+    form under Gaussian q(f):
+
+        <log p(y|f)> = (k−1)log y − k μ − y e^{−μ + s/2} − log Γ(k)
+
+    (E[e^{−f}] = e^{−μ + s/2}).  (New capability; reference README.md:42
+    lists non-Gaussian likelihoods as roadmap-only.)
+    """
+
+    def __init__(self, shape: float = 1.0):
+        self.shape = positive_param(as_array(float(shape)))
+
+    def logp(self, F, Y):
+        k = self.shape.value.reshape(())
+        return (
+            (k - 1.0) * jnp.log(Y)
+            - k * F
+            - Y * jnp.exp(-F)
+            - jax.scipy.special.gammaln(k)
+        )
+
+    def conditional_mean(self, F):
+        return self.shape.value.reshape(()) * jnp.exp(F)
+
+    def conditional_variance(self, F):
+        return self.shape.value.reshape(()) * jnp.exp(2.0 * F)
+
+    def latent_init(self, Y):
+        # f = log scale = log(E[y|f]/k); start from the observations
+        return jnp.log(jnp.maximum(Y, 1e-6))
+
+    def propagate_log(self, mean_f, var_f, targets):
+        k = self.shape.value.reshape(())
+        vals = (
+            (k - 1.0) * jnp.log(targets)
+            - k * mean_f
+            - targets * jnp.exp(-mean_f + 0.5 * var_f)
+            - jax.scipy.special.gammaln(k)
+        )
+        return jnp.sum(vals)
+
+
+class Exponential(Gamma):
+    """Exponential observation model (Gamma with FIXED shape k = 1):
+    y | f ~ Exp(rate e^{−f}), E[y|f] = e^f."""
+
+    def __init__(self):
+        super().__init__(shape=1.0)
+        self.shape.trainable = False
+
+
+class Beta(Likelihood):
+    """Beta observation model for data in (0, 1): the latent maps to the
+    mean through a probit or logit link, μ = invlink(f), and
+
+        y | f ~ Beta(α = μ c, β = (1 − μ) c)
+
+    with a trainable concentration c > 0 (larger c = less dispersion,
+    Var[y|f] = μ(1−μ)/(c+1)).  Variational expectations and predictive
+    moments come from the Gauss-Hermite fallback.  (New capability.)
+    """
+
+    def __init__(self, concentration: float = 10.0, link: str = "probit"):
+        if link not in ("probit", "logit"):
+            raise ValueError("link must be 'probit' or 'logit'")
+        self.link = link
+        self.concentration = positive_param(as_array(float(concentration)))
+
+    def invlink(self, F):
+        if self.link == "probit":
+            return 0.5 * (1.0 + jax.scipy.special.erf(F / math.sqrt(2.0)))
+        return jax.nn.sigmoid(F)
+
+    def logp(self, F, Y):
+        c = self.concentration.value.reshape(())
+        eps = 1e-6
+        mu = jnp.clip(self.invlink(F), eps, 1.0 - eps)
+        alpha = mu * c
+        beta = (1.0 - mu) * c
+        return (
+            (alpha - 1.0) * jnp.log(Y)
+            + (beta - 1.0) * jnp.log1p(-Y)
+            + jax.scipy.special.gammaln(c)
+            - jax.scipy.special.gammaln(alpha)
+            - jax.scipy.special.gammaln(beta)
+        )
+
+    def conditional_mean(self, F):
+        return self.invlink(F)
+
+    def conditional_variance(self, F):
+        c = self.concentration.value.reshape(())
+        mu = self.invlink(F)
+        return mu * (1.0 - mu) / (c + 1.0)
+
+    def latent_init(self, Y):
+        eps = 1e-4
+        Yc = jnp.clip(Y, eps, 1.0 - eps)
+        if self.link == "probit":
+            import jax.scipy.stats as jss  # noqa: F401  (ndtri below)
+
+            return jax.scipy.special.ndtri(Yc)
+        return jnp.log(Yc) - jnp.log1p(-Yc)
+
+
+class Ordinal(Likelihood):
+    """Ordered-categorical (cumulative probit) likelihood: K classes cut
+    from the latent by FIXED increasing bin edges b_1 < … < b_{K−1} and a
+    trainable noise scale σ,
+
+        p(y = k | f) = Φ((b_{k+1} − f)/σ) − Φ((b_k − f)/σ),
+
+    with b_0 = −∞, b_K = +∞.  Targets are integer class ids 0..K−1
+    (floats accepted -- cast at the gather, so whole-model ``jax.grad``
+    never differentiates an integer leaf).  Quadrature handles the
+    variational expectation; :meth:`conditional_mean` is the expected
+    class index (useful for point predictions/RMSE on the ordinal
+    scale).  (New capability -- GPflow-style Ordinal the reference
+    lacks.)
+    """
+
+    def __init__(self, bin_edges, sigma: float = 1.0):
+        edges = np.atleast_1d(np.asarray(bin_edges, dtype=float))
+        if edges.ndim != 1 or edges.size < 1:
+            raise ValueError("bin_edges must be a 1-D array with >= 1 edge")
+        if np.any(np.diff(edges) <= 0):
+            raise ValueError("bin_edges must be strictly increasing")
+        self.bin_edges = as_array(edges)
+        self.num_classes = int(edges.size) + 1
+        self.sigma = positive_param(as_array(float(sigma)))
+
+    def _cdfs(self, F):
+        """Φ((b − f)/σ) padded with 0/1 → (..., K+1) cumulative probs."""
+        z = (self.bin_edges - F[..., None]) / self.sigma.value.reshape(())
+        cdf = jax.scipy.stats.norm.cdf(z)
+        pad = jnp.ones(F.shape + (1,), dtype=cdf.dtype)
+        return jnp.concatenate([0.0 * pad, cdf, pad], axis=-1)
+
+    def class_probs(self, F):
+        """(..., K) class probabilities at latent F."""
+        c = self._cdfs(F)
+        return jnp.diff(c, axis=-1)
+
+    def logp(self, F, Y):
+        probs = self.class_probs(F)
+        k = jnp.clip(Y.astype(jnp.int32), 0, self.num_classes - 1)
+        p = jnp.take_along_axis(probs, k[..., None], axis=-1)[..., 0]
+        tiny = jnp.finfo(probs.dtype).tiny
+        return jnp.log(jnp.maximum(p, tiny))
+
+    def conditional_mean(self, F):
+        classes = jnp.arange(self.num_classes, dtype=jnp.result_type(F))
+        return jnp.sum(self.class_probs(F) * classes, axis=-1)
+
+    def conditional_variance(self, F):
+        classes = jnp.arange(self.num_classes, dtype=jnp.result_type(F))
+        p = self.class_probs(F)
+        m = jnp.sum(p * classes, axis=-1)
+        return jnp.sum(p * jnp.square(classes), axis=-1) - jnp.square(m)
+
+    def latent_init(self, Y):
+        # start the latent mid-bin: edges extended by the end gaps
+        edges = self.bin_edges
+        lo = edges[0] - 1.0
+        hi = edges[-1] + 1.0
+        centers = jnp.concatenate(
+            [lo[None], 0.5 * (edges[1:] + edges[:-1]), hi[None]]
+        )
+        k = jnp.clip(Y.astype(jnp.int32), 0, self.num_classes - 1)
+        return centers[k]
 
 
 class Softmax(Likelihood):
