@@ -3,6 +3,7 @@ SVGP; FITC was a stub there and is real here; GPLVM was dead code there and
 is reimplemented in :mod:`gptorch_tpu.models.gplvm`)."""
 
 from .base import GPModel
+from .derivative import DerivativeGPR
 from .ensemble import GPEnsemble
 from .gpr import GPR
 from .gplvm import GPLVM
@@ -25,4 +26,5 @@ __all__ = [
     "GPModel", "GPR", "VFE", "SVGP", "FITC", "GPLVM", "GridGPR", "ICM",
     "LMC", "LaplaceGP", "HeteroscedasticSVGP", "WarpedGPR", "DeepGP", "Posterior",
     "SKIGPR", "StateSpaceGPR", "GPEnsemble", "StreamingVFE", "VecchiaGPR", "OnlineSGPR", "TPR",
+    "DerivativeGPR",
 ]
