@@ -31,6 +31,7 @@ parameter under the Exp bijector yields exactly raw ~ Normal(mu, s).  Set
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Dict, NamedTuple
 
 import numpy as np
@@ -45,6 +46,9 @@ __all__ = [
     "hmc",
     "sample_posterior",
     "predict_mixture",
+    "elliptical_slice",
+    "sample_latent",
+    "predict_latent_mixture",
     "potential_scale_reduction",
     "effective_sample_size",
     "HMCResult",
@@ -365,6 +369,175 @@ def predict_mixture(model, samples, x_new, y: bool = True):
     means, vars_ = lax.map(one, flat)
     mean = jnp.mean(means, axis=0)
     var = jnp.mean(vars_ + means**2, axis=0) - mean**2
+    return mean, var
+
+
+# ---------------------------------------------------------------------------
+# elliptical slice sampling: exact latent posteriors for non-Gaussian
+# likelihoods (Murray, Adams & MacKay 2010)
+
+
+def elliptical_slice(
+    log_lik: Callable,
+    chol_cov,
+    f0,
+    key,
+    num_samples: int = 300,
+    num_burn: int = 200,
+    thin: int = 1,
+    max_shrink: int = 64,
+):
+    """Sample f ~ p(f | y) ∝ N(f; 0, K) · exp(log_lik(f)) by elliptical
+    slice sampling: rejection-free (every transition moves by bracket
+    shrinkage, no step size, no tuning), exact in the prior.
+
+    TPU-native design: the whole chain is ONE ``lax.scan`` of transitions,
+    each an auxiliary draw ν = L ξ plus a ``lax.while_loop`` angle-bracket
+    shrink -- a single compiled program regardless of chain length (no
+    per-sample dispatches through the tunnel).  If a transition fails to
+    find an acceptable angle within ``max_shrink`` shrinks (bracket
+    collapsing onto θ=0), it keeps the current state -- θ=0 is the
+    current point, so the fallback is exact, not approximate.
+
+    :param log_lik: callable f -> scalar log likelihood (any shape f).
+    :param chol_cov: (n, n) lower Cholesky of the prior covariance.
+    :param f0: (n,) or (n, p) initial state (columns are iid GP draws).
+    :param thin: keep every ``thin``-th draw after ``num_burn``.
+    :return: draws, shape (num_samples,) + f0.shape.
+    """
+    f0 = jnp.asarray(f0)
+    chol_cov = jnp.asarray(chol_cov)
+    two_pi = 2.0 * math.pi
+
+    def transition(f, key):
+        k_nu, k_u, k_th, k_loop = jax.random.split(key, 4)
+        xi = jax.random.normal(k_nu, f.shape, f.dtype)
+        nu = chol_cov @ xi
+        logy = log_lik(f) + jnp.log(
+            jax.random.uniform(k_u, dtype=f.dtype)
+        )
+        theta0 = jax.random.uniform(
+            k_th, dtype=f.dtype, minval=0.0, maxval=two_pi
+        )
+
+        def prop(theta):
+            return f * jnp.cos(theta) + nu * jnp.sin(theta)
+
+        acc0 = log_lik(prop(theta0)) > logy
+        state0 = (theta0, theta0 - two_pi, theta0, k_loop, acc0, 0)
+
+        def cond_fn(s):
+            _, _, _, _, accepted, count = s
+            return (~accepted) & (count < max_shrink)
+
+        def body_fn(s):
+            theta, lo, hi, k, _, count = s
+            lo = jnp.where(theta < 0.0, theta, lo)
+            hi = jnp.where(theta >= 0.0, theta, hi)
+            k, sub = jax.random.split(k)
+            theta = jax.random.uniform(
+                sub, dtype=f.dtype, minval=lo, maxval=hi
+            )
+            accepted = log_lik(prop(theta)) > logy
+            return theta, lo, hi, k, accepted, count + 1
+
+        theta, _, _, _, accepted, _ = lax.while_loop(
+            cond_fn, body_fn, state0
+        )
+        theta = jnp.where(accepted, theta, 0.0)  # exact fallback: stay put
+        return prop(theta), None
+
+    def chain(f, key):
+        keys = jax.random.split(key, num_burn + num_samples * thin)
+
+        def step(f, k):
+            f, _ = transition(f, k)
+            return f, f
+
+        f, draws = lax.scan(step, f, keys)
+        return draws[num_burn:][:: thin if thin > 1 else 1][:num_samples]
+
+    return jax.jit(chain)(f0, key)
+
+
+def sample_latent(
+    model,
+    key,
+    num_samples: int = 300,
+    num_burn: int = 200,
+    thin: int = 1,
+    jitter: float = 1e-6,
+):
+    """Exact posterior samples of the latent function AT THE TRAINING
+    INPUTS of an exact-kernel GP model with any factorizing likelihood:
+    f | y under f ~ GP(m, K), by elliptical slice sampling.
+
+    The asymptotically exact alternative to the Gaussian approximations
+    (:class:`~gptorch_tpu.models.LaplaceGP`, variational SVGP) -- use it
+    to audit them or when the posterior is genuinely non-Gaussian
+    (heavy-tailed / multimodal conditionals).  Hyperparameters stay fixed
+    at the model's current values (compose with :func:`sample_posterior`
+    for full Bayes over θ as an outer loop).
+
+    :return: draws (num_samples, n, dy), INCLUDING the mean function.
+    """
+    from .functions import cholesky
+
+    X, Y = model.X, model.Y
+    K = model.kernel.K(X)
+    dt = jnp.result_type(K)
+    n = K.shape[0]
+    eye_scaled = jitter * jnp.maximum(
+        jnp.max(jnp.diagonal(K)), jnp.asarray(1.0, dt)
+    )
+    L = cholesky(K + eye_scaled * jnp.eye(n, dtype=dt))
+    mean = model.mean_function(X)
+    lik = model.likelihood
+
+    def log_lik(f_centered):
+        return jnp.sum(lik.logp(f_centered + mean, Y))
+
+    f0 = jnp.zeros_like(jnp.broadcast_to(mean, (n, Y.shape[1])))
+    draws = elliptical_slice(
+        log_lik, L, f0, key,
+        num_samples=num_samples, num_burn=num_burn, thin=thin,
+    )
+    return draws + mean[None]
+
+
+def predict_latent_mixture(model, draws, x_new, jitter: float = 1e-6):
+    """Posterior-predictive moments of f* from :func:`sample_latent`
+    draws: for each draw, f* | f is the noise-free conditional
+    N(k*ᵀK⁻¹(f − m), diag(k** − k*ᵀK⁻¹k*)); mixing over draws gives
+    ``mean = E[μ_s]``, ``var = cond_var + Var[μ_s]``.  One GEMM over all
+    draws (the conditional matrix is draw-independent).
+    """
+    from .functions import cholesky, trtrs
+
+    X = model.X
+    x_new = jnp.asarray(x_new, dtype=jnp.result_type(X))
+    K = model.kernel.K(X)
+    dt = jnp.result_type(K)
+    n = K.shape[0]
+    eye_scaled = jitter * jnp.maximum(
+        jnp.max(jnp.diagonal(K)), jnp.asarray(1.0, dt)
+    )
+    L = cholesky(K + eye_scaled * jnp.eye(n, dtype=dt))
+    Ksx = model.kernel.K(X, x_new)  # (n, m)
+    A = trtrs(Ksx, L)  # (n, m) = L^{-1} k*
+    cond_var = jnp.maximum(
+        model.kernel.Kdiag(x_new) - jnp.sum(A * A, axis=0), 0.0
+    )[:, None]
+
+    mean_X = model.mean_function(X)
+    mean_new = model.mean_function(x_new)
+    resid = draws - mean_X[None]  # (S, n, dy)
+    V = trtrs(resid.reshape(draws.shape[0], n, -1).transpose(1, 0, 2)
+              .reshape(n, -1), L)  # L^{-1} resid for all draws/cols at once
+    mus = (A.T @ V).reshape(x_new.shape[0], draws.shape[0], -1)
+    mus = mus.transpose(1, 0, 2) + mean_new[None]  # (S, m, dy)
+    mean = jnp.mean(mus, axis=0)
+    var = cond_var + jnp.var(mus, axis=0)
     return mean, var
 
 

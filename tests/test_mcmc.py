@@ -14,10 +14,13 @@ import jax.numpy as jnp
 from gptorch_tpu import kernels, likelihoods, priors
 from gptorch_tpu.mcmc import (
     effective_sample_size,
+    elliptical_slice,
     hmc,
     log_posterior_fn,
     potential_scale_reduction,
+    predict_latent_mixture,
     predict_mixture,
+    sample_latent,
     sample_posterior,
 )
 from gptorch_tpu.models import GPR
@@ -168,6 +171,79 @@ class TestModelPosterior:
         # mixture mean stays close to the MAP-model prediction
         point_mean, _ = model.predict_y(xs)
         assert float(jnp.max(jnp.abs(mean - point_mean))) < 0.5
+
+
+class TestEllipticalSlice:
+    def test_gaussian_target_matches_conjugate_posterior(self):
+        """With a Gaussian likelihood the f|y posterior is available in
+        closed form -- ESS must reproduce its moments within MC error."""
+        rng = np.random.RandomState(0)
+        x = np.linspace(-2, 2, 30)[:, None]
+        y = np.sin(2 * x) + 0.1 * rng.randn(30, 1)
+        m = GPR(x, y, kernels.Rbf(1), likelihood=likelihoods.Gaussian(0.01))
+        draws = sample_latent(
+            m, jax.random.PRNGKey(0), num_samples=2000, num_burn=300
+        )
+        assert draws.shape == (2000, 30, 1)
+        mu_exact, var_exact = m.predict_f(x)
+        mu_ess = np.mean(np.asarray(draws), axis=0)
+        var_ess = np.var(np.asarray(draws), axis=0)
+        sd = np.sqrt(np.asarray(var_exact))
+        # mean within one posterior sd everywhere (autocorrelated chain)
+        assert (np.abs(mu_ess - np.asarray(mu_exact)) < sd).all()
+        assert var_ess == pytest.approx(np.asarray(var_exact), abs=2e-3)
+
+    def test_predict_latent_mixture_matches_exact(self):
+        rng = np.random.RandomState(1)
+        x = np.linspace(-2, 2, 25)[:, None]
+        y = np.sin(2 * x) + 0.1 * rng.randn(25, 1)
+        m = GPR(x, y, kernels.Rbf(1), likelihood=likelihoods.Gaussian(0.01))
+        draws = sample_latent(
+            m, jax.random.PRNGKey(2), num_samples=1500, num_burn=300
+        )
+        xs = np.linspace(-1.8, 1.8, 9)[:, None]
+        mm, vv = predict_latent_mixture(m, draws, xs)
+        me, ve = m.predict_f(xs)
+        sd = np.sqrt(np.asarray(ve))
+        assert (np.abs(np.asarray(mm) - np.asarray(me)) < 2 * sd + 0.02).all()
+        assert np.asarray(vv) == pytest.approx(np.asarray(ve), abs=3e-3)
+
+    def test_bernoulli_agrees_with_laplace(self):
+        """On a well-behaved classification posterior the ESS latent mean
+        must track the Laplace mode closely."""
+        from gptorch_tpu.models import LaplaceGP
+
+        x = np.linspace(-2, 2, 30)[:, None]
+        y = (np.sin(2 * x) > 0).astype(float)
+        m = LaplaceGP(x, y, kernels.Rbf(1), likelihoods.Bernoulli())
+        draws = sample_latent(
+            m, jax.random.PRNGKey(3), num_samples=1500, num_burn=400
+        )
+        mu_ess = np.mean(np.asarray(draws), axis=0)
+        mu_lap, _ = m.predict_f(x)
+        corr = np.corrcoef(mu_ess.ravel(), np.asarray(mu_lap).ravel())[0, 1]
+        assert corr > 0.99
+
+    def test_reproducible_and_multicolumn(self):
+        L = jnp.eye(4)
+        loglik = lambda f: -0.5 * jnp.sum(jnp.square(f - 1.0))
+        d1 = elliptical_slice(
+            loglik, L, jnp.zeros((4, 2)), jax.random.PRNGKey(0),
+            num_samples=50, num_burn=10,
+        )
+        d2 = elliptical_slice(
+            loglik, L, jnp.zeros((4, 2)), jax.random.PRNGKey(0),
+            num_samples=50, num_burn=10,
+        )
+        assert d1.shape == (50, 4, 2)
+        assert np.asarray(d1) == pytest.approx(np.asarray(d2))
+        # N(0,I) prior x N(1,I) likelihood -> posterior N(0.5, I/2)
+        d3 = elliptical_slice(
+            loglik, L, jnp.zeros((4, 2)), jax.random.PRNGKey(1),
+            num_samples=4000, num_burn=200,
+        )
+        assert float(jnp.mean(d3)) == pytest.approx(0.5, abs=0.05)
+        assert float(jnp.var(d3)) == pytest.approx(0.5, abs=0.05)
 
 
 class TestDiagnostics:
