@@ -264,3 +264,25 @@ def test_active_learning_example():
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert "ALC beats random: True" in result.stdout
+
+
+def test_derivative_gp_example():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPTORCH_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(BASE, "examples", "derivative_gp.py"),
+            "--no-plot",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    import re
+
+    m = re.search(r"improvement factor\s*:\s*([0-9.]+)x", result.stdout)
+    assert m and float(m.group(1)) > 2.0, result.stdout
