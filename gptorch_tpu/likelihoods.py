@@ -155,6 +155,57 @@ class Gaussian(Likelihood):
         )
 
 
+class FixedNoiseGaussian(Gaussian):
+    """Gaussian likelihood with KNOWN per-observation noise variances
+    (measurement-error regression / replicate-averaged data), plus an
+    optional LEARNED homoscedastic component:
+
+        y_i | f_i ~ N(f_i, s_i + σ²),
+
+    s = ``noise_variances`` fixed (n,), σ² trainable (set
+    ``learn_extra=False`` to pin it).  Exact-GP inference via
+    :class:`~gptorch_tpu.models.GPR` (dense path) uses the full
+    heteroscedastic diagonal; predictions at NEW inputs add only the
+    learned σ² (the fixed part is a property of the training
+    measurements, not of the process).  For noise that must be
+    *predicted* at new inputs, use
+    :class:`~gptorch_tpu.models.HeteroscedasticSVGP` instead.
+
+    GPR-only (the sparse/variational models reject it at construction).
+    (New capability -- GPyTorch's FixedNoiseGaussianLikelihood analog.)
+    """
+
+    def __init__(self, noise_variances, extra_variance: float = 1e-6,
+                 learn_extra: bool = True):
+        nv = np.asarray(noise_variances, dtype=float).reshape(-1)
+        if nv.size < 1 or (nv < 0).any():
+            raise ValueError("noise_variances must be non-negative")
+        self.fixed = as_array(nv)
+        self.variance = positive_param(
+            as_array(float(extra_variance)), trainable=bool(learn_extra)
+        )
+
+    def noise_diag(self, n: int):
+        """(n,) marginal noise diagonal for the TRAINING rows."""
+        if n != self.fixed.shape[0]:
+            raise ValueError(
+                f"FixedNoiseGaussian holds {self.fixed.shape[0]} "
+                f"per-observation variances but got n={n} rows"
+            )
+        return self.fixed + self.variance.value.reshape(())
+
+    def logp(self, F, Y):
+        """Pointwise log-density; only defined on the FULL ordered
+        training set (Y rows aligned with ``noise_variances``)."""
+        n = Y.shape[0] if Y.ndim == 1 else Y.shape[-2]
+        s = self.noise_diag(n)
+        if Y.ndim > 1:
+            s = s[:, None]
+        return -0.5 * (
+            math.log(2.0 * math.pi) + jnp.log(s) + jnp.square(Y - F) / s
+        )
+
+
 class Bernoulli(Likelihood):
     """Bernoulli likelihood with probit or logit link -- enables GP
     classification through SVGP (a reference ROADMAP item, README.md:42

@@ -217,9 +217,12 @@ class GPR(GPModel):
     def _fast_eligible_config(self):
         from .. import mean_functions as _m
         from ..bijectors import Exp
+        from ..likelihoods import Gaussian as _Gaussian
 
         ok = (
-            self._fast_kind() is not None
+            type(self.likelihood) is _Gaussian  # subclasses (FixedNoise)
+            # carry non-scalar noise the fused scalar-σ² op cannot see
+            and self._fast_kind() is not None
             and isinstance(self.mean_function, _m.Zero)
             and isinstance(self.kernel.length_scales.bijector, Exp)
             and isinstance(self.kernel.variance.bijector, Exp)
@@ -349,9 +352,16 @@ class GPR(GPModel):
         return super()._loss(x=x, y=y, key=key)
 
     def _compute_kyy(self, x=None):
-        """K(X,X) + σ²I (gpr.py:69-86)."""
+        """K(X,X) + σ²I (gpr.py:69-86); heteroscedastic diagonal for a
+        :class:`~gptorch_tpu.likelihoods.FixedNoiseGaussian`."""
+        from ..likelihoods import FixedNoiseGaussian
+
         x = x if x is not None else self.X
         n = x.shape[0]
+        if isinstance(self.likelihood, FixedNoiseGaussian):
+            return self.kernel.K(x) + jnp.diag(
+                self.likelihood.noise_diag(n).astype(jnp.result_type(x))
+            )
         return self.kernel.K(x) + self.likelihood.variance.value.reshape(
             ()
         ) * jnp.eye(n, dtype=jnp.result_type(x))

@@ -158,11 +158,17 @@ class GPRPosterior(Posterior):
         n, dy = V.shape
         dtype = jnp.result_type(X)
         phi = RandomFourierFeatures(self.kernel, num_features, k_feat)
-        noise = self.likelihood.variance.value.reshape(())
+        from ..likelihoods import FixedNoiseGaussian
+
+        if isinstance(self.likelihood, FixedNoiseGaussian):
+            # Matheron update resamples the TRAINING noise: per-point s_i
+            noise_diag = self.likelihood.noise_diag(n)[None, :, None]
+        else:
+            noise_diag = self.likelihood.variance.value.reshape(())
 
         W = jax.random.normal(k_w, (n_samples, num_features, dy), dtype)
         f_prior_X = jnp.einsum("sfo,nf->sno", W, phi(X))
-        eps = jnp.sqrt(noise) * jax.random.normal(
+        eps = jnp.sqrt(noise_diag) * jax.random.normal(
             k_eps, (n_samples, n, dy), dtype
         )
         import jax.scipy.linalg as jsl

@@ -181,3 +181,92 @@ class TestOrdinal:
         mean, _ = model.predict_y(x)  # expected class index
         corr = np.corrcoef(mean.ravel(), y.ravel())[0, 1]
         assert corr > 0.8
+
+
+class TestFixedNoiseGaussian:
+    def _data(self):
+        rng = np.random.RandomState(0)
+        x = np.linspace(-2, 2, 25)[:, None]
+        y = np.sin(2 * x) + 0.05 * rng.randn(25, 1)
+        return rng, x, y
+
+    def test_constant_vector_equals_scalar_gaussian(self):
+        from gptorch_tpu.models import GPR
+
+        _, x, y = self._data()
+        s = 0.04
+        mf = GPR(x, y, kernels.Rbf(1),
+                 likelihood=likelihoods.FixedNoiseGaussian(
+                     np.full(25, s), extra_variance=1e-12, learn_extra=False))
+        mg = GPR(x, y, kernels.Rbf(1),
+                 likelihood=likelihoods.Gaussian(s + 1e-12))
+        assert float(mf.log_likelihood()) == pytest.approx(
+            float(mg.log_likelihood()), rel=1e-12
+        )
+        xs = np.linspace(-2, 2, 11)[:, None]
+        mu_f, var_f = mf.predict_f(xs)
+        mu_g, var_g = mg.predict_f(xs)
+        assert mu_f == pytest.approx(mu_g, abs=1e-12)
+        assert var_f == pytest.approx(var_g, abs=1e-12)
+
+    def test_known_noisy_points_are_downweighted(self):
+        from gptorch_tpu.models import GPR
+
+        rng, x, y = self._data()
+        nv = np.full(25, 1e-4)
+        nv[-5:] = 25.0
+        yc = y.copy()
+        yc[-5:] += 5.0 * rng.randn(5, 1)
+        mh = GPR(x, yc, kernels.Rbf(1),
+                 likelihood=likelihoods.FixedNoiseGaussian(nv, learn_extra=False))
+        mg = GPR(x, yc, kernels.Rbf(1), likelihood=likelihoods.Gaussian(1e-4))
+        clean = np.sin(2 * x[:20])
+        rmse_h = float(np.sqrt(np.mean((mh.predict_f(x[:20])[0] - clean) ** 2)))
+        rmse_g = float(np.sqrt(np.mean((mg.predict_f(x[:20])[0] - clean) ** 2)))
+        assert rmse_h < 0.2 * rmse_g
+
+    def test_predict_y_adds_learned_extra_only(self):
+        from gptorch_tpu.models import GPR
+
+        _, x, y = self._data()
+        m = GPR(x, y, kernels.Rbf(1),
+                likelihood=likelihoods.FixedNoiseGaussian(
+                    np.full(25, 0.5), extra_variance=0.01, learn_extra=False))
+        xs = np.linspace(-2, 2, 9)[:, None]
+        _, vf = m.predict_f(xs)
+        _, vy = m.predict_y(xs)
+        assert vy - vf == pytest.approx(0.01 * np.ones_like(vf), rel=1e-10)
+
+    def test_training_learns_extra(self):
+        from gptorch_tpu.models import GPR
+
+        rng, x, y = self._data()
+        nv = np.full(25, 1e-4)
+        m = GPR(x, y, kernels.Rbf(1),
+                likelihood=likelihoods.FixedNoiseGaussian(nv))
+        l0 = float(m.loss())
+        m.fit_scan(method="Adam", max_iter=150, learning_rate=0.05)
+        assert float(m.loss()) < l0
+
+    def test_fast_paths_excluded(self):
+        from gptorch_tpu.models import GPR
+
+        _, x, y = self._data()
+        m = GPR(x, y, kernels.Rbf(1),
+                likelihood=likelihoods.FixedNoiseGaussian(np.full(25, 0.01)))
+        assert not m._fast_eligible_config()
+        assert not m._general_eligible(m.X)
+
+    def test_guards(self):
+        from gptorch_tpu.models import GPR, VFE
+
+        _, x, y = self._data()
+        with pytest.raises(ValueError, match="per-observation variances"):
+            GPR(x, y, kernels.Rbf(1),
+                likelihood=likelihoods.FixedNoiseGaussian(np.full(10, 0.01))
+                ).loss()
+        with pytest.raises(ValueError, match="exact GPR only"):
+            VFE(x, y, kernels.Rbf(1),
+                likelihood=likelihoods.FixedNoiseGaussian(np.full(25, 0.01)))
+        with pytest.raises(ValueError, match="non-negative"):
+            likelihoods.FixedNoiseGaussian([-1.0])
