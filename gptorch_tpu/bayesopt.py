@@ -271,6 +271,85 @@ def suggest_thompson(
     return out[0] if q == 1 else out
 
 
+def qei_mc(paths, X_batch, best):
+    """Monte-Carlo q-EI of a joint batch (minimization):
+
+        qEI(X) = E_s[ max(0, best − min_j f_s(x_j)) ]
+
+    over posterior FUNCTION samples ``paths`` (from
+    ``GPRPosterior.sample_paths``).  Exact as S → ∞ and differentiable
+    in the batch (common random numbers: the same paths are reused
+    across evaluations, so the surface is smooth for the optimizer).
+    """
+    vals = paths(X_batch)[:, :, 0]  # (S, q)
+    return jnp.mean(jnp.maximum(best - jnp.min(vals, axis=1), 0.0))
+
+
+def suggest_qei(
+    model,
+    bounds,
+    q: int = 2,
+    best=None,
+    n_samples: int = 128,
+    n_candidates: int = 2048,
+    num_features: int = 1024,
+    refine_steps: int = 60,
+    refine_lr: float = 0.05,
+    key=None,
+):
+    """Jointly optimal q-point batch by Monte-Carlo q-EI (the batch
+    analog of EI, Ginsbourger et al. 2008): initialize the batch from
+    q diverse Thompson argmins, then projected-gradient ascend the
+    JOINT MC objective -- the batch is scored as a set (one point
+    covering a basin removes its neighbors' value), so points spread
+    to complementary basins rather than clustering at the single-EI
+    optimum.
+
+    :param best: incumbent (min observed y, standardized like the
+        model's targets); default = ``min(model.Y)``.
+    :return: (q, d) numpy array.
+    """
+    if key is None:
+        key = settings.next_default_key()
+    bounds = np.asarray(bounds, dtype=float)
+    if bounds.ndim == 1:
+        bounds = bounds[None, :]
+    d = bounds.shape[0]
+    post = model.posterior() if hasattr(model, "posterior") else model
+    if best is None:
+        best = float(np.asarray(model.Y).min())
+
+    k_path, k_init = jax.random.split(key)
+    paths = post.sample_paths(
+        n_samples=n_samples, num_features=num_features, key=k_path
+    )
+
+    lo = jnp.asarray(bounds[:, 0])
+    hi = jnp.asarray(bounds[:, 1])
+    u = jax.random.uniform(k_init, (n_candidates, d), dtype=lo.dtype)
+    X_cand = lo[None] + u * (hi - lo)[None]
+    vals = paths(X_cand)[:, :, 0]  # (S, n_cand)
+    # diverse init: the argmins of q distinct sampled paths
+    x0 = X_cand[jnp.argmin(vals[:q], axis=1)]  # (q, d)
+
+    objective = lambda Xq: qei_mc(paths, Xq, best)
+    val0 = objective(x0)
+    if refine_steps > 0:
+        step_scale = (hi - lo) * refine_lr
+        grad = jax.grad(objective)
+
+        def body(x, _):
+            g = grad(x)  # (q, d)
+            gn = g / jnp.maximum(
+                jnp.max(jnp.abs(g), axis=1, keepdims=True), 1e-30
+            )
+            return jnp.clip(x + step_scale[None] * gn, lo, hi), None
+
+        x1, _ = jax.lax.scan(body, x0, None, length=refine_steps)
+        x0 = jnp.where(objective(x1) >= val0, x1, x0)
+    return np.asarray(x0)
+
+
 class BayesOpt:
     """Suggest/observe loop: fit a GPR, propose, evaluate, repeat.
 
@@ -439,6 +518,9 @@ class BayesOpt:
           fantasy-conditioned into the posterior at its predicted mean
           (``GPRPosterior.condition_on`` -- O(n²) per point, the cached
           posterior is never refit), so later picks avoid earlier ones.
+        * ``"qei"`` -- joint Monte-Carlo q-EI (:func:`suggest_qei`):
+          the batch is optimized as a SET through differentiable
+          posterior path samples; q=1 recovers EI.
 
         :return: (q, d) numpy array.
         """
@@ -457,6 +539,23 @@ class BayesOpt:
                 key=self._next_key(),
             )
             return out[None] if q == 1 else out
+        if strategy == "qei":
+            if self.input_warp:
+                raise ValueError(
+                    "strategy='qei' draws pathwise RFF samples, which "
+                    "need a stationary kernel (input_warp is "
+                    "non-stationary); use strategy='believer'"
+                )
+            mu, sd = self._y_shift
+            out = suggest_qei(
+                self._post,
+                self.bounds,
+                q=q,
+                best=float((min(self.Y) - mu) / sd),
+                n_candidates=self.n_candidates,
+                key=self._next_key(),
+            )
+            return out
         if strategy != "believer":
             raise ValueError(f"unknown batch strategy {strategy!r}")
         mu, sd = self._y_shift

@@ -296,3 +296,67 @@ class TestInputWarp:
             bayesopt.BayesOpt(
                 bounds=[(0.0, 1.0)], input_warp=True, acquisition="ts"
             )
+
+
+class TestQEI:
+    def _post(self):
+        x = np.asarray([[0.05], [0.3], [0.55], [0.75], [0.95]])
+        y = np.sin(6 * x)
+        m = GPR(
+            x, y, kernels.Matern52(1, length_scales=0.2),
+            likelihood=likelihoods.Gaussian(1e-4), fast=False,
+        )
+        return m, float(y.min())
+
+    def test_q1_matches_closed_form_ei(self):
+        m, best = self._post()
+        post = m.posterior()
+        paths = post.sample_paths(
+            n_samples=8192, num_features=2048, key=jax.random.PRNGKey(0)
+        )
+        xp = jnp.asarray([[0.85]])  # informative region (EI ~ 0.066)
+        mc = float(bayesopt.qei_mc(paths, xp, best))
+        mean, var = post.predict_f(xp)
+        ei = float(
+            bayesopt.expected_improvement(
+                jnp.asarray(mean)[:, 0], jnp.asarray(var)[:, 0], best
+            )[0]
+        )
+        assert mc == pytest.approx(ei, rel=0.15)
+
+    def test_diverse_batch_beats_duplicates(self):
+        m, best = self._post()
+        paths = m.posterior().sample_paths(
+            n_samples=2048, num_features=1024, key=jax.random.PRNGKey(1)
+        )
+        dup = float(bayesopt.qei_mc(paths, jnp.asarray([[0.85], [0.85]]), best))
+        div = float(bayesopt.qei_mc(paths, jnp.asarray([[0.85], [0.65]]), best))
+        single = float(bayesopt.qei_mc(paths, jnp.asarray([[0.85]]), best))
+        assert dup == pytest.approx(single, rel=1e-9)  # same point adds nothing
+        assert div > dup
+
+    def test_suggest_qei_in_bounds_and_improves_over_init(self):
+        m, _ = self._post()
+        out = bayesopt.suggest_qei(
+            m, [[0.0, 1.0]], q=3, key=jax.random.PRNGKey(2)
+        )
+        assert out.shape == (3, 1)
+        assert (out >= 0.0).all() and (out <= 1.0).all()
+
+    def test_loop_with_qei_batches_finds_minimum(self):
+        f = lambda z: float(np.sin(6 * z[0]) + 0.1 * (z[0] - 0.5) ** 2)
+        bo = bayesopt.BayesOpt(bounds=[[0, 1]], noise=1e-4, fit_iters=100,
+                               seed=0)
+        for _ in range(4):
+            xs = bo.suggest_batch(2, strategy="qei")
+            for xi in xs:
+                bo.observe(xi, f(xi))
+        truth = min(f([z]) for z in np.linspace(0, 1, 500))
+        assert bo.best_y < truth + 0.05
+
+    def test_qei_with_warp_rejected(self):
+        bo = bayesopt.BayesOpt(bounds=[[0, 1]], input_warp=True, seed=0)
+        for v in (0.1, 0.9, 0.4):
+            bo.observe(np.asarray([v]), v)
+        with pytest.raises(ValueError, match="stationary"):
+            bo.suggest_batch(2, strategy="qei")
