@@ -24,6 +24,7 @@ __all__ = [
     "crps_gaussian",
     "standardized_residuals",
     "summarize",
+    "kfold_cv",
 ]
 
 _SQRT2 = math.sqrt(2.0)
@@ -99,6 +100,92 @@ def standardized_residuals(y_true, mean, var):
     model (check mean ≈ 0, std ≈ 1, no heavy tails)."""
     y_true = jnp.asarray(y_true)
     return (y_true - mean) / jnp.sqrt(jnp.asarray(var))
+
+
+def kfold_cv(
+    x,
+    y,
+    kernel_factory,
+    k: int = 5,
+    likelihood_factory=None,
+    mean_function=None,
+    fit_iters: int = 300,
+    learning_rate: float = 0.05,
+    method: str = "Adam",
+    seed: int = 0,
+    **gpr_kwargs,
+):
+    """k-fold cross-validation of an exact GP, trained and evaluated as
+    ONE vmapped fleet: the k fold-models are a single
+    :class:`~gptorch_tpu.models.GPEnsemble` pytree, so the whole CV --
+    k trainings over (k−1)/k of the data plus k held-out evaluations --
+    is two compiled programs, not 2k dispatch loops (the folds' small
+    factorizations batch onto the MXU together).
+
+    Rows are shuffled with ``seed`` and the remainder ``n mod k`` rows
+    are dropped (static shapes; the fleet needs equal fold sizes).
+
+    :param kernel_factory: zero-arg callable returning a FRESH kernel
+        (hyperparameters train independently per fold).
+    :param likelihood_factory: optional zero-arg likelihood callable.
+    :return: dict with per-fold arrays (``fold_rmse``, ``fold_nlpd``)
+        and their means/stds, plus ``n_used``.
+    """
+    import numpy as np
+
+    from .models import GPEnsemble
+
+    x = np.asarray(x)
+    y = np.asarray(y)
+    if y.ndim == 1:
+        y = y[:, None]
+    n = x.shape[0]
+    if k < 2 or k > n:
+        raise ValueError(f"need 2 <= k <= n, got k={k}, n={n}")
+    fold = n // k
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(n)[: k * fold].reshape(k, fold)
+
+    test_idx = perm  # (k, fold)
+    train_idx = np.stack(
+        [np.delete(perm, i, axis=0).reshape(-1) for i in range(k)]
+    )  # (k, (k-1)*fold)
+
+    ens = GPEnsemble(
+        x[train_idx],
+        y[train_idx],
+        kernel_factory(),
+        likelihood=likelihood_factory() if likelihood_factory else None,
+        mean_function=mean_function,
+        **gpr_kwargs,
+    )
+    ens.fit(
+        method=method,
+        max_iter=fit_iters,
+        learning_rate=learning_rate,
+        scan=True,
+    )
+
+    mean_b, var_b = ens.predict_y(x[test_idx])  # (k, fold, dy)
+    y_te = y[test_idx]
+    fold_rmse = np.asarray(
+        jnp.sqrt(jnp.mean(jnp.square(jnp.asarray(y_te) - mean_b), axis=(1, 2)))
+    )
+    fold_nlpd = np.asarray(
+        jax.vmap(lambda yt, m, v: nlpd_gaussian(yt, m, v))(
+            jnp.asarray(y_te), jnp.asarray(mean_b), jnp.asarray(var_b)
+        )
+    )
+    return {
+        "fold_rmse": fold_rmse,
+        "fold_nlpd": fold_nlpd,
+        "rmse_mean": float(fold_rmse.mean()),
+        "rmse_std": float(fold_rmse.std()),
+        "nlpd_mean": float(fold_nlpd.mean()),
+        "nlpd_std": float(fold_nlpd.std()),
+        "n_used": int(k * fold),
+        "ensemble": ens,
+    }
 
 
 def summarize(y_true, mean, var, level: float = 0.95) -> dict:

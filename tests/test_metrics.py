@@ -99,3 +99,33 @@ def test_end_to_end_with_model(preds):
     assert out["rmse"] < 0.3
     assert np.isfinite(out["nlpd"]) and out["crps"] < out["rmse"]
     assert 0.3 < out["coverage95"] <= 1.0
+
+
+class TestKFoldCV:
+    def test_cv_as_one_fleet_selects_the_right_kernel(self):
+        from gptorch_tpu import kernels
+        from gptorch_tpu.metrics import kfold_cv
+
+        rng = np.random.RandomState(0)
+        n = 103  # not divisible by 5 -> remainder dropped
+        x = np.sort(rng.rand(n, 1) * 4 - 2, axis=0)
+        y = np.sin(2 * x) + 0.1 * rng.randn(n, 1)
+        good = kfold_cv(x, y, lambda: kernels.Rbf(1), k=5, fit_iters=200,
+                        seed=0)
+        bad = kfold_cv(x, y, lambda: kernels.Linear(1), k=5, fit_iters=200,
+                       seed=0)
+        assert good["n_used"] == 100
+        assert good["fold_rmse"].shape == (5,)
+        assert np.isfinite(good["fold_nlpd"]).all()
+        assert good["rmse_mean"] < 0.2
+        # model selection: the well-specified kernel wins on CV-NLPD
+        assert good["nlpd_mean"] < bad["nlpd_mean"]
+
+    def test_validation(self):
+        from gptorch_tpu import kernels
+        from gptorch_tpu.metrics import kfold_cv
+
+        x = np.zeros((10, 1))
+        y = np.zeros((10, 1))
+        with pytest.raises(ValueError, match="2 <= k <= n"):
+            kfold_cv(x, y, lambda: kernels.Rbf(1), k=1)
