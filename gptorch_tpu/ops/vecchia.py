@@ -43,9 +43,19 @@ def _conditional_moments(kernel, noise, xnn, rnn, mask, x_i):
     m = xnn.shape[1]
     dt = jnp.result_type(xnn)
 
-    knn = jax.vmap(kernel.K)(xnn)  # (c, m, m)
-    k_i = jax.vmap(lambda a, b: kernel.K(a, b[None])[:, 0])(xnn, x_i)  # (c, m)
-    kxx = kernel.Kdiag(x_i)  # (c,)
+    # True-f32 accumulation for the tiny neighbor Grams: the TPU default
+    # (bf16 matmul passes) perturbs the squared-distance cancellation
+    # x²+x'²−2xx'ᵀ between NEAR-IDENTICAL neighbors enough to drive
+    # K + σ²I indefinite -> NaN from the batched Cholesky (measured at
+    # n=200k, m=32, σ²=0.01: default-precision loss is NaN on v5e, f32
+    # matches the CPU value exactly).  The (m, d) matmuls are a rounding
+    # error of the total cost, so HIGHEST precision here is free.
+    with jax.default_matmul_precision("float32"):
+        knn = jax.vmap(kernel.K)(xnn)  # (c, m, m)
+        k_i = jax.vmap(lambda a, b: kernel.K(a, b[None])[:, 0])(
+            xnn, x_i
+        )  # (c, m)
+        kxx = kernel.Kdiag(x_i)  # (c,)
 
     # masked slots: identity row/col in Knn, zero in k and r -- the
     # factorization then carries them as decoupled unit pivots and the
