@@ -318,6 +318,8 @@ def suggest_qei(
     post = model.posterior() if hasattr(model, "posterior") else model
     if best is None:
         best = float(np.asarray(model.Y).min())
+    # the init takes the argmins of q DISTINCT paths
+    n_samples = max(int(n_samples), int(q))
 
     k_path, k_init = jax.random.split(key)
     paths = post.sample_paths(

@@ -431,8 +431,6 @@ class Beta(Likelihood):
         eps = 1e-4
         Yc = jnp.clip(Y, eps, 1.0 - eps)
         if self.link == "probit":
-            import jax.scipy.stats as jss  # noqa: F401  (ndtri below)
-
             return jax.scipy.special.ndtri(Yc)
         return jnp.log(Yc) - jnp.log1p(-Yc)
 

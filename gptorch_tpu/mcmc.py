@@ -47,6 +47,7 @@ __all__ = [
     "sample_posterior",
     "predict_mixture",
     "elliptical_slice",
+    "latent_prior_chol",
     "sample_latent",
     "predict_latent_mixture",
     "potential_scale_reduction",
@@ -460,6 +461,21 @@ def elliptical_slice(
     return jax.jit(chain)(f0, key)
 
 
+def latent_prior_chol(model, jitter: float = 1e-6):
+    """Lower Cholesky of K(X, X) + rel-jitter — the prior factor both
+    :func:`sample_latent` and :func:`predict_latent_mixture` need; compute
+    it once and pass it to both to avoid refactorizing O(n³) per call."""
+    from .functions import cholesky
+
+    K = model.kernel.K(model.X)
+    dt = jnp.result_type(K)
+    n = K.shape[0]
+    eye_scaled = jitter * jnp.maximum(
+        jnp.max(jnp.diagonal(K)), jnp.asarray(1.0, dt)
+    )
+    return cholesky(K + eye_scaled * jnp.eye(n, dtype=dt))
+
+
 def sample_latent(
     model,
     key,
@@ -467,6 +483,7 @@ def sample_latent(
     num_burn: int = 200,
     thin: int = 1,
     jitter: float = 1e-6,
+    chol: jax.Array | None = None,
 ):
     """Exact posterior samples of the latent function AT THE TRAINING
     INPUTS of an exact-kernel GP model with any factorizing likelihood:
@@ -479,18 +496,13 @@ def sample_latent(
     at the model's current values (compose with :func:`sample_posterior`
     for full Bayes over θ as an outer loop).
 
+    :param chol: optional precomputed :func:`latent_prior_chol` (reuse it
+        across sample_latent / predict_latent_mixture calls).
     :return: draws (num_samples, n, dy), INCLUDING the mean function.
     """
-    from .functions import cholesky
-
     X, Y = model.X, model.Y
-    K = model.kernel.K(X)
-    dt = jnp.result_type(K)
-    n = K.shape[0]
-    eye_scaled = jitter * jnp.maximum(
-        jnp.max(jnp.diagonal(K)), jnp.asarray(1.0, dt)
-    )
-    L = cholesky(K + eye_scaled * jnp.eye(n, dtype=dt))
+    L = latent_prior_chol(model, jitter) if chol is None else chol
+    n = L.shape[0]
     mean = model.mean_function(X)
     lik = model.likelihood
 
@@ -505,24 +517,23 @@ def sample_latent(
     return draws + mean[None]
 
 
-def predict_latent_mixture(model, draws, x_new, jitter: float = 1e-6):
+def predict_latent_mixture(
+    model, draws, x_new, jitter: float = 1e-6, chol: jax.Array | None = None
+):
     """Posterior-predictive moments of f* from :func:`sample_latent`
     draws: for each draw, f* | f is the noise-free conditional
     N(k*ᵀK⁻¹(f − m), diag(k** − k*ᵀK⁻¹k*)); mixing over draws gives
     ``mean = E[μ_s]``, ``var = cond_var + Var[μ_s]``.  One GEMM over all
-    draws (the conditional matrix is draw-independent).
+    draws (the conditional matrix is draw-independent).  Pass ``chol``
+    (from :func:`latent_prior_chol`) to skip the O(n³) refactorization
+    on repeated calls.
     """
-    from .functions import cholesky, trtrs
+    from .functions import trtrs
 
     X = model.X
     x_new = jnp.asarray(x_new, dtype=jnp.result_type(X))
-    K = model.kernel.K(X)
-    dt = jnp.result_type(K)
-    n = K.shape[0]
-    eye_scaled = jitter * jnp.maximum(
-        jnp.max(jnp.diagonal(K)), jnp.asarray(1.0, dt)
-    )
-    L = cholesky(K + eye_scaled * jnp.eye(n, dtype=dt))
+    L = latent_prior_chol(model, jitter) if chol is None else chol
+    n = L.shape[0]
     Ksx = model.kernel.K(X, x_new)  # (n, m)
     A = trtrs(Ksx, L)  # (n, m) = L^{-1} k*
     cond_var = jnp.maximum(

@@ -82,6 +82,17 @@ class GPModel(Module):
             if likelihood is not None
             else GPModel._init_gaussian_likelihood(y)
         )
+        if isinstance(
+            self.likelihood, _likelihoods.FixedNoiseGaussian
+        ) and not getattr(type(self), "_supports_fixed_noise", False):
+            # central gate: every other model reads ONE scalar sigma^2 and
+            # would silently drop the per-observation part
+            raise ValueError(
+                f"FixedNoiseGaussian is supported by the exact GPR only "
+                f"(and DerivativeGPR), not {type(self).__name__}; for "
+                "input-dependent noise in a sparse model use "
+                "HeteroscedasticSVGP"
+            )
         self.mean_function = (
             _means.as_mean_function(mean_function)
             if mean_function is not None

@@ -86,6 +86,8 @@ class DerivativeGPR(GPModel):
     (posterior moments of ∇f at new points).
     """
 
+    _supports_fixed_noise = True  # per-observation value noise in _noise_diag
+
     def __init__(
         self,
         x,
@@ -186,13 +188,17 @@ class DerivativeGPR(GPModel):
         return jnp.concatenate([m.reshape(-1), gm.reshape(-1)])[:, None]
 
     def _noise_diag(self, n, d, dtype):
-        sy = self.likelihood.variance.value.reshape(())
+        from ..likelihoods import FixedNoiseGaussian
+
+        if isinstance(self.likelihood, FixedNoiseGaussian):
+            # per-observation value noise (known measurement errors)
+            sy_diag = self.likelihood.noise_diag(n).astype(dtype)
+        else:
+            sy = self.likelihood.variance.value.reshape(())
+            sy_diag = jnp.broadcast_to(sy, (n,)).astype(dtype)
         sg = self.grad_variance.value.reshape(())
         return jnp.concatenate(
-            [
-                jnp.broadcast_to(sy, (n,)).astype(dtype),
-                jnp.broadcast_to(sg, (n * d,)).astype(dtype),
-            ]
+            [sy_diag, jnp.broadcast_to(sg, (n * d,)).astype(dtype)]
         )
 
     def _factor(self, x, y, dydx):

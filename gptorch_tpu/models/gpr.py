@@ -76,6 +76,8 @@ class GPR(GPModel):
     to the dense path it exists to avoid.
     """
 
+    _supports_fixed_noise = True  # heteroscedastic Kyy diag in _compute_kyy
+
     def __init__(
         self,
         x,

@@ -108,6 +108,21 @@ class GPRPosterior(Posterior):
         sigma2 = self.likelihood.variance.value.reshape(())
         nb = x_new.shape[0]
 
+        from ..likelihoods import FixedNoiseGaussian
+
+        likelihood = self.likelihood
+        if isinstance(likelihood, FixedNoiseGaussian):
+            # fantasy rows carry no KNOWN measurement noise (only the
+            # learned extra, the sigma2 used in S below); extend the fixed
+            # vector so the augmented posterior's noise_diag/sample_paths
+            # stay consistent with its grown X
+            likelihood = likelihood.replace(
+                fixed=jnp.concatenate(
+                    [likelihood.fixed,
+                     jnp.zeros((nb,), likelihood.fixed.dtype)]
+                )
+            )
+
         A = trtrs(self.kernel.K(self.X, x_new), self.L)  # (n, nb)
         S = (
             self.kernel.K(x_new)
@@ -124,7 +139,7 @@ class GPRPosterior(Posterior):
         L_aug = L_aug.at[n:, n:].set(L_S)
         return GPRPosterior(
             self.kernel,
-            self.likelihood,
+            likelihood,
             self.mean_function,
             jnp.concatenate([self.X, x_new], axis=0),
             L_aug,

@@ -139,16 +139,6 @@ class _InducingPointsGP(GPModel):
         name: str = "sparse_gp",
     ):
         super().__init__(x, y, kernel, likelihood, mean_function, name)
-        from ..likelihoods import FixedNoiseGaussian
-
-        if isinstance(self.likelihood, FixedNoiseGaussian):
-            # the sparse bounds read ONE scalar sigma^2; silently using the
-            # learned extra while ignoring the per-point part would be wrong
-            raise ValueError(
-                "FixedNoiseGaussian is supported by the exact GPR only; "
-                "for input-dependent noise in a sparse model use "
-                "HeteroscedasticSVGP"
-            )
         # Optional always-on relative floor jitter on Kuu.  Default 0.0 ==
         # exact reference behavior (jitter only on Cholesky FAILURE,
         # functions.py:20-43); set ~1e-6 for training runs where Z moves and

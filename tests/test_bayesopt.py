@@ -360,3 +360,11 @@ class TestQEI:
             bo.observe(np.asarray([v]), v)
         with pytest.raises(ValueError, match="stationary"):
             bo.suggest_batch(2, strategy="qei")
+
+    def test_q_larger_than_n_samples_still_returns_q_points(self):
+        m, _ = self._post()
+        out = bayesopt.suggest_qei(
+            m, [[0.0, 1.0]], q=5, n_samples=3, n_candidates=64,
+            refine_steps=5, key=jax.random.PRNGKey(3),
+        )
+        assert out.shape == (5, 1)

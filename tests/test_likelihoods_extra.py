@@ -270,3 +270,52 @@ class TestFixedNoiseGaussian:
                 likelihood=likelihoods.FixedNoiseGaussian(np.full(25, 0.01)))
         with pytest.raises(ValueError, match="non-negative"):
             likelihoods.FixedNoiseGaussian([-1.0])
+
+    def test_central_gate_covers_all_models(self):
+        """Every model family that reads a scalar sigma^2 must reject
+        FixedNoiseGaussian at construction (review round-3c finding)."""
+        from gptorch_tpu.models import StateSpaceGPR, VecchiaGPR
+
+        _, x, y = self._data()
+        lik = likelihoods.FixedNoiseGaussian(np.full(25, 0.01))
+        with pytest.raises(ValueError, match="exact GPR only"):
+            VecchiaGPR(x, y, kernels.Matern32(1), likelihood=lik,
+                       num_neighbors=4)
+        with pytest.raises(ValueError, match="exact GPR only"):
+            StateSpaceGPR(x, y, kernels.Matern32(1), likelihood=lik)
+
+    def test_derivative_gpr_honors_fixed_noise(self):
+        from gptorch_tpu.models import DerivativeGPR
+
+        _, x, y = self._data()
+        g = 2 * np.cos(2 * x)
+        m = DerivativeGPR(
+            x, y, kernels.Rbf(1), g,
+            likelihood=likelihoods.FixedNoiseGaussian(
+                np.full(25, 4.0), extra_variance=1e-6, learn_extra=False),
+            grad_variance=1e-4,
+        )
+        nd = np.asarray(m._noise_diag(25, 1, jnp.float64))
+        assert nd[:25] == pytest.approx(4.0 + 1e-6)
+        assert nd[25:] == pytest.approx(1e-4, rel=1e-6)
+
+    def test_condition_on_extends_fixed_noise(self):
+        """Fantasy conditioning must keep the likelihood's fixed vector
+        aligned with the grown X (review round-3c finding)."""
+        import jax
+
+        from gptorch_tpu.models import GPR
+
+        _, x, y = self._data()
+        m = GPR(x, y, kernels.Rbf(1),
+                likelihood=likelihoods.FixedNoiseGaussian(
+                    np.full(25, 0.01), learn_extra=False))
+        p2 = m.posterior().condition_on(
+            np.asarray([[0.5]]), np.asarray([[0.3]])
+        )
+        assert p2.likelihood.fixed.shape == (26,)
+        paths = p2.sample_paths(
+            n_samples=2, num_features=64, key=jax.random.PRNGKey(0)
+        )
+        out = paths(jnp.asarray(x[:3]))
+        assert out.shape == (2, 3, 1)
