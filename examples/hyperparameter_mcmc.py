@@ -35,6 +35,12 @@ def main(argv=None):
     parser.add_argument("--num-samples", type=int, default=300)
     parser.add_argument("--num-warmup", type=int, default=300)
     parser.add_argument("--num-chains", type=int, default=2)
+    parser.add_argument(
+        "--sampler",
+        choices=("hmc", "nuts"),
+        default="hmc",
+        help="nuts picks trajectory lengths itself (no num_leapfrog)",
+    )
     args = parser.parse_args(argv)
 
     rng = np.random.RandomState(0)
@@ -56,6 +62,7 @@ def main(argv=None):
         num_warmup=args.num_warmup,
         num_chains=args.num_chains,
         num_leapfrog=16,
+        sampler=args.sampler,
     )
 
     ls = np.asarray(samples["kernel.length_scales"])

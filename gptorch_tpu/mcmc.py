@@ -1,4 +1,5 @@
-"""Fully-Bayesian hyperparameter inference: HMC over unconstrained space.
+"""Fully-Bayesian hyperparameter inference: HMC / NUTS over unconstrained
+space.
 
 The reference attaches priors to parameters but only ever uses them for MAP
 (penalized-likelihood) fitting -- ``Model.log_prior`` summed into the loss
@@ -44,6 +45,7 @@ from jax.flatten_util import ravel_pytree
 __all__ = [
     "log_posterior_fn",
     "hmc",
+    "nuts",
     "sample_posterior",
     "predict_mixture",
     "elliptical_slice",
@@ -263,6 +265,373 @@ def hmc(
 
 
 # ---------------------------------------------------------------------------
+# NUTS: dynamic trajectory lengths (Hoffman & Gelman 2014), iterative form
+#
+# The recursive BuildTree of the paper is hostile to XLA (unbounded Python
+# recursion, data-dependent tree shapes).  This is the checkpointed
+# ITERATIVE construction (the Stan / numpyro lowering): a subtree of
+# 2^depth leapfrog states is built as one ``lax.while_loop``, storing the
+# momentum + running momentum-sum of every EVEN-indexed leaf in a
+# (max_depth, dim) checkpoint stack and, at every ODD-indexed leaf, checking
+# the generalized U-turn criterion over exactly the balanced binary
+# intervals that end there (leaf ``i`` closes the intervals
+# ``[i+1-2^j, i]`` for each ``j`` with ``2^j | i+1``; their left edges live
+# at checkpoint indices ``popcount(i>>1) - trailing_ones(i) + 1 ..
+# popcount(i>>1)``).  The momentum-SUM turning criterion
+# ``(sum p)·v_edge < 0`` is used because it is invariant under the build
+# direction (the sum is the same multiset either way and the two edge
+# checks are OR'd), so backward subtrees need no special casing.
+# Proposals are multinomial: uniform-progressive within a subtree,
+# biased-progressive (favor the new half) across doublings.
+
+
+def _popcount(n):
+    """Set-bit count of a scalar int32 (leaf indices < 2^15)."""
+
+    def body(j, acc):
+        return acc + ((n >> j) & 1)
+
+    return lax.fori_loop(0, 16, body, jnp.zeros_like(n))
+
+
+def _trailing_ones(n):
+    """Number of consecutive low 1-bits: popcount of n & ~(n+1)."""
+    return _popcount(n & ~(n + 1))
+
+
+def _is_turning(p_sum, p_a, p_b, inv_mass):
+    """Generalized U-turn test over a trajectory interval: the interval's
+    momentum sum projected on either edge velocity is negative."""
+    return (jnp.dot(p_sum, inv_mass * p_a) < 0.0) | (
+        jnp.dot(p_sum, inv_mass * p_b) < 0.0
+    )
+
+
+def _nuts_subtree(
+    logdensity_grad,
+    edge,
+    eps,
+    inv_mass,
+    num_leaves,
+    h0,
+    key,
+    max_depth,
+    max_delta,
+):
+    """Build ``num_leaves`` leapfrog states from ``edge`` (signed ``eps``;
+    ``edge`` itself is NOT a leaf).  Returns the far edge state, the
+    multinomial subtree proposal, the subtree's total log weight and
+    momentum sum, turning/divergence flags, and the accept-prob
+    accumulator for dual averaging."""
+    q0, p0, grad0, logp0 = edge
+    dim = q0.shape[0]
+    dt = q0.dtype
+
+    def one_leapfrog(q, p, grad):
+        p = p + 0.5 * eps * grad
+        q = q + eps * inv_mass * p
+        logp, grad = logdensity_grad(q)
+        p = p + 0.5 * eps * grad
+        return q, p, grad, logp
+
+    state = dict(
+        i=jnp.int32(0),
+        q=q0,
+        p=p0,
+        grad=grad0,
+        logp=logp0,
+        psum=jnp.zeros(dim, dt),
+        zq=q0,
+        zlogp=logp0,
+        zgrad=grad0,
+        logw=jnp.asarray(-jnp.inf, dt),
+        sum_acc=jnp.asarray(0.0, dt),
+        turning=jnp.asarray(False),
+        divergent=jnp.asarray(False),
+        key=key,
+        ckpt_p=jnp.zeros((max_depth, dim), dt),
+        ckpt_s=jnp.zeros((max_depth, dim), dt),
+    )
+
+    def cond_fn(st):
+        return (st["i"] < num_leaves) & ~st["turning"] & ~st["divergent"]
+
+    def body_fn(st):
+        i = st["i"]
+        q, p, grad, logp = one_leapfrog(st["q"], st["p"], st["grad"])
+        delta = (-logp + _kinetic(p, inv_mass)) - h0
+        diverged = ~jnp.isfinite(delta) | (delta > max_delta)
+        logw_leaf = jnp.where(diverged, -jnp.inf, -delta)
+        sum_acc = st["sum_acc"] + jnp.where(
+            diverged, 0.0, jnp.minimum(1.0, jnp.exp(jnp.minimum(-delta, 0.0)))
+        )
+        psum = st["psum"] + p
+
+        # uniform-progressive multinomial proposal within the subtree
+        logw_tot = jnp.logaddexp(st["logw"], logw_leaf)
+        key, sub = jax.random.split(st["key"])
+        take = (~diverged) & (
+            jnp.log(jax.random.uniform(sub, dtype=dt)) < logw_leaf - logw_tot
+        )
+        zq = jnp.where(take, q, st["zq"])
+        zlogp = jnp.where(take, logp, st["zlogp"])
+        zgrad = jnp.where(take, grad, st["zgrad"])
+
+        even = (i % 2) == 0
+        ck = _popcount(i)
+        ckpt_p = jnp.where(even, st["ckpt_p"].at[ck].set(p), st["ckpt_p"])
+        ckpt_s = jnp.where(even, st["ckpt_s"].at[ck].set(psum), st["ckpt_s"])
+
+        idx_max = _popcount(i >> 1)
+        idx_min = idx_max - _trailing_ones(i) + 1
+
+        def check(j, turning):
+            interval_sum = psum - ckpt_s[j] + ckpt_p[j]
+            hit = _is_turning(interval_sum, ckpt_p[j], p, inv_mass)
+            return turning | (hit & (j >= idx_min) & (j <= idx_max))
+
+        turn_here = lax.fori_loop(0, max_depth, check, jnp.asarray(False))
+        turning = st["turning"] | (~even & turn_here)
+
+        return dict(
+            i=i + 1,
+            q=q,
+            p=p,
+            grad=grad,
+            logp=logp,
+            psum=psum,
+            zq=zq,
+            zlogp=zlogp,
+            zgrad=zgrad,
+            logw=logw_tot,
+            sum_acc=sum_acc,
+            turning=turning,
+            divergent=diverged,
+            key=key,
+            ckpt_p=ckpt_p,
+            ckpt_s=ckpt_s,
+        )
+
+    return lax.while_loop(cond_fn, body_fn, state)
+
+
+def _nuts_transition(
+    logdensity_grad, q, logp, grad, eps, inv_mass, max_depth, key,
+    max_delta=1000.0,
+):
+    """One NUTS transition.  Returns
+    ``(q, logp, grad, accept_stat, divergent, depth)`` where
+    ``accept_stat`` is the mean Metropolis accept probability over the
+    leapfrog states visited (Stan's dual-averaging statistic)."""
+    dim = q.shape[0]
+    dt = q.dtype
+    key_mom, key_loop = jax.random.split(key)
+    p0 = jax.random.normal(key_mom, (dim,), dt) / jnp.sqrt(inv_mass)
+    h0 = -logp + _kinetic(p0, inv_mass)
+
+    state = dict(
+        depth=jnp.int32(0),
+        turning=jnp.asarray(False),
+        divergent=jnp.asarray(False),
+        key=key_loop,
+        ql=q, pl=p0, gl=grad, lpl=logp,
+        qr=q, pr=p0, gr=grad, lpr=logp,
+        psum=p0,
+        zq=q, zlogp=logp, zgrad=grad,
+        logw=jnp.asarray(0.0, dt),
+        sum_acc=jnp.asarray(0.0, dt),
+        n_leaves=jnp.asarray(0.0, dt),
+    )
+
+    def cond_fn(st):
+        return (st["depth"] < max_depth) & ~st["turning"] & ~st["divergent"]
+
+    def body_fn(st):
+        key, kd, ks, kb = jax.random.split(st["key"], 4)
+        go_right = jax.random.bernoulli(kd)
+
+        def pick(a, b):
+            return jnp.where(go_right, a, b)
+
+        edge = (
+            pick(st["qr"], st["ql"]),
+            pick(st["pr"], st["pl"]),
+            pick(st["gr"], st["gl"]),
+            pick(st["lpr"], st["lpl"]),
+        )
+        eps_signed = jnp.where(go_right, eps, -eps)
+        num_leaves = jnp.int32(1) << st["depth"]
+        sub = _nuts_subtree(
+            logdensity_grad, edge, eps_signed, inv_mass, num_leaves, h0,
+            ks, max_depth, max_delta,
+        )
+        ok = ~sub["turning"] & ~sub["divergent"]
+
+        # biased progressive sampling across the doubling (favor the new
+        # half: accept with prob min(1, W_new / W_old))
+        take = ok & (
+            jnp.log(jax.random.uniform(kb, dtype=dt))
+            < sub["logw"] - st["logw"]
+        )
+        zq = jnp.where(take, sub["zq"], st["zq"])
+        zlogp = jnp.where(take, sub["zlogp"], st["zlogp"])
+        zgrad = jnp.where(take, sub["zgrad"], st["zgrad"])
+
+        logw = jnp.where(ok, jnp.logaddexp(st["logw"], sub["logw"]), st["logw"])
+        psum = jnp.where(ok, st["psum"] + sub["psum"], st["psum"])
+
+        def upd(new, old_r, old_l):
+            right = jnp.where(ok & go_right, new, old_r)
+            left = jnp.where(ok & ~go_right, new, old_l)
+            return right, left
+
+        qr, ql = upd(sub["q"], st["qr"], st["ql"])
+        pr, pl = upd(sub["p"], st["pr"], st["pl"])
+        gr, gl = upd(sub["grad"], st["gr"], st["gl"])
+        lpr, lpl = upd(sub["logp"], st["lpr"], st["lpl"])
+
+        turning = sub["turning"] | (
+            ok & _is_turning(psum, pl, pr, inv_mass)
+        )
+
+        return dict(
+            depth=st["depth"] + 1,
+            turning=turning,
+            divergent=sub["divergent"],
+            key=key,
+            ql=ql, pl=pl, gl=gl, lpl=lpl,
+            qr=qr, pr=pr, gr=gr, lpr=lpr,
+            psum=psum,
+            zq=zq, zlogp=zlogp, zgrad=zgrad,
+            logw=logw,
+            sum_acc=st["sum_acc"] + sub["sum_acc"],
+            n_leaves=st["n_leaves"] + sub["i"].astype(dt),
+        )
+
+    st = lax.while_loop(cond_fn, body_fn, state)
+    accept_stat = st["sum_acc"] / jnp.maximum(st["n_leaves"], 1.0)
+    return (
+        st["zq"], st["zlogp"], st["zgrad"], accept_stat, st["divergent"],
+        st["depth"],
+    )
+
+
+def _nuts_phase(
+    logdensity_grad,
+    q0,
+    key,
+    num_iters,
+    max_depth,
+    eps0,
+    inv_mass,
+    adapt: bool,
+    target_accept=0.8,
+):
+    """One scan of NUTS transitions; same dual-averaging / Welford
+    adaptation as :func:`_hmc_phase` with the per-transition mean leaf
+    accept probability as the adaptation statistic."""
+    dim = q0.shape[0]
+    logp0, grad0 = logdensity_grad(q0)
+
+    mu = jnp.log(10.0 * eps0)
+    da0 = (jnp.log(eps0), 0.0, 0.0)
+    welford0 = (jnp.zeros(dim, q0.dtype), jnp.zeros(dim, q0.dtype), 0.0)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def transition(carry, key):
+        q, logp, grad, log_eps, da, wf = carry
+        log_eps_bar, h_bar, count = da
+
+        q, logp, grad, accept_stat, divergent, _ = _nuts_transition(
+            logdensity_grad, q, logp, grad, jnp.exp(log_eps), inv_mass,
+            max_depth, key,
+        )
+
+        if adapt:
+            count = count + 1.0
+            h_bar = (1.0 - 1.0 / (count + t0)) * h_bar + (
+                target_accept - accept_stat
+            ) / (count + t0)
+            log_eps = mu - jnp.sqrt(count) / gamma * h_bar
+            w = count**-kappa
+            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            mean, m2, n = wf
+            n = n + 1.0
+            delta = q - mean
+            mean = mean + delta / n
+            m2 = m2 + delta * (q - mean)
+            wf = (mean, m2, n)
+
+        carry = (q, logp, grad, log_eps, (log_eps_bar, h_bar, count), wf)
+        return carry, (q, accept_stat, divergent)
+
+    carry0 = (q0, logp0, grad0, jnp.log(eps0), da0, welford0)
+    carry, (qs, accept, div) = lax.scan(
+        transition, carry0, jax.random.split(key, num_iters)
+    )
+    q, logp, grad, log_eps, (log_eps_bar, _, _), (mean, m2, n) = carry
+    var = m2 / jnp.maximum(n - 1.0, 1.0)
+    return q, jnp.exp(log_eps_bar), var, (qs, accept, div)
+
+
+def nuts(
+    logdensity: Callable,
+    init,
+    key,
+    num_samples: int = 500,
+    num_warmup: int = 500,
+    max_depth: int = 10,
+    step_size: float = 0.1,
+    adapt_mass: bool = True,
+    target_accept: float = 0.8,
+) -> tuple:
+    """Run one No-U-Turn chain on a pytree-valued ``logdensity``.
+
+    Same warmup schedule and return convention as :func:`hmc` (two
+    dual-averaging phases bracketing a diagonal mass estimate), but the
+    trajectory length per transition is chosen dynamically by trajectory
+    doubling up to ``2^max_depth`` leapfrog steps — no ``num_leapfrog``
+    to tune.  ``HMCResult.accept_prob`` holds the per-transition mean
+    leaf accept probability.
+    """
+    q0, unravel = ravel_pytree(init)
+    dim = q0.shape[0]
+    if dim == 0:
+        raise ValueError("nuts: no sampled values (empty init pytree)")
+    if not 1 <= int(max_depth) <= 15:
+        raise ValueError("nuts: max_depth must be in [1, 15]")
+
+    def logdensity_flat(q):
+        return jnp.reshape(logdensity(unravel(q)), ())
+
+    logdensity_grad = jax.value_and_grad(logdensity_flat)
+
+    key_a, key_b, key_s = jax.random.split(key, 3)
+    inv_mass = jnp.ones(dim, q0.dtype)
+    eps0 = jnp.asarray(step_size, q0.dtype)
+
+    na = num_warmup // 2 if adapt_mass else num_warmup
+    q1, eps1, var, _ = _nuts_phase(
+        logdensity_grad, q0, key_a, na, max_depth, eps0, inv_mass,
+        adapt=True, target_accept=target_accept,
+    )
+    if adapt_mass:
+        n = jnp.asarray(na, q0.dtype)
+        inv_mass = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * jnp.ones_like(var)
+        inv_mass = jnp.clip(inv_mass, 1e-6, 1e6)
+        q1, eps1, _, _ = _nuts_phase(
+            logdensity_grad, q1, key_b, num_warmup - na, max_depth, eps1,
+            inv_mass, adapt=True, target_accept=target_accept,
+        )
+
+    _, _, _, (qs, accept, div) = _nuts_phase(
+        logdensity_grad, q1, key_s, num_samples, max_depth, eps1, inv_mass,
+        adapt=False, target_accept=target_accept,
+    )
+    return HMCResult(qs, accept, div, eps1, inv_mass), unravel
+
+
+# ---------------------------------------------------------------------------
 # model-level driver
 
 
@@ -278,6 +647,8 @@ def sample_posterior(
     init_jitter: float = 0.1,
     adapt_mass: bool = True,
     target_accept: float = 0.8,
+    sampler: str = "hmc",
+    max_depth: int = 10,
 ):
     """Sample the hyperparameter posterior of ``model``.
 
@@ -287,6 +658,10 @@ def sample_posterior(
     even for one chain), and ``result`` is the flat :class:`HMCResult`
     (diagnostics: ``accept_prob``, ``divergent``, adapted ``step_size`` /
     ``inv_mass``).
+
+    ``sampler``: ``"hmc"`` (fixed ``num_leapfrog`` trajectories) or
+    ``"nuts"`` (dynamic trajectory doubling up to ``2^max_depth`` steps;
+    ``num_leapfrog`` is ignored).
 
     Chains start from the model's current values, jittered by
     ``init_jitter`` times a standard normal in unconstrained space (chain 0
@@ -312,18 +687,33 @@ def sample_posterior(
     offsets = offsets.at[0].set(0.0) * init_jitter
     inits = q0_flat[None, :] + offsets
 
+    if sampler not in ("hmc", "nuts"):
+        raise ValueError("sampler must be 'hmc' or 'nuts'")
+
     def run_chain(q_init, chain_key):
-        res, _ = hmc(
-            lambda tree: logpi(tree),
-            unravel(q_init),
-            chain_key,
+        common = dict(
             num_samples=num_samples,
             num_warmup=num_warmup,
-            num_leapfrog=num_leapfrog,
             step_size=step_size,
             adapt_mass=adapt_mass,
             target_accept=target_accept,
         )
+        if sampler == "nuts":
+            res, _ = nuts(
+                lambda tree: logpi(tree),
+                unravel(q_init),
+                chain_key,
+                max_depth=max_depth,
+                **common,
+            )
+        else:
+            res, _ = hmc(
+                lambda tree: logpi(tree),
+                unravel(q_init),
+                chain_key,
+                num_leapfrog=num_leapfrog,
+                **common,
+            )
         return res
 
     result = jax.jit(jax.vmap(run_chain))(inits, chain_keys)

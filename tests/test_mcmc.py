@@ -13,10 +13,13 @@ import jax.numpy as jnp
 
 from gptorch_tpu import kernels, likelihoods, priors
 from gptorch_tpu.mcmc import (
+    _popcount,
+    _trailing_ones,
     effective_sample_size,
     elliptical_slice,
     hmc,
     log_posterior_fn,
+    nuts,
     potential_scale_reduction,
     predict_latent_mixture,
     predict_mixture,
@@ -73,6 +76,67 @@ class TestHMCCore:
         assert tree["a"].shape == () and tree["b"].shape == (3,)
         with pytest.raises(ValueError, match="empty"):
             hmc(lambda t: jnp.asarray(0.0), {}, jax.random.PRNGKey(0))
+
+
+class TestNUTSCore:
+    def test_bit_helpers_match_python(self):
+        for n in range(64):
+            assert int(_popcount(jnp.int32(n))) == bin(n).count("1")
+            # trailing ones: low consecutive 1-bits
+            t, m = 0, n
+            while m & 1:
+                t, m = t + 1, m >> 1
+            assert int(_trailing_ones(jnp.int32(n))) == t
+
+    def test_correlated_gaussian_moments(self):
+        rng = np.random.RandomState(0)
+        A = rng.randn(3, 3)
+        cov = A @ A.T + 0.5 * np.eye(3)
+        mu = np.array([1.0, -2.0, 0.5])
+        prec = jnp.asarray(np.linalg.inv(cov))
+
+        def logpi(x):
+            d = x - mu
+            return -0.5 * d @ prec @ d
+
+        res, unravel = nuts(
+            logpi,
+            jnp.zeros(3),
+            jax.random.PRNGKey(0),
+            num_samples=3000,
+            num_warmup=1000,
+        )
+        s = np.asarray(res.samples)
+        assert unravel(s[0]).shape == (3,)
+        assert float(np.asarray(res.divergent).mean()) == 0.0
+        # dual averaging lands near the 0.8 target
+        assert 0.6 < float(np.asarray(res.accept_prob).mean()) < 0.95
+        assert np.all(np.abs(s.mean(0) - mu) < 0.2)
+        rel = np.max(np.abs(np.cov(s.T) - cov)) / np.max(np.abs(cov))
+        assert rel < 0.15
+
+    def test_validation(self):
+        logd = lambda t: -0.5 * jnp.sum(t**2)
+        with pytest.raises(ValueError, match="empty"):
+            nuts(lambda t: jnp.asarray(0.0), {}, jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="max_depth"):
+            nuts(logd, jnp.zeros(2), jax.random.PRNGKey(0), max_depth=0)
+
+    def test_anisotropic_without_mass_adaptation(self):
+        # scales 1:30 — fixed-length HMC needs num_leapfrog tuned to the
+        # slowest direction; NUTS finds the trajectory length itself.
+        scales = jnp.asarray([1.0, 30.0])
+        logd = lambda x: -0.5 * jnp.sum((x / scales) ** 2)
+        res, _ = nuts(
+            logd,
+            jnp.zeros(2),
+            jax.random.PRNGKey(4),
+            num_samples=2000,
+            num_warmup=500,
+            adapt_mass=False,
+        )
+        qs = np.asarray(res.samples)
+        assert np.allclose(qs.std(0) / np.asarray(scales), 1.0, atol=0.3)
 
 
 class _PriorOnly(Module):
@@ -158,6 +222,33 @@ class TestModelPosterior:
         assert 0.01 < noise.mean() < 0.1  # true noise var 0.04
         ls = np.asarray(samples["kernel.length_scales"]).ravel()
         assert 0.3 < ls.mean() < 2.0
+
+    def test_nuts_sampler_matches_hmc(self, gpr_samples):
+        model, hmc_samples, _ = gpr_samples
+        samples, res = sample_posterior(
+            model,
+            jax.random.PRNGKey(7),
+            num_samples=300,
+            num_warmup=300,
+            num_chains=2,
+            sampler="nuts",
+        )
+        assert set(samples) == set(hmc_samples)
+        assert int(np.asarray(res.divergent).sum()) == 0
+        assert float(np.asarray(res.accept_prob).mean()) > 0.6
+        for name in samples:
+            a = np.asarray(samples[name]).ravel()
+            b = np.asarray(hmc_samples[name]).ravel()
+            # same posterior: means agree within the larger posterior sd
+            assert abs(a.mean() - b.mean()) < max(a.std(), b.std())
+            assert float(np.max(np.asarray(
+                potential_scale_reduction(samples[name])
+            ))) < 1.1
+
+    def test_unknown_sampler_raises(self, gpr_samples):
+        model, _, _ = gpr_samples
+        with pytest.raises(ValueError, match="sampler"):
+            sample_posterior(model, jax.random.PRNGKey(0), sampler="gibbs")
 
     def test_predict_mixture(self, gpr_samples):
         model, samples, _ = gpr_samples
