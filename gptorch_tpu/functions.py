@@ -159,17 +159,22 @@ def inverse(a):
     jit_op).  General matrices rarely need jitter; we factor via LU and only
     jitter if the result is non-finite."""
     a = jnp.asarray(a)
-    out = jnp.linalg.inv(a)
     if settings.config.jitter_policy == "none":
-        return out
-    bad = ~jnp.all(jnp.isfinite(out))
-    jitter = settings.config.fixed_jitter * jnp.mean(
-        jnp.abs(jnp.diagonal(a, axis1=-2, axis2=-1))
+        return jnp.linalg.inv(a)
+    # Probe on a stop_gradient'd copy; BOTH inverses live inside the cond.
+    # Hoisting the bare inverse out and referencing it from the untaken
+    # branch gives the NaN factor a zero cotangent, and 0·NaN = NaN in the
+    # VJP (same failure mode documented for `cholesky` above).
+    probe = jnp.linalg.inv(lax.stop_gradient(a))
+    bad = ~jnp.all(jnp.isfinite(probe))
+    jitter = lax.stop_gradient(
+        settings.config.fixed_jitter
+        * jnp.mean(jnp.abs(jnp.diagonal(a, axis1=-2, axis2=-1)))
     )
     return lax.cond(
         bad,
         lambda: jnp.linalg.inv(a + jitter * _eye_like(a)),
-        lambda: out,
+        lambda: jnp.linalg.inv(a),
     )
 
 

@@ -84,9 +84,13 @@ class White(Static):
 
     def K(self, X, X2=None):
         if X2 is None:
-            return self.variance.value.reshape(()) * jnp.eye(
-                X.shape[0], dtype=self.variance.dtype
-            )
+            # where-on-broadcasted-iota, NOT jnp.eye: a materialized n² mask
+            # in a Gram chain breaks XLA fusion on TPU (CLAUDE.md).
+            n = X.shape[0]
+            rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            var = self.variance.value.reshape(()).astype(self.variance.dtype)
+            return jnp.where(rows == cols, var, jnp.zeros((), var.dtype))
         return jnp.zeros(_k_shape(X, X2), dtype=self.variance.dtype)
 
 

@@ -67,6 +67,11 @@ class HMCResult(NamedTuple):
     divergent: jax.Array  # (..., num_samples) bool
     step_size: jax.Array  # (...,) adapted step size
     inv_mass: jax.Array  # (..., dim) adapted diagonal inverse mass
+    tree_depth: jax.Array | None = None  # (..., num_samples) NUTS only;
+    # values pinned at max_depth mean trajectories are being truncated --
+    # each such transition costs up to 2^max_depth gradient evaluations,
+    # and under vmapped multi-chain loops every chain pays the slowest
+    # chain's trip count.  Watch this when warmup feels slow.
 
 
 # ---------------------------------------------------------------------------
@@ -406,7 +411,9 @@ def _nuts_subtree(
             logw=logw_tot,
             sum_acc=sum_acc,
             turning=turning,
-            divergent=diverged,
+            # OR, not overwrite: keeps the flag monotone even if the loop
+            # condition is ever relaxed past the first divergence.
+            divergent=st["divergent"] | diverged,
             key=key,
             ckpt_p=ckpt_p,
             ckpt_s=ckpt_s,
@@ -497,7 +504,7 @@ def _nuts_transition(
         return dict(
             depth=st["depth"] + 1,
             turning=turning,
-            divergent=sub["divergent"],
+            divergent=st["divergent"] | sub["divergent"],
             key=key,
             ql=ql, pl=pl, gl=gl, lpl=lpl,
             qr=qr, pr=pr, gr=gr, lpr=lpr,
@@ -542,7 +549,7 @@ def _nuts_phase(
         q, logp, grad, log_eps, da, wf = carry
         log_eps_bar, h_bar, count = da
 
-        q, logp, grad, accept_stat, divergent, _ = _nuts_transition(
+        q, logp, grad, accept_stat, divergent, depth = _nuts_transition(
             logdensity_grad, q, logp, grad, jnp.exp(log_eps), inv_mass,
             max_depth, key,
         )
@@ -563,15 +570,15 @@ def _nuts_phase(
             wf = (mean, m2, n)
 
         carry = (q, logp, grad, log_eps, (log_eps_bar, h_bar, count), wf)
-        return carry, (q, accept_stat, divergent)
+        return carry, (q, accept_stat, divergent, depth)
 
     carry0 = (q0, logp0, grad0, jnp.log(eps0), da0, welford0)
-    carry, (qs, accept, div) = lax.scan(
+    carry, (qs, accept, div, depth) = lax.scan(
         transition, carry0, jax.random.split(key, num_iters)
     )
     q, logp, grad, log_eps, (log_eps_bar, _, _), (mean, m2, n) = carry
     var = m2 / jnp.maximum(n - 1.0, 1.0)
-    return q, jnp.exp(log_eps_bar), var, (qs, accept, div)
+    return q, jnp.exp(log_eps_bar), var, (qs, accept, div, depth)
 
 
 def nuts(
@@ -624,11 +631,11 @@ def nuts(
             inv_mass, adapt=True, target_accept=target_accept,
         )
 
-    _, _, _, (qs, accept, div) = _nuts_phase(
+    _, _, _, (qs, accept, div, depth) = _nuts_phase(
         logdensity_grad, q1, key_s, num_samples, max_depth, eps1, inv_mass,
         adapt=False, target_accept=target_accept,
     )
-    return HMCResult(qs, accept, div, eps1, inv_mass), unravel
+    return HMCResult(qs, accept, div, eps1, inv_mass, depth), unravel
 
 
 # ---------------------------------------------------------------------------
@@ -657,7 +664,10 @@ def sample_posterior(
     ``(num_chains, num_samples) + param_shape`` (leading chain axis kept
     even for one chain), and ``result`` is the flat :class:`HMCResult`
     (diagnostics: ``accept_prob``, ``divergent``, adapted ``step_size`` /
-    ``inv_mass``).
+    ``inv_mass``, and for NUTS ``tree_depth`` — if it sits at ``max_depth``
+    the sampler is truncating trajectories and each transition costs up to
+    ``2^max_depth`` gradient evaluations; with vmapped multi-chain loops
+    every chain pays the slowest chain's trip count per iteration).
 
     ``sampler``: ``"hmc"`` (fixed ``num_leapfrog`` trajectories) or
     ``"nuts"`` (dynamic trajectory doubling up to ``2^max_depth`` steps;
@@ -668,6 +678,9 @@ def sample_posterior(
     starts exactly at the current values), and run as ONE vmapped program.
     """
     from .module import get_trainable
+
+    if sampler not in ("hmc", "nuts"):
+        raise ValueError("sampler must be 'hmc' or 'nuts'")
 
     values = get_trainable(model)
     logpi = log_posterior_fn(model, jacobian=jacobian)
@@ -686,9 +699,6 @@ def sample_posterior(
     )
     offsets = offsets.at[0].set(0.0) * init_jitter
     inits = q0_flat[None, :] + offsets
-
-    if sampler not in ("hmc", "nuts"):
-        raise ValueError("sampler must be 'hmc' or 'nuts'")
 
     def run_chain(q_init, chain_key):
         common = dict(
