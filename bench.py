@@ -13,9 +13,12 @@ takes.
 
 Prints the headline JSON line first:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-then (TPU only, BENCH_ITERATIVE != 0) a SECOND line for the matrix-free
-exact-GPR step at N=100k -- the BASELINE.md stretch row (exact GP at
-N=100k on ONE chip), driver-attested via bench_iterative.run().
+then the flagship scaling portfolio, one JSON line each, every one
+fail-soft (a tunnel hiccup in one must not lose the others):
+  - matrix-free exact GPR at N=100k (BASELINE.md stretch row),
+  - Vecchia NLML+grad at N=200k (TPU; off on CPU by default),
+  - state-space exact GP at N=64k,
+  - SVGP amortized training step (M=1024, b=4096).
 
 Env overrides: BENCH_N (default 32768), BENCH_D (8), BENCH_ITERS (3),
 BENCH_NB (1024, blocked-factorization panel size; measured optimum),
@@ -99,16 +102,63 @@ def main():
         file=sys.stderr,
     )
 
+    on_tpu = jax.default_backend() == "tpu"
+
+    def _extra(flag, default, fn):
+        """Fail-soft extra metric: a tunnel hiccup or OOM in one flagship
+        line must not lose the others (CLAUDE.md round-3b)."""
+        if os.environ.get(flag, default) == "0":
+            return
+        try:
+            record, comment = fn()
+            print(json.dumps(record))
+            print(comment, file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# {flag} skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     if os.environ.get("BENCH_ITERATIVE", "1") != "0":
         import bench_iterative
 
-        on_tpu = jax.default_backend() == "tpu"
         iter_n = int(
             os.environ.get("BENCH_ITER_N", 100000 if on_tpu else min(n, 4096))
         )
-        record, comment = bench_iterative.run(n=iter_n, d=d, iters=2)
-        print(json.dumps(record))
-        print(comment, file=sys.stderr)
+        _extra(
+            "BENCH_ITERATIVE",
+            "1",
+            lambda: bench_iterative.run(n=iter_n, d=d, iters=2),
+        )
+
+    # Flagship scaling portfolio (VERDICT r3 item 3): attest the Vecchia /
+    # state-space / SVGP numbers in the driver-run bench, not just local
+    # logs.  Sizes shrink automatically off-TPU so CPU smoke stays fast.
+    import bench_ssgp
+    import bench_svgp
+    import bench_vecchia
+
+    _extra(
+        "BENCH_VECCHIA",
+        "1" if on_tpu else "0",
+        lambda: bench_vecchia.run(
+            n=int(os.environ.get("BENCH_VECCHIA_N", 200_000 if on_tpu else 5_000)),
+            iters=2,
+        ),
+    )
+    _extra(
+        "BENCH_SSGP",
+        "1",
+        lambda: bench_ssgp.run(
+            n=int(os.environ.get("BENCH_SSGP_N", 65_536 if on_tpu else 8_192)),
+            iters=2,
+        ),
+    )
+    _extra(
+        "BENCH_SVGP",
+        "1",
+        lambda: bench_svgp.run(
+            iters=20, scan_len=50 if on_tpu else 10,
+            n=45730 if on_tpu else 8192,
+        ),
+    )
 
 
 if __name__ == "__main__":

@@ -1,13 +1,13 @@
-"""Secondary benchmark: SVGP ELBO training steps/second.
+"""SVGP ELBO training-step throughput (M inducing points, minibatch b).
 
-BASELINE.md row: M=1024 inducing points, batch=4096, UCI-protein-like scale
-(N≈45k, d=9).  Measures full jit-compiled Adam steps (ELBO + grads + update)
-with the minibatch drawn on-device from a threaded PRNG key.
+The real-training configuration is ``scan_len`` whole optimizer steps
+compiled into ONE program (how ``fit_scan`` trains); per-step time is the
+scan wall-clock / scan_len.  Stepping singly through the axon tunnel adds
+~30 ms dispatch latency per step and is reported by BENCH_SCAN=1.
 
-Prints one JSON line (same schema as bench.py; this one is informational --
-the driver's headline metric is bench.py).  BENCH_WHITEN=1 benchmarks the
-whitened parameterization (u = L0 v) -- same per-step cost structure; see
-docs/design.md "Training recipe" for when to prefer it.
+Env overrides: BENCH_N (45730, the UCI-protein scale), BENCH_D (9),
+BENCH_M (1024), BENCH_BATCH (4096), BENCH_ITERS (20), BENCH_WHITEN (0),
+BENCH_SCAN (50).
 """
 
 import json
@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 
-def main():
+def run(n=45730, d=9, m=1024, batch=4096, iters=20, whiten=False, scan_len=50):
     import jax
     import jax.numpy as jnp
     import optax
@@ -26,13 +26,6 @@ def main():
     from gptorch_tpu import kernels, likelihoods, settings
     from gptorch_tpu.models import SVGP
     from gptorch_tpu.module import get_trainable, with_trainable
-
-    n = int(os.environ.get("BENCH_N", 45730))
-    d = int(os.environ.get("BENCH_D", 9))
-    m = int(os.environ.get("BENCH_M", 1024))
-    batch = int(os.environ.get("BENCH_BATCH", 4096))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
-    whiten = os.environ.get("BENCH_WHITEN", "0") == "1"
 
     rng = np.random.RandomState(0)
     x = rng.randn(n, d).astype(np.float32)
@@ -67,7 +60,6 @@ def main():
         values, opt_state, loss = step(values, opt_state, model, key)
         _ = float(loss)
 
-        scan_len = int(os.environ.get("BENCH_SCAN", 50))
         if scan_len > 1:
             # Amortize host/tunnel dispatch latency: run scan_len whole
             # steps inside one compiled call (how real training runs via
@@ -107,24 +99,34 @@ def main():
                 times.append(time.perf_counter() - t0)
             dt = min(times)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"svgp_elbo_m{m}_b{batch}"
-                + ("_whitened" if whiten else "")
-                + "_steps_per_s",
-                "value": round(1.0 / dt, 2),
-                "unit": "steps/s",
-                "vs_baseline": round(1.0 / dt, 2),
-            }
-        )
-    )
-    print(
+    record = {
+        "metric": f"svgp_elbo_m{m}_b{batch}"
+        + ("_whitened" if whiten else "")
+        + "_steps_per_s",
+        "value": round(1.0 / dt, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(1.0 / dt, 2),
+    }
+    comment = (
         f"# n={n} d={d} m={m} batch={batch} whiten={whiten} "
         f"time/step={dt*1e3:.1f} ms "
-        f"loss={float(loss):.1f} backend={jax.default_backend()}",
-        file=sys.stderr,
+        f"loss={float(loss):.1f} backend={jax.default_backend()}"
     )
+    return record, comment
+
+
+def main():
+    record, comment = run(
+        n=int(os.environ.get("BENCH_N", 45730)),
+        d=int(os.environ.get("BENCH_D", 9)),
+        m=int(os.environ.get("BENCH_M", 1024)),
+        batch=int(os.environ.get("BENCH_BATCH", 4096)),
+        iters=int(os.environ.get("BENCH_ITERS", 20)),
+        whiten=os.environ.get("BENCH_WHITEN", "0") == "1",
+        scan_len=int(os.environ.get("BENCH_SCAN", 50)),
+    )
+    print(json.dumps(record))
+    print(comment, file=sys.stderr)
 
 
 if __name__ == "__main__":

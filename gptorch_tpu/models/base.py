@@ -188,14 +188,16 @@ class GPModel(Module):
         the trained model is also returned for functional use.
         """
         if method in _fit.SCIPY_METHODS:
-            print("Scipy.optimize.minimize...")
+            if verbose:
+                print("Scipy.optimize.minimize...")
             trained, result = _fit.fit_scipy(
                 self, method=method, max_iter=max_iter, disp=verbose
             )
             self._adopt(trained)
             return result
 
-        print(f"{self.name}: Start optimizing via {method}")
+        if verbose:
+            print(f"{self.name}: Start optimizing via {method}")
         trained, losses, wall = _fit.fit_optax(
             self,
             method=method,
@@ -206,8 +208,9 @@ class GPModel(Module):
             callback=callback,
         )
         self._adopt(trained)
-        print(f"Optimization time taken: {wall} s")
-        print(f"Optimization method: {method}")
+        if verbose:
+            print(f"Optimization time taken: {wall} s")
+            print(f"Optimization method: {method}")
         return losses, wall
 
     def fit_scan(self, method="Adam", max_iter=2000, learning_rate=None, key=None):

@@ -68,6 +68,22 @@ class StateSpaceGPR(GPModel):
         self.X = self.X[order]
         self.Y = self.Y[order]
 
+    @property
+    def _scan_chunk(self):
+        """Two-level-scan chunk for very long series: the monolithic
+        associative scan's HLO grows with n and blew a 600 s remote-compile
+        budget at n=10⁶ (BASELINE.md round 3); chunking compiles the 64k
+        body once and loops it.  Override with GPTORCH_TPU_SSM_CHUNK
+        (0 = never chunk)."""
+        import os
+
+        env = os.environ.get("GPTORCH_TPU_SSM_CHUNK")
+        if env is not None:
+            c = int(env)
+            return c if c > 0 else None
+        n = self.X.shape[0]
+        return 65536 if n > 131072 else None
+
     def log_likelihood(self, x=None, y=None, key=None):
         """Exact log p(Y | X, θ) -- equal to the dense GPR value.
 
@@ -86,6 +102,7 @@ class StateSpaceGPR(GPModel):
             self.likelihood.variance.value.reshape(()),
             self.X[:, 0],
             resid,
+            chunk=self._scan_chunk,
         )
 
     def _predict(self, x_new, diag=True):

@@ -54,6 +54,8 @@ automatically.
 
 from __future__ import annotations
 
+import os
+
 import math
 from functools import partial
 
@@ -358,13 +360,23 @@ def _bwd(kind, jitter, nb, rel_jitter, res, g):
     log_ell, log_var, log_noise, x, y, L, alpha, log_extra = res
     n, dy = y.shape
 
-    # Consume L completely before allocating Kinv so its buffer is reusable.
-    A = solve_triangular(L, alpha, lower=True, trans=1)  # L⁻ᵀα = K⁻¹Y
-    # per-op measured panel optima on v5e at n=16k (bench_chol.py):
-    # trtri 82 TF/s @1024; tril_square_rec 56 TF/s @(512, leaf 4096)
-    # (divide-and-conquer beats the flat loop's skinny GEMMs, 48 TF/s)
-    Linv = blocked_trtri(L, min(nb, 1024))
-    Kinv = tril_square_rec(Linv, min(nb, 512), 4096)
+    if os.environ.get("GPTORCH_TPU_BWD_A", "solve") == "kinv":
+        # A/B probe (VERDICT r3 item 5): A = K⁻¹Y as one GEMV against the
+        # Kinv the backward builds anyway -- replaces the SEQUENTIAL 32k
+        # triangular solve (a latency-bound panel chain) with one
+        # HBM-bandwidth read of Kinv.
+        Linv = blocked_trtri(L, min(nb, 1024))
+        Kinv = tril_square_rec(Linv, min(nb, 512), 4096)
+        A = jnp.matmul(Kinv, y, preferred_element_type=y.dtype)
+    else:
+        # Consume L completely before allocating Kinv so its buffer is
+        # reusable.
+        A = solve_triangular(L, alpha, lower=True, trans=1)  # L⁻ᵀα = K⁻¹Y
+        # per-op measured panel optima on v5e at n=16k (bench_chol.py):
+        # trtri 82 TF/s @1024; tril_square_rec 56 TF/s @(512, leaf 4096)
+        # (divide-and-conquer beats the flat loop's skinny GEMMs, 48 TF/s)
+        Linv = blocked_trtri(L, min(nb, 1024))
+        Kinv = tril_square_rec(Linv, min(nb, 512), 4096)
 
     xs = _scaled(x, log_ell)
     svar, rowsum, MX, sextra = _contractions(

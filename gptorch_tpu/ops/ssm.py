@@ -367,7 +367,71 @@ def _filter_combine(elem_a, elem_b):
     return A, b, C, e, J
 
 
-def parallel_filter(A, Q, H, R, y, mask=None):
+def _identity_elem(s, dy, dtype):
+    """The neutral element of :func:`_filter_combine` (A=I, rest 0), shaped
+    for trailing-batch broadcasting against (s, ·, n) chunk arrays."""
+    return (
+        jnp.eye(s, dtype=dtype)[:, :, None],
+        jnp.zeros((s, dy, 1), dtype),
+        jnp.zeros((s, s, 1), dtype),
+        jnp.zeros((s, dy, 1), dtype),
+        jnp.zeros((s, s, 1), dtype),
+    )
+
+
+def _scan_prefix(elems, chunk=None):
+    """All-prefixes combine of trailing-batch filtering elements.
+
+    ``chunk=None``: one ``lax.associative_scan`` over the full length.
+    With ``chunk``: a two-level scan -- associative scan INSIDE fixed-size
+    chunks, a sequential ``lax.scan`` carrying the running prefix element
+    across chunk boundaries.  Associativity makes the results identical;
+    what changes is the COMPILED PROGRAM SIZE: the chunk body is traced
+    once, so a 10⁶-step filter compiles like a 64k-step one plus a loop
+    (the monolithic 1M associative_scan blew past a 600 s remote-compiler
+    budget on TPU, BASELINE.md round 3).  The body is ``jax.checkpoint``-ed
+    so backward memory stays one-chunk-sized.
+    """
+    n = elems[0].shape[2]
+    if chunk is None or n <= chunk:
+        return lax.associative_scan(_filter_combine, elems, axis=2)
+    s, dy, dtype = elems[0].shape[0], elems[1].shape[1], elems[0].dtype
+    ident = _identity_elem(s, dy, dtype)
+    pad = (-n) % chunk
+    if pad:
+        # Tail-pad with identity elements: suffix padding cannot perturb
+        # the prefixes at real positions.
+        elems = tuple(
+            jnp.concatenate(
+                [e, jnp.broadcast_to(i, i.shape[:2] + (pad,))], axis=2
+            )
+            for e, i in zip(elems, ident)
+        )
+    nt = elems[0].shape[2]
+    nc = nt // chunk
+
+    def split(a):  # (s, q, nt) -> (nc, s, q, chunk)
+        return a.reshape(a.shape[0], a.shape[1], nc, chunk).transpose(
+            2, 0, 1, 3
+        )
+
+    @jax.checkpoint
+    def body(carry, ch):
+        local = lax.associative_scan(_filter_combine, ch, axis=2)
+        full = _filter_combine(carry, local)
+        return tuple(a[..., -1:] for a in full), full
+
+    _, out = lax.scan(body, ident, tuple(split(a) for a in elems))
+
+    def join(a):  # (nc, s, q, chunk) -> (s, q, n)
+        return a.transpose(1, 2, 0, 3).reshape(
+            a.shape[1], a.shape[2], nt
+        )[..., :n]
+
+    return tuple(join(a) for a in out)
+
+
+def parallel_filter(A, Q, H, R, y, mask=None, chunk=None):
     """Kalman filter over all n steps as one associative scan.
 
     :param A: (n, s, s) transitions (A[0] = 0: stationary-prior start).
@@ -377,6 +441,8 @@ def parallel_filter(A, Q, H, R, y, mask=None):
     :param y: (n, dy) observations.
     :param mask: optional (n,) {0,1}; masked steps (0) are pure
         predictions -- used to interleave test points.
+    :param chunk: optional two-level-scan chunk size (see
+        :func:`_scan_prefix`); None = single associative scan.
     :return: filtered means (n, s, dy), covariances (n, s, s).
     """
     n, s = A.shape[0], A.shape[1]
@@ -406,9 +472,7 @@ def parallel_filter(A, Q, H, R, y, mask=None):
     elems = (
         _tb(A_e), _tb_vec(b_e), _tb(C_e), _tb_vec(e_e), _tb(J_e)
     )
-    _, b_f, C_f, _, _ = lax.associative_scan(
-        _filter_combine, elems, axis=2
-    )
+    _, b_f, C_f, _, _ = _scan_prefix(elems, chunk)
     return _untb_vec(b_f), _untb(C_f)
 
 
@@ -540,17 +604,19 @@ def assemble_sde(kernel, x_sorted):
     return A, Q, H, blocks
 
 
-def ssm_nlml(kernel, noise, x_sorted, y_sorted, mask=None):
+def ssm_nlml(kernel, noise, x_sorted, y_sorted, mask=None, chunk=None):
     """Negative log marginal likelihood, exactly equal to the dense GPR
     NLML for the same (kernel, noise, data) -- in O(n) work / O(log n)
     depth.
 
     :param x_sorted: (n,) ASCENDING inputs.
     :param y_sorted: (n, dy) observations in the same order.
+    :param chunk: optional two-level-scan chunk size for very long series
+        (compile-size control; see :func:`_scan_prefix`).
     """
     A, Q, H, _ = assemble_sde(kernel, x_sorted)
     R = jnp.asarray(noise, jnp.result_type(x_sorted)).reshape(())
-    means, covs = parallel_filter(A, Q, H, R, y_sorted, mask)
+    means, covs = parallel_filter(A, Q, H, R, y_sorted, mask, chunk=chunk)
     return -filter_nlml(A, Q, H, R, y_sorted, means, covs, mask)
 
 

@@ -264,6 +264,29 @@ class TestScaleHardenedDistributedGPR:
                 np.asarray(g_ref[key]), rel=1e-6, abs=1e-8
             )
 
+    def test_parity_at_8192(self, mesh):
+        """VERDICT round-3 item 6: raise the distributed-dense correctness
+        ceiling to n=8192 (16 local panels of 512 per device) -- stresses
+        block-boundary indexing and long accumulation chains the n=4096
+        case (8 panels) cannot."""
+        rng = np.random.RandomState(13)
+        x = rng.randn(8192, 3)
+        y = np.sin(x[:, :1]) + 0.1 * rng.randn(8192, 1)
+        k = kernels.Rbf(3)
+        lik = likelihoods.Gaussian(variance=0.1)
+        dm = DistributedGPR(x, y, k, lik, mesh)
+        sm = GPR(x, y, k, likelihood=lik, fast=True, fast_block=1024)
+
+        loss_d, grads_d = dm.loss_and_grad()
+        g_ref = jax.grad(lambda v: with_trainable(sm, v)._loss())(
+            get_trainable(sm)
+        )
+        assert float(loss_d) == pytest.approx(float(sm.loss()), rel=1e-9)
+        for key in g_ref:
+            assert np.asarray(grads_d[key]) == pytest.approx(
+                np.asarray(g_ref[key]), rel=1e-6, abs=1e-8
+            )
+
     def test_memory_plan_100k_fits_8x16(self):
         """BASELINE.md stretch: n=100k f32 exact GPR NLML+grad fits a v5e-8
         (15.75 GB usable HBM per chip) under the documented 3-slab plan."""

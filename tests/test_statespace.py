@@ -235,6 +235,78 @@ def test_nlml_jits_and_grads_finite():
         assert np.all(np.isfinite(np.asarray(g)))
 
 
+class TestChunkedScan:
+    """The two-level (scan-of-associative-scans) filter must be EXACTLY the
+    single-scan filter: associativity guarantees it mathematically; these
+    pin the implementation (chunk split, identity padding, boundary carry,
+    gradients through the scan)."""
+
+    def test_chunked_nlml_matches_unchunked(self):
+        from functools import partial
+
+        from gptorch_tpu.ops import ssm as _ssm
+
+        x, y = _data(n=300)  # 300 % 64 != 0: exercises identity padding
+        xs = jnp.asarray(np.sort(x[:, 0]))
+        ys = jnp.asarray(y[np.argsort(x[:, 0])])
+        kern = kernels.Matern32(1, variance=0.8, length_scales=1.1)
+
+        @partial(jax.jit, static_argnums=(0,))
+        def nlml(chunk):
+            return _ssm.ssm_nlml(kern, 0.04, xs, ys, chunk=chunk)
+
+        full = float(nlml(None))
+        # 64: padding engaged (300 = 4*64 + 44); 150: divides evenly
+        for chunk in (64, 150):
+            assert float(nlml(chunk)) == pytest.approx(full, rel=1e-12), chunk
+
+    def test_chunked_grads_match_unchunked(self):
+        from gptorch_tpu.ops import ssm as _ssm
+        from gptorch_tpu.module import with_trainable
+
+        x, y = _data(n=200)
+        kern = kernels.Matern52(1, variance=1.5, length_scales=0.9)
+        lik = likelihoods.Gaussian(0.04)
+        m = StateSpaceGPR(x, y, kern, likelihood=lik)
+        vals = get_trainable(m)
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(1,))
+        def vg(v, chunk):
+            def loss_with_chunk(v):
+                mm = with_trainable(m, v)
+                resid = mm.Y - mm.mean_function(mm.X)
+                return _ssm.ssm_nlml(
+                    mm.kernel,
+                    mm.likelihood.variance.value.reshape(()),
+                    mm.X[:, 0],
+                    resid,
+                    chunk=chunk,
+                )
+
+            return jax.value_and_grad(loss_with_chunk)(v)
+
+        l0, g0 = vg(vals, None)
+        l1, g1 = vg(vals, 64)
+        assert float(l1) == pytest.approx(float(l0), rel=1e-12)
+        for name in g0:
+            assert np.asarray(g1[name]) == pytest.approx(
+                np.asarray(g0[name]), rel=1e-9, abs=1e-12
+            ), name
+
+    def test_model_auto_chunk_env_override(self, monkeypatch):
+        x, y = _data(n=64)
+        m = StateSpaceGPR(x, y, kernels.Matern32(1), likelihoods.Gaussian(0.05))
+        assert m._scan_chunk is None  # small n: monolithic scan
+        monkeypatch.setenv("GPTORCH_TPU_SSM_CHUNK", "32")
+        assert m._scan_chunk == 32
+        l_chunked = float(m.loss())
+        monkeypatch.setenv("GPTORCH_TPU_SSM_CHUNK", "0")
+        assert m._scan_chunk is None
+        assert float(m.loss()) == pytest.approx(l_chunked, rel=1e-12)
+
+
 class TestSumKernelSampling:
     def test_sum_kernel_joint_samples_finite(self):
         # Regression: Sum-kernel states (s > 3) used the generic
