@@ -75,8 +75,14 @@ def build_models(dim, x, y, n):
 
     models = {
         "gpr": lambda: GPR(x, y, kern(), likelihood=lik()),
+        # VFE's variance is honestly CONSERVATIVE when m is too small for
+        # the volume: at m=n/4 in 3-D its 95% coverage measured 0.988
+        # (underconfident intervals never lie, they just widen); m=n/2
+        # restores 0.969.  1-D is fine at m=n/4 (0.965).  This
+        # m-sensitivity is itself a finding of the sweep.
         "vfe": lambda: VFE(
-            x, y, kern(), num_inducing_points=min(64 * dim, n // 4),
+            x, y, kern(),
+            num_inducing_points=n // 4 if dim == 1 else n // 2,
             likelihood=lik(), jitter=1e-6,
         ),
         "vecchia": lambda: VecchiaGPR(
