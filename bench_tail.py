@@ -49,8 +49,9 @@ def main():
     log_var = jnp.zeros((), jnp.float32)
     log_noise = jnp.asarray(np.log(0.1), jnp.float32)
 
-    def make_many(grad: bool, bwd_a: str):
+    def make_many(grad: bool, bwd_a: str, fwd_solve: str = "stock"):
         os.environ["GPTORCH_TPU_BWD_A"] = bwd_a
+        os.environ["GPTORCH_TPU_FWD_SOLVE"] = fwd_solve
         # import late so the env knob is read at trace time
         from gptorch_tpu.ops.gpr_fast import radial_nlml
 
@@ -107,14 +108,24 @@ def main():
         )
         return dt
 
-    which = os.environ.get("BENCH_PROBES", "fwd,full_solve,full_kinv").split(",")
+    which = os.environ.get(
+        "BENCH_PROBES", "fwd,fwd_dc,full_solve,full_kinv,full_best"
+    ).split(",")
     results = {}
     if "fwd" in which:
         results["fwd"] = measure("fwd", make_many(False, "solve"))
+    if "fwd_dc" in which:
+        # d&c forward alpha solve (blocked_ltrsm) vs the stock XLA TRSM
+        results["fwd_dc"] = measure("fwd_dc", make_many(False, "solve", "dc"))
     if "full_solve" in which:
         results["full_solve"] = measure("full_solve", make_many(True, "solve"))
     if "full_kinv" in which:
         results["full_kinv"] = measure("full_kinv", make_many(True, "kinv"))
+    if "full_best" in which:
+        # both candidate wins together: d&c forward solve + Kinv GEMV bwd
+        results["full_best"] = measure(
+            "full_best", make_many(True, "kinv", "dc")
+        )
 
     if "full_solve" in results and "full_kinv" in results:
         # gradient agreement between the two backward variants; checked at

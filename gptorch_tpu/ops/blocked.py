@@ -93,6 +93,38 @@ def _rtrsm(lkk, a_panel, leaf: int = 128, precision=None):
     return jnp.concatenate([X1, X2], axis=1)
 
 
+def blocked_ltrsm(L, b, leaf: int = 4096, trans: int = 0, precision=None):
+    """Divide-and-conquer LEFT triangular solve: x = L⁻¹ b (trans=0) or
+    x = L⁻ᵀ b (trans=1), b (n, nrhs).
+
+    XLA's monolithic triangular solve is a latency-bound sequential panel
+    chain at large n (256 panel steps at n=32k, nb=128); the d&c form does
+    the identical substitution but only the leaf solves run at panel rate
+    -- the off-diagonal work is two large GEMV/GEMMs per level:
+
+        trans=0:  x₁ = L₁₁⁻¹ b₁;  x₂ = L₂₂⁻¹ (b₂ − L₂₁ x₁)
+        trans=1:  x₂ = L₂₂⁻ᵀ b₂;  x₁ = L₁₁⁻ᵀ (b₁ − L₂₁ᵀ x₂)
+    """
+    n = L.shape[0]
+    if n <= leaf:
+        return solve_triangular(L, b, lower=True, trans=trans)
+    h = n // 2
+    L11, L21, L22 = L[:h, :h], L[h:, :h], L[h:, h:]
+    if trans == 0:
+        x1 = blocked_ltrsm(L11, b[:h], leaf, 0, precision)
+        b2 = b[h:] - jnp.matmul(
+            L21, x1, preferred_element_type=b.dtype, precision=precision
+        )
+        x2 = blocked_ltrsm(L22, b2, leaf, 0, precision)
+    else:
+        x2 = blocked_ltrsm(L22, b[h:], leaf, 1, precision)
+        b1 = b[:h] - jnp.matmul(
+            L21.T, x2, preferred_element_type=b.dtype, precision=precision
+        )
+        x1 = blocked_ltrsm(L11, b1, leaf, 1, precision)
+    return jnp.concatenate([x1, x2], axis=0)
+
+
 #: Largest n the d&c algorithm handles; above this blocked_cholesky takes
 #: the flat right-looking path.  Three 32k variants were measured in the
 #: fused NLML (round 3): concat-d&c OOMs (+44.8% HBM fragmentation =

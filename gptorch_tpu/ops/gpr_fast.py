@@ -271,7 +271,14 @@ def _fwd_impl(
     diag = jnp.exp(log_noise) + jitter + rel_jitter * jnp.exp(log_var)
     K = _gram(xs, log_var, kind, diag, log_extra)
     L = blocked_cholesky(K, nb, lower_only=True)
-    alpha = solve_triangular(L, y, lower=True)
+    if os.environ.get("GPTORCH_TPU_FWD_SOLVE", "stock") == "dc":
+        # A/B probe (VERDICT r3 item 5): d&c left TRSM -- two big GEMVs
+        # per level instead of XLA's 256-step sequential panel chain.
+        from .blocked import blocked_ltrsm
+
+        alpha = blocked_ltrsm(L, y, leaf=4096)
+    else:
+        alpha = solve_triangular(L, y, lower=True)
     nlml = (
         0.5 * jnp.sum(jnp.square(alpha))
         + dy * jnp.sum(jnp.log(jnp.diagonal(L)))

@@ -42,6 +42,22 @@ class TestBlocked:
         Ki = np.asarray(tril_square(jnp.asarray(Li), nb=nb))
         assert Ki == pytest.approx(np.linalg.inv(A), abs=1e-10)
 
+    @pytest.mark.parametrize("n,leaf", [(100, 32), (300, 64), (512, 512)])
+    @pytest.mark.parametrize("trans", [0, 1])
+    def test_blocked_ltrsm(self, n, leaf, trans):
+        from scipy.linalg import solve_triangular as sp_solve
+
+        from gptorch_tpu.ops.blocked import blocked_ltrsm
+
+        L = np.linalg.cholesky(_spd(n))
+        b = np.random.RandomState(1).randn(n, 3)
+        x = np.asarray(
+            blocked_ltrsm(jnp.asarray(L), jnp.asarray(b), leaf=leaf,
+                          trans=trans)
+        )
+        expected = sp_solve(L, b, lower=True, trans=trans)
+        assert x == pytest.approx(expected, abs=1e-10)
+
 
 class TestFastNLML:
     def _ref(self, x, y, ell, var, noise):
