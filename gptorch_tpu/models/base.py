@@ -215,7 +215,11 @@ class GPModel(Module):
 
     def fit_scan(self, method="Adam", max_iter=2000, learning_rate=None, key=None):
         """Whole-loop-compiled training (lax.scan under one jit): no host
-        round trips.  TPU-preferred; no reference analog."""
+        round trips.  TPU-preferred; no reference analog.  ``method="LBFGS"``
+        compiles the full quasi-Newton run incl. zoom linesearch -- the
+        TPU-native replacement for the reference's per-iteration scipy
+        L-BFGS-B bridge (models/base.py:298-320); deterministic losses only
+        (the PRNG key is held fixed)."""
         trained, losses = _fit.fit_scan(
             self, method=method, max_iter=max_iter, learning_rate=learning_rate, key=key
         )

@@ -167,28 +167,53 @@ def fit_scan(
 
     No host synchronization until the end -- the preferred TPU path.  Returns
     (trained_model, losses DeviceArray of shape (max_iter,)).
+
+    ``method="LBFGS"`` compiles the ENTIRE quasi-Newton run -- curvature
+    pairs, direction, and zoom linesearch (an optax ``lax.while_loop``) --
+    into the one XLA program: the TPU-native answer to the reference's
+    scipy L-BFGS-B bridge (models/base.py:298-320), which pays a host
+    round-trip per objective evaluation (~35 ms through this machine's
+    tunnel).  The objective must be deterministic for the linesearch to be
+    meaningful, so the PRNG key is held FIXED across steps on this path
+    (minibatched models should train with a first-order method instead);
+    the loop runs the full ``max_iter`` steps -- at convergence the
+    linesearch accepts ~zero-length steps, so extra iterations are
+    numerically harmless.
     """
-    if method == "LBFGS":
-        raise ValueError(
-            "LBFGS needs a line-search closure; use fit_optax or a scipy "
-            "method instead of fit_scan"
-        )
     loss = _loss_fn(model)
     tx = make_optimizer(method, learning_rate)
     values = get_trainable(model)
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    use_lbfgs = method == "LBFGS"
+
     @jax.jit
     def run(values, model, key):
         opt_state = tx.init(values)
 
-        def body(carry, idx):
-            values, opt_state = carry
-            k = jax.random.fold_in(key, idx)
-            lval, grads = jax.value_and_grad(loss)(values, model, k)
-            updates, opt_state = tx.update(grads, opt_state, values)
-            return (optax.apply_updates(values, updates), opt_state), lval
+        if use_lbfgs:
+            def fun(v):
+                return loss(v, model, key)
+
+            vg = optax.value_and_grad_from_state(fun)
+
+            def body(carry, idx):
+                values, opt_state = carry
+                lval, grads = vg(values, state=opt_state)
+                updates, opt_state = tx.update(
+                    grads, opt_state, values,
+                    value=lval, grad=grads, value_fn=fun,
+                )
+                return (optax.apply_updates(values, updates), opt_state), lval
+
+        else:
+            def body(carry, idx):
+                values, opt_state = carry
+                k = jax.random.fold_in(key, idx)
+                lval, grads = jax.value_and_grad(loss)(values, model, k)
+                updates, opt_state = tx.update(grads, opt_state, values)
+                return (optax.apply_updates(values, updates), opt_state), lval
 
         (values, _), losses = jax.lax.scan(
             body, (values, opt_state), jnp.arange(max_iter)

@@ -43,6 +43,21 @@ class TestOptimizers:
         )
         assert losses[-1] <= l0
 
+    def test_lbfgs_scan_whole_loop_compiled(self):
+        """fit_scan(method="LBFGS"): the entire quasi-Newton run (curvature
+        pairs + zoom linesearch) inside ONE lax.scan jit -- must reach the
+        same optimum as the reference-parity scipy L-BFGS-B bridge."""
+        model = _model()
+        trained_sc, result = fit.fit_scipy(model, max_iter=60, disp=False)
+        trained, losses = fit.fit_scan(_model(), method="LBFGS", max_iter=60)
+        assert losses.shape == (60,)
+        assert np.isfinite(losses).all()
+        # same optimum as scipy's Fortran L-BFGS-B (loose: different
+        # linesearches stop at slightly different points of a flat basin)
+        assert float(losses[-1]) <= result.fun + 1e-3
+        # monotone-ish: linesearch guarantees sufficient decrease per step
+        assert float(losses[-1]) <= float(losses[0])
+
     def test_unknown_method_raises(self):
         with pytest.raises(ValueError):
             fit.make_optimizer("NotAnOptimizer")
