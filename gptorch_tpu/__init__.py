@@ -38,9 +38,11 @@ from . import models  # noqa: E402
 from . import sampling  # noqa: E402
 from . import bayesopt  # noqa: E402  (after models)
 from . import mcmc  # noqa: E402  (after models)
+from . import structure  # noqa: E402  (after models, training)
 
 __all__ = [
     "bayesopt",
+    "structure",
     "bijectors",
     "ekernels",
     "functions",
