@@ -286,3 +286,22 @@ def test_derivative_gp_example():
 
     m = re.search(r"improvement factor\s*:\s*([0-9.]+)x", result.stdout)
     assert m and float(m.group(1)) > 2.0, result.stdout
+
+
+def test_kernel_discovery_example():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPTORCH_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(BASE, "examples", "kernel_discovery.py"),
+            "--no-plot",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "discovered kernel: (Rbf + Linear)" in result.stdout
