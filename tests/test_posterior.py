@@ -98,6 +98,61 @@ class TestPosteriorServing:
         assert isinstance(mu, np.ndarray) and isinstance(var, np.ndarray)
 
 
+class TestForServing:
+    """GEMM-only serving posteriors (``.for_serving()``): L⁻¹ is
+    materialized once so the per-predict triangular solves disappear;
+    moments must match the trtrs-based cached posterior to roundoff."""
+
+    @pytest.mark.parametrize("name", sorted(MODELS))
+    def test_matches_cached_posterior(self, name):
+        x, y, x_test = _data()
+        model = MODELS[name](x, y)
+        post = model.posterior()
+        serving = post.for_serving()
+
+        for diag in (True, False):
+            mu_p, v_p = post.predict_f(x_test, diag=diag)
+            mu_s, v_s = serving.predict_f(x_test, diag=diag)
+            assert mu_s == pytest.approx(mu_p, rel=1e-9, abs=1e-10)
+            assert v_s == pytest.approx(v_p, rel=1e-7, abs=1e-9)
+
+        mu_p, v_p = post.predict_y(x_test)
+        mu_s, v_s = serving.predict_y(x_test)
+        assert mu_s == pytest.approx(mu_p, rel=1e-9, abs=1e-10)
+        assert v_s == pytest.approx(v_p, rel=1e-7, abs=1e-9)
+
+    def test_gpr_mean_only(self):
+        x, y, x_test = _data()
+        serving = MODELS["gpr"](x, y).posterior().for_serving()
+        mu, _ = serving.predict_f(x_test)
+        assert serving.mean_only(x_test) == pytest.approx(mu, rel=1e-10)
+
+    def test_gplvm_for_serving(self):
+        rng = np.random.RandomState(1)
+        y = (np.sin(np.linspace(0, 3, 20))[:, None] * rng.randn(1, 3)
+             + 0.05 * rng.randn(20, 3))
+        post = GPLVM(y, 1, num_inducing_points=8).posterior()
+        serving = post.for_serving()
+        x_lat = jnp.asarray(rng.randn(4, 1))
+        mu_p, v_p = post.predict_f(x_lat)
+        mu_s, v_s = serving.predict_f(x_lat)
+        assert np.asarray(mu_s) == pytest.approx(np.asarray(mu_p), rel=1e-9)
+        assert np.asarray(v_s) == pytest.approx(np.asarray(v_p), rel=1e-7)
+
+    def test_serving_is_pytree_and_jits(self):
+        x, y, x_test = _data()
+        serving = MODELS["gpr"](x, y).posterior().for_serving()
+
+        @jax.jit
+        def serve(post, xq):
+            return post.predict_f(xq)[0]
+
+        out1 = serve(serving, jnp.asarray(x_test))
+        out2 = serve(serving, jnp.asarray(x_test + 0.1))
+        assert out1.shape == (7, y.shape[1])
+        assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
 class TestSamplePaths:
     """Pathwise draws from the CACHED posterior: moments must match the
     analytic predictive, and a path is a consistent function."""
