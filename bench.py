@@ -160,6 +160,22 @@ def main():
         ),
     )
 
+    # Serving: cached trtrs posterior vs the GEMM-only for_serving() path
+    # (reference re-Choleskys inside every predict, ref models/gpr.py:88-117;
+    # vs_baseline here = speedup over the already-cached trtrs posterior).
+    import bench_serving
+
+    _extra(
+        "BENCH_SERVING",
+        "1",
+        lambda: bench_serving.run(
+            n=16384 if on_tpu else 2048,
+            q=256,
+            scan_len=64 if on_tpu else 8,
+            iters=3,
+        ),
+    )
+
     # The reference's ONLY published numbers (ekernels.py:29-32: psi-stats
     # ~2 s fwd / ~1.5 s bwd at n=1000, m=50, q=10) -- measured directly.
     import bench_ekernels

@@ -112,9 +112,28 @@ def run_svgp(n, d, m, q, scan_len, iters):
     return dt_trtrs, dt_gemm
 
 
-def main():
+def run(n=16384, d=8, q=256, scan_len=64, iters=5):
+    """GPR serving leg as a (record, comment) pair for bench.py.
+    vs_baseline = trtrs-posterior latency ÷ serving latency (the speedup
+    for_serving() buys over the already-cached posterior)."""
     import jax
 
+    dt_trtrs, dt_gemm = run_gpr(n, d, q, scan_len, iters)
+    record = {
+        "metric": f"serving_gpr_n{n}_q{q}_predicts_per_s",
+        "value": round(1.0 / dt_gemm, 1),
+        "unit": "predict-batches/s",
+        "vs_baseline": round(dt_trtrs / dt_gemm, 2),
+    }
+    comment = (
+        f"# gpr n={n} q={q}: trtrs-posterior {dt_trtrs*1e3:.2f} ms/batch, "
+        f"serving (GEMM) {dt_gemm*1e3:.2f} ms/batch, "
+        f"{dt_trtrs/dt_gemm:.2f}x, backend={jax.default_backend()}"
+    )
+    return record, comment
+
+
+def main():
     n = int(os.environ.get("BENCH_N", 16384))
     d = int(os.environ.get("BENCH_D", 8))
     q = int(os.environ.get("BENCH_Q", 256))
@@ -122,21 +141,13 @@ def main():
     scan_len = int(os.environ.get("BENCH_SCAN", 64))
     iters = int(os.environ.get("BENCH_ITERS", 5))
 
-    dt_trtrs, dt_gemm = run_gpr(n, d, q, scan_len, iters)
-    print(json.dumps({
-        "metric": f"serving_gpr_n{n}_q{q}_predicts_per_s",
-        "value": round(1.0 / dt_gemm, 1),
-        "unit": "predict-batches/s",
-        "vs_baseline": round(dt_trtrs / dt_gemm, 2),
-    }))
-    print(
-        f"# gpr n={n} q={q}: trtrs-posterior {dt_trtrs*1e3:.2f} ms/batch, "
-        f"serving (GEMM) {dt_gemm*1e3:.2f} ms/batch, "
-        f"{dt_trtrs/dt_gemm:.2f}x, backend={jax.default_backend()}",
-        file=sys.stderr,
-    )
+    record, comment = run(n, d, q, scan_len, iters)
+    print(json.dumps(record))
+    print(comment, file=sys.stderr)
 
     if os.environ.get("BENCH_SVGP", "1") == "1":
+        import jax
+
         dt_trtrs, dt_gemm = run_svgp(min(n, 45730), d, m, 4096, scan_len, iters)
         print(json.dumps({
             "metric": f"serving_svgp_m{m}_q4096_predicts_per_s",

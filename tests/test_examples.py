@@ -305,3 +305,25 @@ def test_kernel_discovery_example():
     )
     assert result.returncode == 0, result.stderr[-2000:]
     assert "discovered kernel: (Rbf + Linear)" in result.stdout
+
+
+def test_serving_example():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GPTORCH_TPU_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(BASE, "examples", "serving.py"),
+            "--no-plot",
+            "--n", "512",
+            "--queries", "32",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "exported serving posterior" in result.stdout
+    assert "serve (mean only)" in result.stdout

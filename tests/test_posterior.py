@@ -139,6 +139,23 @@ class TestForServing:
         assert np.asarray(mu_s) == pytest.approx(np.asarray(mu_p), rel=1e-9)
         assert np.asarray(v_s) == pytest.approx(np.asarray(v_p), rel=1e-7)
 
+    def test_serving_checkpoint_round_trip(self, tmp_path):
+        """The serving posterior is a plain pytree: save → load in a fresh
+        process-shaped structure → identical predictions (the deployment
+        artifact of examples/serving.py)."""
+        from gptorch_tpu.training import checkpoint
+
+        x, y, x_test = _data()
+        serving = MODELS["gpr"](x, y).posterior().for_serving()
+        p = str(tmp_path / "serving.npz")
+        checkpoint.save(p, serving)
+        fresh = MODELS["gpr"](x * 0.0, y * 0.0).posterior().for_serving()
+        restored = checkpoint.load(p, fresh)
+        mu0, var0 = serving.predict_f(x_test)
+        mu1, var1 = restored.predict_f(x_test)
+        assert mu1 == pytest.approx(mu0, rel=1e-12)
+        assert var1 == pytest.approx(var0, rel=1e-12)
+
     def test_serving_is_pytree_and_jits(self):
         x, y, x_test = _data()
         serving = MODELS["gpr"](x, y).posterior().for_serving()
