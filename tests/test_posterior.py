@@ -170,6 +170,35 @@ class TestForServing:
         assert not np.allclose(np.asarray(out1), np.asarray(out2))
 
 
+class TestBatchedPredict:
+    """Chunked bulk scoring: predict_{f,y}_batched must equal the
+    one-shot predict (incl. a ragged tail chunk) for both the cached and
+    the serving posteriors."""
+
+    @pytest.mark.parametrize("name", ["gpr", "svgp"])
+    def test_matches_one_shot(self, name):
+        x, y, _ = _data()
+        rng = np.random.RandomState(3)
+        xq = rng.randn(53, x.shape[1])  # 53 = 3×16 + ragged 5
+        for post in (MODELS[name](x, y).posterior(),):
+            for serving in (post, post.for_serving()):
+                mu0, v0 = serving.predict_f(xq)
+                mu1, v1 = serving.predict_f_batched(xq, batch_size=16)
+                assert mu1 == pytest.approx(mu0, rel=1e-10, abs=1e-12)
+                assert v1 == pytest.approx(v0, rel=1e-8, abs=1e-12)
+                muy0, vy0 = serving.predict_y(xq)
+                muy1, vy1 = serving.predict_y_batched(xq, batch_size=16)
+                assert muy1 == pytest.approx(muy0, rel=1e-10, abs=1e-12)
+                assert vy1 == pytest.approx(vy0, rel=1e-8, abs=1e-12)
+
+    def test_jnp_in_jnp_out(self):
+        x, y, _ = _data()
+        post = MODELS["gpr"](x, y).posterior()
+        xq = jnp.asarray(np.random.RandomState(4).randn(20, x.shape[1]))
+        mu, v = post.predict_f_batched(xq, batch_size=8)
+        assert isinstance(mu, jnp.ndarray) and mu.shape == (20, y.shape[1])
+
+
 class TestSamplePaths:
     """Pathwise draws from the CACHED posterior: moments must match the
     analytic predictive, and a path is a consistent function."""
