@@ -318,6 +318,74 @@ class ServingGPRPosterior(Posterior):
         out = self.kernel.K(x, self.X) @ self.alpha + self.mean_function(x)
         return np.asarray(out) if from_numpy else out
 
+    def condition_on(self, x_new, y_new):
+        """Fantasy/online update that PRESERVES the GEMM-only serving
+        property: the inverse factor is extended blockwise,
+
+            L'⁻¹ = [[L⁻¹, 0], [−L_S⁻¹ Aᵀ L⁻¹, L_S⁻¹]],  A = L⁻¹K(X, X_b),
+            L_S  = chol(K(X_b) + σ²I − AᵀA),
+
+        and α' follows without ever needing L or V:
+        V₂ = L_S⁻¹(y_b − m(X_b) − K(X_b, X)α), α'_top = α + llᵀV₂,
+        α'_bot = L_S⁻ᵀV₂ (using L⁻ᵀV = α by definition).  O(n²·n_b) per
+        update, all GEMMs except the tiny (n_b, n_b) factorization —
+        the BayesOpt observe-step primitive for deployed serving
+        posteriors (same semantics as :meth:`GPRPosterior.condition_on`).
+        """
+        from jax.scipy.linalg import solve_triangular
+
+        x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
+        y_new = jnp.asarray(y_new, dtype=jnp.result_type(self.alpha))
+        if y_new.ndim == 1:
+            y_new = y_new[:, None]
+        sigma2 = self.likelihood.variance.value.reshape(())
+        nb = x_new.shape[0]
+        n = self.X.shape[0]
+
+        from ..likelihoods import FixedNoiseGaussian
+
+        likelihood = self.likelihood
+        if isinstance(likelihood, FixedNoiseGaussian):
+            # fantasy rows carry no KNOWN measurement noise (matches
+            # GPRPosterior.condition_on)
+            likelihood = likelihood.replace(
+                fixed=jnp.concatenate(
+                    [likelihood.fixed,
+                     jnp.zeros((nb,), likelihood.fixed.dtype)]
+                )
+            )
+
+        Kxb = self.kernel.K(self.X, x_new)  # (n, nb)
+        A = self.Linv @ Kxb  # (n, nb) GEMM
+        S = (
+            self.kernel.K(x_new)
+            + sigma2 * jnp.eye(nb, dtype=x_new.dtype)
+            - A.T @ A
+        )
+        L_S = cholesky(S)
+        Lsi = solve_triangular(
+            L_S, jnp.eye(nb, dtype=L_S.dtype), lower=True
+        )  # tiny (nb, nb)
+        ll = -Lsi @ (A.T @ self.Linv)  # (nb, n) GEMMs
+        V2 = Lsi @ (
+            y_new - self.mean_function(x_new) - Kxb.T @ self.alpha
+        )
+        alpha_aug = jnp.concatenate(
+            [self.alpha + ll.T @ V2, Lsi.T @ V2], axis=0
+        )
+        Linv_aug = jnp.zeros((n + nb, n + nb), dtype=self.Linv.dtype)
+        Linv_aug = Linv_aug.at[:n, :n].set(self.Linv)
+        Linv_aug = Linv_aug.at[n:, :n].set(ll)
+        Linv_aug = Linv_aug.at[n:, n:].set(Lsi)
+        return ServingGPRPosterior(
+            self.kernel,
+            likelihood,
+            self.mean_function,
+            jnp.concatenate([self.X, x_new], axis=0),
+            Linv_aug,
+            alpha_aug,
+        )
+
 
 class ServingLowRankPosterior(Posterior):
     """GEMM-only sparse (VFE/FITC/GPLVM) serving posterior: with

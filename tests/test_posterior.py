@@ -139,6 +139,32 @@ class TestForServing:
         assert np.asarray(mu_s) == pytest.approx(np.asarray(mu_p), rel=1e-9)
         assert np.asarray(v_s) == pytest.approx(np.asarray(v_p), rel=1e-7)
 
+    def test_serving_condition_on_matches_refit(self):
+        """Blockwise L⁻¹ extension == condition-then-convert == full refit
+        at fixed hyperparameters."""
+        x, y, x_test = _data()
+        post = MODELS["gpr"](x, y).posterior()
+        serving = post.for_serving()
+        rng = np.random.RandomState(9)
+        xb = rng.randn(5, x.shape[1])
+        yb = np.sin(xb[:, : y.shape[1]]) + 0.05 * rng.randn(5, y.shape[1])
+
+        s_upd = serving.condition_on(xb, yb)
+        p_upd = post.condition_on(xb, yb).for_serving()
+        mu0, v0 = p_upd.predict_f(x_test, diag=False)
+        mu1, v1 = s_upd.predict_f(x_test, diag=False)
+        assert mu1 == pytest.approx(mu0, rel=1e-8, abs=1e-10)
+        assert v1 == pytest.approx(v0, rel=1e-6, abs=1e-9)
+
+        # chained updates stay consistent too
+        xb2 = rng.randn(3, x.shape[1])
+        yb2 = np.sin(xb2[:, : y.shape[1]])
+        mu2, _ = s_upd.condition_on(xb2, yb2).predict_f(x_test)
+        mu3, _ = post.condition_on(xb, yb).condition_on(xb2, yb2).predict_f(
+            x_test
+        )
+        assert mu2 == pytest.approx(mu3, rel=1e-7, abs=1e-9)
+
     def test_serving_checkpoint_round_trip(self, tmp_path):
         """The serving posterior is a plain pytree: save → load in a fresh
         process-shaped structure → identical predictions (the deployment
