@@ -383,14 +383,24 @@ def _scan_prefix(elems, chunk=None):
     """All-prefixes combine of trailing-batch filtering elements.
 
     ``chunk=None``: one ``lax.associative_scan`` over the full length.
-    With ``chunk``: a two-level scan -- associative scan INSIDE fixed-size
-    chunks, a sequential ``lax.scan`` carrying the running prefix element
-    across chunk boundaries.  Associativity makes the results identical;
-    what changes is the COMPILED PROGRAM SIZE: the chunk body is traced
-    once, so a 10⁶-step filter compiles like a 64k-step one plus a loop
-    (the monolithic 1M associative_scan blew past a 600 s remote-compiler
-    budget on TPU, BASELINE.md round 3).  The body is ``jax.checkpoint``-ed
-    so backward memory stays one-chunk-sized.
+    With ``chunk``: the classic THREE-PHASE parallel-prefix decomposition
+    (local scan / tiny cross-chunk scan / broadcast combine):
+
+      1. independent all-prefix scans INSIDE each fixed-size chunk, as one
+         ``vmap``-ed associative scan (the body is traced once, so a
+         10⁶-step filter compiles like a 64k-step one);
+      2. an exclusive prefix over the nc chunk TOTALS — nc is small, so
+         this is nc−1 unrolled combines on (s, ·, 1) elements;
+      3. each chunk's exclusive prefix folded into its local prefixes by
+         ONE vmapped combine (the trailing batch dim broadcasts 1 → chunk).
+
+    Associativity makes the result identical to the monolithic scan.  An
+    earlier sequential-carry variant (``lax.scan`` over chunks with a
+    ``jax.checkpoint``-ed body) compiled ~330 s on the HOST compiler at
+    n=10⁶ and blew a 2400 s remote-TPU-compile budget — the scan+rematerialization
+    backward machinery, not the scan body, dominated; this form has no
+    ``lax.scan`` and no checkpoint, and every phase is parallel (no
+    cross-chunk serialization at runtime either).
     """
     n = elems[0].shape[2]
     if chunk is None or n <= chunk:
@@ -415,13 +425,23 @@ def _scan_prefix(elems, chunk=None):
             2, 0, 1, 3
         )
 
-    @jax.checkpoint
-    def body(carry, ch):
-        local = lax.associative_scan(_filter_combine, ch, axis=2)
-        full = _filter_combine(carry, local)
-        return tuple(a[..., -1:] for a in full), full
-
-    _, out = lax.scan(body, ident, tuple(split(a) for a in elems))
+    parts = tuple(split(a) for a in elems)
+    # phase 1: local all-prefix scans, one traced body for every chunk
+    local = jax.vmap(
+        lambda ch: lax.associative_scan(_filter_combine, ch, axis=2)
+    )(parts)
+    # phase 2: exclusive prefix of the chunk totals (tiny, unrolled)
+    totals = tuple(a[..., -1:] for a in local)  # (nc, s, ·, 1)
+    pres = [ident]
+    for i in range(nc - 1):
+        pres.append(
+            _filter_combine(pres[-1], tuple(t[i] for t in totals))
+        )
+    pre = tuple(
+        jnp.stack([p[j] for p in pres], axis=0) for j in range(len(ident))
+    )
+    # phase 3: fold each chunk's exclusive prefix into its local prefixes
+    out = jax.vmap(_filter_combine)(pre, local)
 
     def join(a):  # (nc, s, q, chunk) -> (s, q, n)
         return a.transpose(1, 2, 0, 3).reshape(
