@@ -318,6 +318,57 @@ class ServingGPRPosterior(Posterior):
         out = self.kernel.K(x, self.X) @ self.alpha + self.mean_function(x)
         return np.asarray(out) if from_numpy else out
 
+    def sample_paths(self, n_samples: int = 1, num_features: int = 1024, key=None):
+        """Posterior function samples from the DEPLOYED artifact (same
+        Matheron-rule pathwise construction as
+        :meth:`GPRPosterior.sample_paths`), GEMM-only: the Matheron data
+        solve K̂⁻¹(w_sᵀφ(X) + ε_s) = L⁻ᵀ(L⁻¹B) is two matmuls against the
+        cached L⁻¹, and K̂⁻¹(y − m(X)) is the cached α.  Thompson sampling
+        on a serving posterior needs no model object."""
+        import jax
+
+        from .. import settings
+        from ..likelihoods import FixedNoiseGaussian
+        from ..sampling import RandomFourierFeatures
+
+        if key is None:
+            key = settings.next_default_key()
+        k_feat, k_w, k_eps = jax.random.split(key, 3)
+        X, Linv, alpha_data = self.X, self.Linv, self.alpha
+        n, dy = alpha_data.shape
+        dtype = jnp.result_type(X)
+        phi = RandomFourierFeatures(self.kernel, num_features, k_feat)
+
+        if isinstance(self.likelihood, FixedNoiseGaussian):
+            noise_diag = self.likelihood.noise_diag(n)[None, :, None]
+        else:
+            noise_diag = self.likelihood.variance.value.reshape(())
+
+        W = jax.random.normal(k_w, (n_samples, num_features, dy), dtype)
+        f_prior_X = jnp.einsum("sfo,nf->sno", W, phi(X))
+        eps = jnp.sqrt(noise_diag) * jax.random.normal(
+            k_eps, (n_samples, n, dy), dtype
+        )
+        B = jnp.moveaxis(f_prior_X + eps, 0, -1).reshape(n, dy * n_samples)
+        U = Linv.T @ (Linv @ B)  # K̂⁻¹B, two GEMMs
+        U = jnp.moveaxis(U.reshape(n, dy, n_samples), -1, 0)  # (S, n, dy)
+        coef = alpha_data[None] - U
+
+        mean_function = self.mean_function
+        kernel = self.kernel
+
+        def paths(x):
+            from_numpy = isinstance(x, np.ndarray)
+            x = jnp.asarray(x, dtype=dtype)
+            out = (
+                jnp.einsum("sfo,nf->sno", W, phi(x))
+                + jnp.einsum("nm,smo->sno", kernel.K(x, X), coef)
+                + mean_function(x)[None]
+            )
+            return np.asarray(out) if from_numpy else out
+
+        return paths
+
     def condition_on(self, x_new, y_new):
         """Fantasy/online update that PRESERVES the GEMM-only serving
         property: the inverse factor is extended blockwise,

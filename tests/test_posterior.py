@@ -165,6 +165,28 @@ class TestForServing:
         )
         assert mu2 == pytest.approx(mu3, rel=1e-7, abs=1e-9)
 
+    def test_serving_sample_paths_moments(self):
+        """Pathwise draws from the serving artifact match its analytic
+        predictive moments (GEMM-only Matheron solve)."""
+        rng = np.random.RandomState(6)
+        x = np.linspace(-2, 2, 50)[:, None]
+        y = np.sin(2 * x) + 0.1 * rng.randn(50, 1)
+        from gptorch_tpu import kernels, likelihoods
+
+        serving = GPR(
+            x, y, kernels.Matern52(1, length_scales=0.7),
+            likelihood=likelihoods.Gaussian(0.05),
+        ).posterior().for_serving()
+        paths = serving.sample_paths(
+            n_samples=3000, num_features=4096, key=jax.random.PRNGKey(7)
+        )
+        x_star = np.linspace(-1.8, 1.8, 20)[:, None]
+        S = paths(x_star)
+        assert isinstance(S, np.ndarray) and S.shape == (3000, 20, 1)
+        mu, var = serving.predict_f(x_star)
+        assert S.mean(0) == pytest.approx(np.asarray(mu), abs=0.08)
+        assert S.var(0) == pytest.approx(np.asarray(var), abs=0.08, rel=0.3)
+
     def test_serving_checkpoint_round_trip(self, tmp_path):
         """The serving posterior is a plain pytree: save → load in a fresh
         process-shaped structure → identical predictions (the deployment
