@@ -1,41 +1,51 @@
-"""Headline benchmark: exact-GPR NLML + hyperparameter gradient per second.
+"""Driver benchmark orchestrator: budget-aware, fail-soft, one JSON line
+per metric, streamed the moment it exists.
 
-BASELINE.md target: N=32k NLML+grad in < 1 s/iter on one TPU v5e chip
-(the reference publishes no numbers; BASELINE.json's north star defines the
-bar).  vs_baseline = measured steps/s ÷ 1.0 steps/s (the 1 s/iter target),
-so vs_baseline > 1 beats the target.
+Round-4 post-mortem (VERDICT.md): the driver runs ``python bench.py``
+under an external timeout; eight serial in-process legs with multi-minute
+tunnel compiles blew it (rc=124) and lost 5 of 8 metrics.  This version:
 
-Goes through the PUBLIC model API -- ``GPR(x, y, Rbf(d, ARD=True))`` --
-which auto-routes onto the fused hot path (blocked Cholesky + triangular-
-aware trtri + closed-form custom VJP, gptorch_tpu/ops/gpr_fast.py) exactly
-as any user's model does; the benchmark is the same step a training loop
-takes.
+* reads a total budget ``BENCH_BUDGET_S`` (default 1140 s, under the
+  driver's ~20 min kill) and checks remaining time before every leg;
+* runs each leg in its OWN subprocess (process-group) with a timeout of
+  ``min(leg_cap, remaining)`` — a hung remote compile kills one leg, not
+  the round (a stuck XLA compile cannot be interrupted in-process);
+* orders legs cheapest-compile / highest-value first:
+  headline -> parity -> psi-stats -> SVGP -> serving (n fallback ladder
+  16384 -> 8192 -> 4096) -> SSM-64k -> BBMM-100k -> Vecchia-200k;
+* echoes every child JSON line immediately (unbuffered) and re-emits the
+  headline record as the FINAL line so the driver's parsed metric is the
+  canonical ``gpr_nlml_grad_n32768_steps_per_s``;
+* always exits 0 — skipped legs are stderr notes, not failures.
 
-Prints the headline JSON line first:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-then the flagship scaling portfolio, one JSON line each, every one
-fail-soft (a tunnel hiccup in one must not lose the others):
-  - matrix-free exact GPR at N=100k (BASELINE.md stretch row),
-  - Vecchia NLML+grad at N=200k (TPU; off on CPU by default),
-  - state-space exact GP at N=64k,
-  - SVGP amortized training step (M=1024, b=4096).
+Headline (also runnable alone: ``python bench.py --leg headline``):
+exact-GPR NLML + hyperparameter gradient at N=32k through the public
+model API (auto-routed fused path, gptorch_tpu/ops/gpr_fast.py).
+BASELINE.md target 1 s/iter => vs_baseline = steps/s.
 
-Env overrides: BENCH_N (default 32768), BENCH_D (8), BENCH_ITERS (3),
-BENCH_NB (1024, blocked-factorization panel size; measured optimum),
-BENCH_ITERATIVE (1), BENCH_ITER_N (100000 on TPU; min(n, 4096) elsewhere).
+Env overrides: BENCH_BUDGET_S (1140), BENCH_N (32768), BENCH_D (8),
+BENCH_ITERS (3), BENCH_NB (1024), BENCH_LEGS (comma list to subset),
+plus each leg's own knobs (see bench_*.py docstrings).
 """
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+HERE = os.path.dirname(os.path.abspath(__file__))
 
-def main():
+
+# ---------------------------------------------------------------------------
+# headline leg (in-subprocess body)
+
+
+def headline():
     import jax
-    import jax.numpy as jnp
 
     from gptorch_tpu import kernels, likelihoods
     from gptorch_tpu.models import GPR
@@ -57,7 +67,7 @@ def main():
         y,
         kernels.Rbf(d, ARD=True),
         likelihood=likelihoods.Gaussian(variance=0.1),
-        fast=True,  # auto would engage at n >= 4096 anyway; force for small-N smoke runs
+        fast=True,  # auto would engage at n >= 4096 anyway
         fast_block=nb,
         fast_jitter=1e-3,
     )
@@ -68,8 +78,7 @@ def main():
         lambda v, m: jax.value_and_grad(lambda v: with_trainable(m, v)._loss())(v)
     )
 
-    # compile + warmup
-    loss, grads = step(values, model)
+    loss, grads = step(values, model)  # compile + warmup
     _ = float(loss) + float(grads["kernel.length_scales"][0])
 
     # Perturb an input every iteration so no layer of the stack can serve a
@@ -84,17 +93,16 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
-    steps_per_s = 1.0 / dt
-    baseline_steps_per_s = 1.0  # 1 s/iter target (BASELINE.md)
     print(
         json.dumps(
             {
                 "metric": f"gpr_nlml_grad_n{n}_steps_per_s",
-                "value": round(steps_per_s, 4),
+                "value": round(1.0 / dt, 4),
                 "unit": "steps/s",
-                "vs_baseline": round(steps_per_s / baseline_steps_per_s, 4),
+                "vs_baseline": round(1.0 / dt, 4),  # target: 1 s/iter
             }
-        )
+        ),
+        flush=True,
     )
     print(
         f"# n={n} d={d} iters={iters} nb={nb} time/iter={dt*1e3:.1f} ms "
@@ -102,120 +110,167 @@ def main():
         file=sys.stderr,
     )
 
-    on_tpu = jax.default_backend() == "tpu"
 
-    def _extra(flag, default, fn):
-        """Fail-soft extra metric: a tunnel hiccup or OOM in one flagship
-        line must not lose the others (CLAUDE.md round-3b)."""
-        if os.environ.get(flag, default) == "0":
-            return
-        try:
-            record, comment = fn()
-            print(json.dumps(record))
-            print(comment, file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            print(f"# {flag} skipped: {type(e).__name__}: {e}", file=sys.stderr)
+# ---------------------------------------------------------------------------
+# orchestrator
 
-    if os.environ.get("BENCH_ITERATIVE", "1") != "0":
-        import bench_iterative
 
-        iter_n = int(
-            os.environ.get("BENCH_ITER_N", 100000 if on_tpu else min(n, 4096))
+def _note(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_leg(name, cmd, env_extra, timeout_s, json_lines):
+    """Run one leg in its own process group; echo its stdout JSON lines
+    immediately; kill the whole group on timeout.  Returns True if at
+    least one JSON metric line was emitted."""
+    if os.environ.get("BENCH_PLATFORM") == "cpu":
+        # JAX_PLATFORMS env is IGNORED on this box (the axon TPU plugin
+        # registers with priority; CLAUDE.md) -- force CPU via jax.config
+        # inside the child before the leg script runs.
+        cmd = [
+            cmd[0],
+            "-c",
+            "import sys, jax, runpy; "
+            "jax.config.update('jax_platforms', 'cpu'); "
+            "sys.argv = sys.argv[1:]; "
+            "runpy.run_path(sys.argv[0], run_name='__main__')",
+            *cmd[1:],
+        ]
+    env = dict(os.environ)
+    env.update({k: str(v) for k, v in env_extra.items()})
+    # A timed-out child is SIGKILLed: without this, JSON lines it already
+    # printed could die in its stdio buffer.
+    env["PYTHONUNBUFFERED"] = "1"
+    t0 = time.perf_counter()
+    got = False
+    try:
+        proc = subprocess.Popen(
+            cmd,
+            cwd=HERE,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            start_new_session=True,
         )
-        _extra(
-            "BENCH_ITERATIVE",
-            "1",
-            lambda: bench_iterative.run(n=iter_n, d=d, iters=2),
-        )
-
-    # Flagship scaling portfolio (VERDICT r3 item 3): attest the Vecchia /
-    # state-space / SVGP numbers in the driver-run bench, not just local
-    # logs.  Sizes shrink automatically off-TPU so CPU smoke stays fast.
-    import bench_ssgp
-    import bench_svgp
-    import bench_vecchia
-
-    _extra(
-        "BENCH_VECCHIA",
-        "1" if on_tpu else "0",
-        lambda: bench_vecchia.run(
-            n=int(os.environ.get("BENCH_VECCHIA_N", 200_000 if on_tpu else 5_000)),
-            iters=2,
-        ),
-    )
-    _extra(
-        "BENCH_SSGP",
-        "1",
-        lambda: bench_ssgp.run(
-            n=int(os.environ.get("BENCH_SSGP_N", 65_536 if on_tpu else 8_192)),
-            iters=2,
-        ),
-    )
-    _extra(
-        "BENCH_SVGP",
-        "1",
-        lambda: bench_svgp.run(
-            iters=20, scan_len=50 if on_tpu else 10,
-            n=45730 if on_tpu else 8192,
-        ),
-    )
-
-    # Serving: cached trtrs posterior vs the GEMM-only for_serving() path
-    # (reference re-Choleskys inside every predict, ref models/gpr.py:88-117;
-    # vs_baseline here = speedup over the already-cached trtrs posterior).
-    import bench_serving
-
-    _extra(
-        "BENCH_SERVING",
-        "1",
-        lambda: bench_serving.run(
-            n=16384 if on_tpu else 2048,
-            q=256,
-            scan_len=64 if on_tpu else 8,
-            iters=3,
-        ),
-    )
-
-    # The reference's ONLY published numbers (ekernels.py:29-32: psi-stats
-    # ~2 s fwd / ~1.5 s bwd at n=1000, m=50, q=10) -- measured directly.
-    import bench_ekernels
-
-    def _ek():
-        records, comment = bench_ekernels.run(iters=5)
-        for r in records[:-1]:
-            print(json.dumps(r))
-        return records[-1], comment
-
-    _extra("BENCH_EKERNELS", "1", _ek)
-
-    # Head-to-head vs the live reference (VERDICT r3 item 1): the two fast
-    # statistical configs (~30 s total, reference torch-CPU + this repo
-    # f64-CPU in subprocesses).  synthetic4k (the throughput leg) is
-    # minutes of torch time -- run `python bench_parity.py` for it.
-    if os.environ.get("BENCH_PARITY", "1") != "0":
-        import subprocess
-
+    except OSError as e:
+        _note(f"# leg {name} failed to start: {e}")
+        return False
+    try:
+        out, err = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
         try:
-            proc = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "bench_parity.py"),
-                    "--configs",
-                    "example1d,diabetes",
-                ],
-                capture_output=True,
-                text=True,
-                timeout=900,
-            )
-            for line in proc.stdout.splitlines():
-                if line.startswith("{"):
-                    print(line)
-            print(proc.stderr.strip(), file=sys.stderr)
-            if proc.returncode != 0:
-                print("# BENCH_PARITY nonzero exit", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            print(f"# BENCH_PARITY skipped: {e}", file=sys.stderr)
+            os.killpg(proc.pid, signal.SIGKILL)
+        except OSError:
+            pass
+        out, err = proc.communicate()
+        _note(f"# leg {name} TIMEOUT after {timeout_s:.0f}s (killed)")
+    for line in (out or "").splitlines():
+        if line.startswith("{"):
+            print(line, flush=True)
+            json_lines.append(line)
+            got = True
+    for line in (err or "").splitlines():
+        if line.startswith("#"):
+            _note(line)
+    dt = time.perf_counter() - t0
+    _note(f"# leg {name}: {'ok' if got else 'no metric'} in {dt:.0f}s")
+    return got
+
+
+def orchestrate():
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1140))
+    deadline = time.perf_counter() + budget
+    json_lines = []
+    py = sys.executable
+
+    def remaining():
+        return deadline - time.perf_counter()
+
+    subset = os.environ.get("BENCH_LEGS", "")
+    subset = [s for s in subset.split(",") if s] or None
+
+    # BENCH_SMOKE=1: CPU-sized smoke of the full orchestration path
+    # (used by tests; the driver runs full TPU sizes).
+    smoke = os.environ.get("BENCH_SMOKE", "0") == "1"
+
+    def sz(tpu_val, smoke_val):
+        return smoke_val if smoke else tpu_val
+
+    # (name, ladder_group, cap_s, min_needed_s, cmd, env).  Legs sharing a
+    # ladder_group are fallback rungs: once one succeeds, the rest skip.
+    serving = lambda n, scan: (  # noqa: E731
+        [py, os.path.join(HERE, "bench_serving.py")],
+        {"BENCH_N": n, "BENCH_ITERS": 3, "BENCH_SCAN": scan},
+    )
+    legs = [
+        ("headline", None, 480, 120, [py, __file__, "--leg", "headline"],
+         {"BENCH_N": sz(32768, 2048)}),
+        (
+            "parity",
+            None,
+            420,
+            90,
+            [py, os.path.join(HERE, "bench_parity.py"),
+             "--configs",
+             "example1d,diabetes,vfe1d,svgp_diabetes" if not smoke
+             else "example1d"],
+            {},
+        ),
+        ("ekernels", None, 240, 60,
+         [py, os.path.join(HERE, "bench_ekernels.py")], {}),
+        ("svgp", None, 330, 90, [py, os.path.join(HERE, "bench_svgp.py")],
+         {"BENCH_ITERS": 20, "BENCH_N": sz(45730, 8192),
+          "BENCH_SCAN": sz(50, 10)}),
+        # Serving fallback ladder (VERDICT r4 item 2): the n=16384 one-time
+        # blocked_trtri compile can blow the tunnel budget; degrade to a
+        # smaller n and still attest the GEMM-vs-trtrs speedup ratio.
+        ("serving_8192", "serving", 330, 90, *serving(sz(8192, 2048), 64)),
+        ("serving_4096", "serving", 240, 60, *serving(sz(4096, 1024), 64)),
+        ("ssgp", None, 420, 120, [py, os.path.join(HERE, "bench_ssgp.py")],
+         {"BENCH_N": sz(65536, 8192), "BENCH_ITERS": 2}),
+        ("iterative", None, 420, 120,
+         [py, os.path.join(HERE, "bench_iterative.py")],
+         {"BENCH_N": sz(100000, 4096), "BENCH_ITERS": 2}),
+        ("vecchia", None, 480, 150,
+         [py, os.path.join(HERE, "bench_vecchia.py")],
+         {"BENCH_N": sz(200000, 5000), "BENCH_ITERS": 3}),
+    ]
+
+    ladder_ok = set()
+    for name, group, cap, need, cmd, env in legs:
+        if subset and name not in subset and group not in (subset or []):
+            continue
+        if group in ladder_ok:
+            continue
+        rem = remaining()
+        if rem < need:
+            _note(f"# leg {name} SKIPPED: {rem:.0f}s left < {need}s needed")
+            continue
+        if run_leg(name, cmd, env, min(cap, rem - 5), json_lines) and group:
+            ladder_ok.add(group)
+
+    # Re-emit the headline record LAST so the driver's parsed metric is the
+    # canonical one (it takes the final JSON line).
+    head = [l for l in json_lines if "gpr_nlml_grad_n" in l]
+    if head:
+        print(head[0], flush=True)
+    _note(
+        f"# bench done: {len(json_lines)} metric lines, "
+        f"{budget - remaining():.0f}s of {budget:.0f}s budget"
+    )
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--leg", default=None)
+    args = p.parse_args()
+    if args.leg == "headline":
+        headline()
+        return
+    orchestrate()
 
 
 if __name__ == "__main__":

@@ -69,6 +69,25 @@ CONFIGS = {
         kernel="rbf_ard", method="Adam", max_iter=50, noise_start=0.1,
         scored=True,
     ),
+    # Sparse head-to-heads (VERDICT r4 item 5): the reference's VFE on its
+    # own example config (/root/reference/examples/regression_1d.py:89-95
+    # supports --model-type VFE) and its SVGP
+    # (/root/reference/gptorch/models/sparse_gpr.py:219-308), both with a
+    # SHARED explicit inducing set Z (the reference's kmeans init is
+    # unseeded scipy) and shared noise start.  Both sides minimize the
+    # same bound (negative collapsed VFE / negative ELBO), so "nlml" is
+    # directly comparable.
+    "vfe1d": dict(
+        kernel="lin+rbf+const", method="L-BFGS-B", max_iter=100,
+        model="VFE", m=10, data="example1d",
+    ),
+    "svgp_diabetes": dict(
+        kernel="rbf", method="Adam", max_iter=100,
+        model="SVGP", m=32, data="diabetes", noise_start=0.1,
+        y_standardize=True,  # raw y scale ~75: noise start 0.1 would be
+        # 6 log-units off for both sides; standardized units make the
+        # fixed Adam budget meaningful
+    ),
 }
 
 # NLML tolerance: both sides minimize the same objective from the same
@@ -82,8 +101,28 @@ def _example1d_f(x):
     return np.sin(2.0 * np.pi * x) + np.cos(3.5 * np.pi * x) - 3.0 * x + 5.0
 
 
+def make_z(config, x):
+    """Shared inducing inputs for the sparse configs: a seeded random
+    subset of x (both frameworks receive the same Z, removing the
+    reference's unseeded scipy-kmeans init from the comparison)."""
+    m = CONFIGS[config].get("m")
+    if m is None:
+        return None
+    rng = np.random.RandomState(1234)
+    return x[rng.permutation(x.shape[0])[:m]].copy()
+
+
 def make_data(config):
     """Returns (x, y, xt, yt) float64 numpy arrays, seeded per config."""
+    spec = CONFIGS[config]
+    x, y, xt, yt = _make_base(spec.get("data", config))
+    if spec.get("y_standardize"):
+        mu, sd = y.mean(), y.std()
+        y, yt = (y - mu) / sd, (yt - mu) / sd
+    return x, y, xt, yt
+
+
+def _make_base(config):
     if config == "example1d":
         # Reference examples/regression_1d.py:36-40 (seed 42, σ=0.1).
         rng = np.random.RandomState(42)
@@ -138,14 +177,16 @@ def _metrics(yt, mean, var):
     return rmse, _gaussian_nlpd(yt, mean, var)
 
 
-def run_reference(config, x, y, xt, yt):
+def run_reference(config, x, y, xt, yt, z=None):
     sys.path.insert(0, REFERENCE_PATH)
     import torch
 
     from gptorch import kernels, likelihoods
     from gptorch.models.gpr import GPR
+    from gptorch.models.sparse_gpr import SVGP, VFE
 
     torch.manual_seed(0)
+    np.random.seed(0)  # SVGP._init_posterior subsamples via np.random
     d = x.shape[1]
     spec = CONFIGS[config]
     if spec["kernel"] == "lin+rbf+const":
@@ -159,7 +200,19 @@ def run_reference(config, x, y, xt, yt):
         if "noise_start" in spec
         else None
     )
-    model = GPR(x, y, kern, likelihood=lik)
+    model_type = spec.get("model", "GPR")
+    if model_type == "VFE":
+        model = VFE(x, y, kern, inducing_points=z, likelihood=lik)
+    elif model_type == "SVGP":
+        # batch_size=None: full-batch ELBO, removing host-RNG minibatch
+        # noise from the head-to-head (ref sparse_gpr.py:198-216).
+        model = SVGP(
+            x, y, kern, inducing_points=z,
+            likelihood=lik if lik is not None else likelihoods.Gaussian(),
+            batch_size=None,
+        )
+    else:
+        model = GPR(x, y, kern, likelihood=lik)
 
     t0 = time.perf_counter()
     model.optimize(method=spec["method"], max_iter=spec["max_iter"], verbose=False)
@@ -167,7 +220,7 @@ def run_reference(config, x, y, xt, yt):
     nlml = float(model.loss())
 
     params = None
-    if spec["kernel"] in ("rbf", "rbf_ard"):
+    if spec["kernel"] in ("rbf", "rbf_ard") and model_type == "GPR":
         params = dict(
             kernel_variance=float(model.kernel.variance.transform()),
             length_scales=np.asarray(
@@ -195,7 +248,7 @@ def run_reference(config, x, y, xt, yt):
     )
 
 
-def run_tpu(config, x, y, xt, yt, platform, x64):
+def run_tpu(config, x, y, xt, yt, platform, x64, z=None):
     import jax
 
     if platform == "cpu":
@@ -204,8 +257,9 @@ def run_tpu(config, x, y, xt, yt, platform, x64):
         jax.config.update("jax_enable_x64", True)
 
     from gptorch_tpu import kernels, likelihoods
-    from gptorch_tpu.models import GPR
+    from gptorch_tpu.models import GPR, SVGP, VFE
 
+    np.random.seed(0)
     d = x.shape[1]
     spec = CONFIGS[config]
     if spec["kernel"] == "lin+rbf+const":
@@ -218,11 +272,19 @@ def run_tpu(config, x, y, xt, yt, platform, x64):
     extra = {}
     if "noise_start" in spec:
         extra["likelihood"] = likelihoods.Gaussian(variance=spec["noise_start"])
-    if not x64:
-        # f32 fused-path stabilizer (the documented production setting,
-        # CLAUDE.md); the scored f64 NLML below is jitter-free.
-        extra["fast_jitter"] = 1e-3
-    model = GPR(x.astype(dt), y.astype(dt), kern, **extra)
+    model_type = spec.get("model", "GPR")
+    if model_type == "VFE":
+        model = VFE(x.astype(dt), y.astype(dt), kern,
+                    inducing_points=z.astype(dt), **extra)
+    elif model_type == "SVGP":
+        model = SVGP(x.astype(dt), y.astype(dt), kern,
+                     inducing_points=z.astype(dt), batch_size=None, **extra)
+    else:
+        if not x64:
+            # f32 fused-path stabilizer (the documented production setting,
+            # CLAUDE.md); the scored f64 NLML below is jitter-free.
+            extra["fast_jitter"] = 1e-3
+        model = GPR(x.astype(dt), y.astype(dt), kern, **extra)
 
     t0 = time.perf_counter()
     model.optimize(method=spec["method"], max_iter=spec["max_iter"], verbose=False)
@@ -230,7 +292,7 @@ def run_tpu(config, x, y, xt, yt, platform, x64):
     nlml = float(model.loss())
 
     params = None
-    if spec["kernel"] in ("rbf", "rbf_ard"):
+    if spec["kernel"] in ("rbf", "rbf_ard") and model_type == "GPR":
         params = dict(
             kernel_variance=float(np.asarray(model.kernel.variance.value)),
             length_scales=np.asarray(
@@ -289,15 +351,17 @@ def run_scorer(config, x, y, params):
 def worker_main(args):
     data = np.load(args.data)
     x, y, xt, yt = data["x"], data["y"], data["xt"], data["yt"]
+    z = data["z"] if "z" in data.files else None
     if args.worker == "ref":
-        rec = run_reference(args.config, x, y, xt, yt)
+        rec = run_reference(args.config, x, y, xt, yt, z=z)
     elif args.worker == "score":
         with open(args.params) as fh:
             params = json.load(fh)
         rec = run_scorer(args.config, x, y, params)
     else:
         rec = run_tpu(
-            args.config, x, y, xt, yt, platform=args.platform, x64=args.x64
+            args.config, x, y, xt, yt, platform=args.platform, x64=args.x64,
+            z=z,
         )
     with open(args.out, "w") as fh:
         json.dump(rec, fh)
@@ -344,8 +408,12 @@ def orchestrate(configs):
     verdicts = []
     for config in configs:
         x, y, xt, yt = make_data(config)
+        z = make_z(config, x)
         with tempfile.NamedTemporaryFile(suffix=".npz", delete=False) as fh:
-            np.savez(fh, x=x, y=y, xt=xt, yt=yt)
+            arrays = dict(x=x, y=y, xt=xt, yt=yt)
+            if z is not None:
+                arrays["z"] = z
+            np.savez(fh, **arrays)
             data_path = fh.name
 
         small = config != "synthetic4k"

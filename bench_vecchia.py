@@ -73,13 +73,14 @@ def run(n=200_000, d=3, m=32, chunk=8192, iters=3):
         )
         times.append(time.time() - t0)
     t_iter = float(np.median(times))
+    t_min = float(np.min(times))
     assert np.isfinite(li) and np.isfinite(gsum)
 
     backend = jax.devices()[0].platform
     comment = (
         f"# n={n} d={d} m={m} chunk={chunk} build={t_build:.1f}s "
-        f"compile={t_compile:.1f}s time/iter={t_iter * 1e3:.0f} ms "
-        f"loss={li:.1f} backend={backend}"
+        f"compile={t_compile:.1f}s time/iter median={t_iter * 1e3:.0f} ms "
+        f"min={t_min * 1e3:.0f} ms loss={li:.1f} backend={backend}"
     )
     record = {
         "metric": f"vecchia_nlml_grad_n{n}_m{m}_steps_per_s",

@@ -158,6 +158,12 @@ class GPRPosterior(Posterior):
         NOT re-optimized -- this is exact conditioning at fixed θ, the
         BayesOpt observe-step primitive.
 
+        .. note:: every chained update GROWS the array shapes, so k chained
+           calls copy O(k·n²) AND trigger a fresh XLA compile per step.
+           For an observe LOOP (BayesOpt at n ≳ 4k), use
+           :meth:`fantasy_chain` -- fixed shapes, one compiled program for
+           all k steps, in-place-donatable buffers.
+
         :return: a new :class:`GPRPosterior` over the augmented data.
         """
         x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.X))
@@ -204,6 +210,18 @@ class GPRPosterior(Posterior):
             L_aug,
             jnp.concatenate([self.V, V2], axis=0),
         )
+
+    def fantasy_chain(self, capacity: int) -> "FantasyGPRChain":
+        """Preallocated rolling-buffer variant of :meth:`condition_on` for
+        CHAINED observe loops (BayesOpt): pad the factor to a fixed
+        ``capacity`` once, then every :meth:`FantasyGPRChain.observe` is a
+        fixed-shape ``lax.dynamic_update_slice`` program -- ONE XLA
+        compile covers all k steps (``condition_on`` re-compiles per step
+        because every update grows the shapes).
+
+        :param capacity: max total points n + Σ n_b the chain will hold.
+        """
+        return FantasyGPRChain.from_posterior(self, capacity)
 
     def sample_paths(self, n_samples: int = 1, num_features: int = 1024, key=None):
         """Posterior FUNCTION samples: returns a callable
@@ -267,6 +285,155 @@ class GPRPosterior(Posterior):
             return np.asarray(out) if from_numpy else out
 
         return paths
+
+
+class FantasyGPRChain(Posterior):
+    """Fixed-capacity exact-GP fantasy chain (rolling-buffer
+    :meth:`GPRPosterior.condition_on`).
+
+    Layout: ``Lbuf`` is (C, C) lower-triangular holding
+    ``[[L, 0], [0, I]]`` -- the live n×n factor top-left, identity on the
+    unused trailing diagonal -- so a full-size ``trtrs`` against it is
+    exact for zero-padded right-hand sides (padded rows solve to 0 against
+    the identity block).  ``Xbuf``/``Vbuf`` are zero-padded past ``count``.
+    ``count`` is carried as a FLOAT scalar leaf (whole-pytree ``jax.grad``
+    breaks on integer leaves -- same idiom as models/vecchia.py; exact for
+    counts < 2²⁴) and cast at use.
+
+    Every ``observe`` and ``_predict`` masks kernel rows ≥ count with
+    where-on-broadcasted-iota (the mask is (C, n_b), never (C, C) -- see
+    CLAUDE.md on n² masks).  All shapes are static, so a BayesOpt loop of
+    k observe steps runs under ONE compiled program; pass the chain as a
+    jit argument (it is a pytree) and donate it for in-place buffer
+    updates.
+
+    No reference analog (the reference refits from scratch; GPyTorch's
+    ``get_fantasy_model`` re-allocates per call like ``condition_on``).
+    """
+
+    def __init__(self, kernel, likelihood, mean_function, Xbuf, Lbuf, Vbuf,
+                 count):
+        self.kernel = kernel
+        self.likelihood = likelihood
+        self.mean_function = mean_function
+        self.Xbuf = Xbuf
+        self.Lbuf = Lbuf
+        self.Vbuf = Vbuf
+        self.count = count  # float scalar array
+
+    @classmethod
+    def from_posterior(cls, post: "GPRPosterior", capacity: int):
+        from ..likelihoods import FixedNoiseGaussian
+
+        if isinstance(post.likelihood, FixedNoiseGaussian):
+            raise NotImplementedError(
+                "fantasy_chain supports Gaussian likelihoods; for "
+                "FixedNoiseGaussian use condition_on (it extends the "
+                "fixed-noise vector per update)"
+            )
+        n, C = post.X.shape[0], int(capacity)
+        if C < n:
+            raise ValueError(f"capacity {C} < current n {n}")
+        dtype = post.L.dtype
+        pad = C - n
+        Xbuf = jnp.concatenate(
+            [post.X, jnp.zeros((pad,) + post.X.shape[1:], post.X.dtype)]
+        )
+        Vbuf = jnp.concatenate(
+            [post.V, jnp.zeros((pad,) + post.V.shape[1:], post.V.dtype)]
+        )
+        Lbuf = jnp.zeros((C, C), dtype)
+        Lbuf = Lbuf.at[:n, :n].set(post.L)
+        if pad:
+            i = jnp.arange(C)
+            Lbuf = jnp.where(
+                ((i >= n)[:, None]) & (i[None, :] == i[:, None]),
+                jnp.ones((), dtype),
+                Lbuf,
+            )
+        return cls(
+            post.kernel, post.likelihood, post.mean_function,
+            Xbuf, Lbuf, Vbuf, jnp.asarray(float(n), dtype),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.Xbuf.shape[0]
+
+    def _active(self):
+        return jnp.arange(self.capacity) < self.count.astype(jnp.int32)
+
+    def observe(self, x_new, y_new) -> "FantasyGPRChain":
+        """Exact conditioning on a fixed-size batch (x_new, y_new) at fixed
+        hyperparameters; same algebra as :meth:`GPRPosterior.condition_on`
+        but writing into the preallocated buffers.  The caller must ensure
+        count + n_b <= capacity (``dynamic_update_slice`` CLAMPS
+        out-of-range starts, which would silently corrupt the factor --
+        checked here on the host when ``count`` is concrete)."""
+        import jax
+
+        x_new = jnp.asarray(x_new, dtype=jnp.result_type(self.Xbuf))
+        y_new = jnp.asarray(y_new, dtype=jnp.result_type(self.Vbuf))
+        if y_new.ndim == 1:
+            y_new = y_new[:, None]
+        nb = x_new.shape[0]
+        if not isinstance(self.count, jax.core.Tracer):
+            if int(self.count) + nb > self.capacity:
+                raise ValueError(
+                    f"chain full: count {int(self.count)} + batch {nb} "
+                    f"> capacity {self.capacity}"
+                )
+        cnt = self.count.astype(jnp.int32)
+        sigma2 = self.likelihood.variance.value.reshape(())
+
+        k = self.kernel.K(self.Xbuf, x_new)  # (C, nb)
+        k = jnp.where(self._active()[:, None], k, jnp.zeros((), k.dtype))
+        A = trtrs(k, self.Lbuf)  # (C, nb); rows >= count stay exactly 0
+        S = (
+            self.kernel.K(x_new)
+            + sigma2 * jnp.eye(nb, dtype=x_new.dtype)
+            - A.T @ A
+        )
+        L_S = cholesky(S)
+        V2 = trtrs(y_new - self.mean_function(x_new) - A.T @ self.Vbuf, L_S)
+
+        from jax import lax
+
+        # Row block [count:count+nb]: A' full-width (its columns >= count
+        # are exactly 0, clearing that span's identity diagonal), then the
+        # (nb, nb) diagonal block overwritten with L_S.
+        zero = jnp.zeros((), cnt.dtype)
+        Lbuf = lax.dynamic_update_slice(self.Lbuf, A.T, (cnt, zero))
+        Lbuf = lax.dynamic_update_slice(Lbuf, L_S, (cnt, cnt))
+        Vbuf = lax.dynamic_update_slice(self.Vbuf, V2, (cnt, zero))
+        Xbuf = lax.dynamic_update_slice(self.Xbuf, x_new, (cnt, zero))
+        return FantasyGPRChain(
+            self.kernel, self.likelihood, self.mean_function,
+            Xbuf, Lbuf, Vbuf, self.count + float(nb),
+        )
+
+    def _predict(self, x_new, diag=True):
+        k = self.kernel.K(self.Xbuf, x_new)
+        k = jnp.where(self._active()[:, None], k, jnp.zeros((), k.dtype))
+        A = trtrs(k, self.Lbuf)
+        mean = A.T @ self.Vbuf + self.mean_function(x_new)
+        if diag:
+            var = jnp.broadcast_to(
+                (self.kernel.Kdiag(x_new) - jnp.sum(A * A, axis=0))[:, None],
+                mean.shape,
+            )
+        else:
+            var = self.kernel.K(x_new) - A.T @ A
+        return mean, var
+
+    def posterior(self) -> "GPRPosterior":
+        """Materialize a plain (tight-shaped) :class:`GPRPosterior` from
+        the live prefix.  Host-side: ``count`` must be concrete."""
+        n = int(self.count)
+        return GPRPosterior(
+            self.kernel, self.likelihood, self.mean_function,
+            self.Xbuf[:n], self.Lbuf[:n, :n], self.Vbuf[:n],
+        )
 
 
 class ServingGPRPosterior(Posterior):

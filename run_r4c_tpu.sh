@@ -11,9 +11,9 @@ LOG=${1:-/tmp/r4c_tpu.log}
 echo "=== ssgp n=1M chunk=65536 3-phase $(date)" >> "$LOG"
 timeout 1800 env BENCH_N=1000000 BENCH_ITERS=2 GPTORCH_TPU_SSM_CHUNK=65536 \
   python bench_ssgp.py >> "$LOG" 2>&1
-SSGP_OK=$(grep -c ssgp_nlml_grad_n1000000 "$LOG" || true)
+SSGP_OK=$(grep -c ssgp_nlml_grad_n1000000 "$LOG" 2>/dev/null || echo 0)
 
-if [ "$SSGP_OK" = "0" ]; then
+if [ "${SSGP_OK:-0}" -eq 0 ]; then
   echo "=== ssgp n=262144 chunk=32768 fallback $(date)" >> "$LOG"
   timeout 1500 env BENCH_N=262144 BENCH_ITERS=2 GPTORCH_TPU_SSM_CHUNK=32768 \
     python bench_ssgp.py >> "$LOG" 2>&1

@@ -359,6 +359,90 @@ class TestConditionOn:
         )
 
 
+class TestFantasyChain:
+    """Rolling-buffer fantasy chain (posterior.fantasy_chain): fixed-shape
+    observe steps must stay exact vs a full refit, and the whole k-step
+    loop must run under ONE compiled program (condition_on re-compiles per
+    step -- the VERDICT r4 item 8 cost this bounds)."""
+
+    def test_k32_matches_refit_single_program(self):
+        x, y, x_test = _data(dy=1)
+        rng = np.random.RandomState(5)
+        k = 32
+        xb = rng.randn(k, x.shape[1])
+        yb = np.sin(xb[:, :1]) + 0.05 * rng.randn(k, 1)
+
+        model = MODELS["gpr_mean"](x, np.repeat(y[:, :1], 2, axis=1))
+        chain = model.posterior().fantasy_chain(capacity=x.shape[0] + k)
+
+        traces = []
+
+        @jax.jit
+        def observe(c, xi, yi):
+            traces.append(1)
+            return c.observe(xi, yi)
+
+        for i in range(k):
+            chain = observe(
+                chain, jnp.asarray(xb[i : i + 1]), jnp.asarray(yb[i : i + 1])
+            )
+        assert len(traces) == 1, "observe loop must reuse one XLA program"
+
+        refit = GPR(
+            np.concatenate([x, xb]),
+            np.repeat(np.concatenate([y[:, :1], yb]), 2, axis=1),
+            model.kernel,
+            mean_function=model.mean_function,
+            likelihood=model.likelihood,
+        )
+        mu_r, var_r = refit.posterior().predict_f(x_test)
+        mu_c, var_c = chain.predict_f(np.asarray(x_test))
+        assert mu_c == pytest.approx(mu_r, rel=1e-7, abs=1e-9)
+        assert var_c == pytest.approx(var_r, rel=1e-6, abs=1e-9)
+        _, cov_r = refit.posterior().predict_f(x_test, diag=False)
+        _, cov_c = chain.predict_f(np.asarray(x_test), diag=False)
+        assert cov_c == pytest.approx(cov_r, rel=1e-6, abs=1e-9)
+
+        # materialized tight posterior agrees too
+        mu_p, var_p = chain.posterior().predict_f(np.asarray(x_test))
+        assert mu_p == pytest.approx(mu_r, rel=1e-7, abs=1e-9)
+        assert var_p == pytest.approx(var_r, rel=1e-6, abs=1e-9)
+
+    def test_matches_condition_on(self):
+        x, y, x_test = _data(dy=1)
+        rng = np.random.RandomState(6)
+        xb = rng.randn(4, x.shape[1])
+        yb = np.sin(xb[:, :1])
+
+        base = MODELS["gpr"](x, y[:, :1]).posterior()
+        chain = base.fantasy_chain(capacity=x.shape[0] + 8).observe(xb, yb)
+        ref = base.condition_on(xb, yb)
+        mu_a, var_a = ref.predict_f(jnp.asarray(x_test))
+        mu_b, var_b = chain.predict_f(jnp.asarray(x_test))
+        assert np.asarray(mu_b) == pytest.approx(np.asarray(mu_a), rel=1e-8)
+        assert np.asarray(var_b) == pytest.approx(
+            np.asarray(var_a), rel=1e-7, abs=1e-12
+        )
+
+    def test_capacity_guard_and_fixed_noise_rejected(self):
+        from gptorch_tpu.likelihoods import FixedNoiseGaussian
+
+        x, y, _ = _data(dy=1)
+        post = MODELS["gpr"](x, y[:, :1]).posterior()
+        chain = post.fantasy_chain(capacity=x.shape[0] + 1)
+        with pytest.raises(ValueError, match="chain full"):
+            chain.observe(np.zeros((2, x.shape[1])), np.zeros((2, 1)))
+        with pytest.raises(ValueError, match="capacity"):
+            post.fantasy_chain(capacity=x.shape[0] - 1)
+
+        m = GPR(
+            x, y[:, :1], kernels.Rbf(x.shape[1]),
+            likelihood=FixedNoiseGaussian(np.full(x.shape[0], 0.05)),
+        )
+        with pytest.raises(NotImplementedError, match="condition_on"):
+            m.posterior().fantasy_chain(capacity=x.shape[0] + 4)
+
+
 class TestPosteriorCheckpoint:
     """Posteriors are Module pytrees, so training.checkpoint save/load
     round-trips them -- the serving deployment path (factorize once on
