@@ -156,6 +156,7 @@ def kernel_search(
     learning_rate: Optional[float] = None,
     likelihood=None,
     restarts: int = 1,
+    max_candidates: Optional[int] = None,
     key: Optional[jax.Array] = None,
     verbose: bool = False,
 ) -> SearchResult:
@@ -164,9 +165,22 @@ def kernel_search(
     Round 1 scores every base kernel; each later round expands the current
     best expression with ``+ B`` and ``* B`` for every base, warm-starting
     the shared subtree from the trained parent.  Stops when no child
-    improves the criterion or ``max_depth`` structure-building rounds have
-    run.  Returns the trained winner with its expression string and the
-    full scored history.
+    improves the criterion, ``max_depth`` structure-building rounds have
+    run, or ``max_candidates`` candidates have been trained (the incumbent
+    so far is returned).  Returns the trained winner with its expression
+    string and the full scored history.
+
+    **Compile economics (read before running on TPU).**  Every DISTINCT
+    candidate structure is a new pytree treedef, i.e. a fresh XLA program:
+    a full search trains ``|bases| + 2·|bases|·(max_depth−1)`` candidates
+    (defaults: 15).  Compiles are seconds on CPU but MINUTES each through
+    a remote-compiler TPU tunnel (CLAUDE.md) — a depth-3 search can be
+    hours of compile there.  What the implementation amortizes: restarts
+    and re-encounters of the same composition shape reuse the cached
+    compiled trainer (``fit_scan``'s runner cache), and warm-started
+    parents cost nothing extra.  On a tunnel, bound the sweep with
+    ``max_candidates``, drop to ``max_depth=2``, or search on CPU (same
+    f64 numerics) and train only the winner on TPU.
 
     Parameters mirror :func:`gptorch_tpu.training.fit.fit_scan`;
     ``criterion`` is ``"bic"`` (default), ``"aic"``, or ``"nlml"`` (no
@@ -182,8 +196,13 @@ def kernel_search(
     input_dim = int(x.shape[1]) if x.ndim > 1 else 1
     history: list = []
 
+    class _Budget(Exception):
+        pass
+
     def consider(kern, expr, depth, lik):
         nonlocal key
+        if max_candidates is not None and len(history) >= max_candidates:
+            raise _Budget()
         key, sub = jax.random.split(key)
         model, nlml = _train(
             x, y, kern, lik,
@@ -198,35 +217,46 @@ def kernel_search(
 
     # depth 1: every base on its own
     best_model, best_expr, best_score = None, None, float("inf")
-    for spec in bases:
-        model, score = consider(
-            _base_kernel(spec, input_dim), _spec_name(spec), 1, likelihood
-        )
-        if score < best_score:
-            best_model, best_expr, best_score = model, _spec_name(spec), score
+    try:
+        for spec in bases:
+            model, score = consider(
+                _base_kernel(spec, input_dim), _spec_name(spec), 1, likelihood
+            )
+            if score < best_score:
+                best_model, best_expr, best_score = (
+                    model, _spec_name(spec), score,
+                )
+        if best_model is not None:
+            # depths 2..max_depth: expand the incumbent
+            for depth in range(2, max_depth + 1):
+                parent_model, parent_expr = best_model, best_expr
+                improved = False
+                for spec in bases:
+                    for op, sym in (
+                        (lambda a, b: a + b, "+"),
+                        (lambda a, b: a * b, "*"),
+                    ):
+                        kern = op(
+                            parent_model.kernel, _base_kernel(spec, input_dim)
+                        )  # warm start: trained parent subtree reused verbatim
+                        expr = f"({parent_expr} {sym} {_spec_name(spec)})"
+                        model, score = consider(
+                            kern, expr, depth, parent_model.likelihood
+                        )
+                        if score < best_score:
+                            best_model, best_expr, best_score = (
+                                model, expr, score,
+                            )
+                            improved = True
+                if not improved:
+                    break
+    except _Budget:
+        pass  # candidate budget exhausted: return the incumbent so far
     if best_model is None:
         raise FloatingPointError(
-            "kernel_search: every base kernel failed to train; check the "
+            "kernel_search: every base kernel failed to train (or "
+            "max_candidates exhausted before one trained); check the "
             "data scaling or pass an explicit likelihood noise"
         )
-
-    # depths 2..max_depth: expand the incumbent
-    for depth in range(2, max_depth + 1):
-        parent_model, parent_expr = best_model, best_expr
-        improved = False
-        for spec in bases:
-            for op, sym in ((lambda a, b: a + b, "+"), (lambda a, b: a * b, "*")):
-                kern = op(
-                    parent_model.kernel, _base_kernel(spec, input_dim)
-                )  # warm start: trained parent subtree reused verbatim
-                expr = f"({parent_expr} {sym} {_spec_name(spec)})"
-                model, score = consider(
-                    kern, expr, depth, parent_model.likelihood
-                )
-                if score < best_score:
-                    best_model, best_expr, best_score = model, expr, score
-                    improved = True
-        if not improved:
-            break
 
     return SearchResult(best_model, best_expr, best_score, history)

@@ -20,6 +20,7 @@ TPU-native design:
 
 from __future__ import annotations
 
+import functools as _functools
 import time as _time
 from typing import Callable, Optional
 
@@ -156,41 +157,20 @@ def fit_optax(
     return with_trainable(model, values), losses, wall
 
 
-def fit_scan(
-    model,
-    method: str = "Adam",
-    max_iter: int = 2000,
-    learning_rate: Optional[float] = None,
-    key: Optional[jax.Array] = None,
-):
-    """Whole-loop-compiled trainer: ``lax.scan`` over steps inside one jit.
-
-    No host synchronization until the end -- the preferred TPU path.  Returns
-    (trained_model, losses DeviceArray of shape (max_iter,)).
-
-    ``method="LBFGS"`` compiles the ENTIRE quasi-Newton run -- curvature
-    pairs, direction, and zoom linesearch (an optax ``lax.while_loop``) --
-    into the one XLA program: the TPU-native answer to the reference's
-    scipy L-BFGS-B bridge (models/base.py:298-320), which pays a host
-    round-trip per objective evaluation (~35 ms through this machine's
-    tunnel).  The objective must be deterministic for the linesearch to be
-    meaningful, so the PRNG key is held FIXED across steps on this path
-    (minibatched models should train with a first-order method instead);
-    the loop runs the full ``max_iter`` steps -- at convergence the
-    linesearch accepts ~zero-length steps, so extra iterations are
-    numerically harmless.
-    """
-    loss = _loss_fn(model)
+@_functools.lru_cache(maxsize=64)
+def _scan_runner(method: str, max_iter: int, learning_rate):
+    """One jitted whole-run trainer per (method, max_iter, lr) — the
+    callable is cached so jax's own jit cache (keyed on the model
+    treedef + shapes) can reuse compiles across fit_scan calls."""
     tx = make_optimizer(method, learning_rate)
-    values = get_trainable(model)
-    if key is None:
-        key = jax.random.PRNGKey(0)
-
     use_lbfgs = method == "LBFGS"
 
     @jax.jit
     def run(values, model, key):
         opt_state = tx.init(values)
+
+        def loss(v, m, k):
+            return with_trainable(m, v)._loss(key=k)
 
         if use_lbfgs:
             def fun(v):
@@ -220,6 +200,43 @@ def fit_scan(
         )
         return values, losses
 
+    return run
+
+
+def fit_scan(
+    model,
+    method: str = "Adam",
+    max_iter: int = 2000,
+    learning_rate: Optional[float] = None,
+    key: Optional[jax.Array] = None,
+):
+    """Whole-loop-compiled trainer: ``lax.scan`` over steps inside one jit.
+
+    No host synchronization until the end -- the preferred TPU path.  Returns
+    (trained_model, losses DeviceArray of shape (max_iter,)).
+
+    ``method="LBFGS"`` compiles the ENTIRE quasi-Newton run -- curvature
+    pairs, direction, and zoom linesearch (an optax ``lax.while_loop``) --
+    into the one XLA program: the TPU-native answer to the reference's
+    scipy L-BFGS-B bridge (models/base.py:298-320), which pays a host
+    round-trip per objective evaluation (~35 ms through this machine's
+    tunnel).  The objective must be deterministic for the linesearch to be
+    meaningful, so the PRNG key is held FIXED across steps on this path
+    (minibatched models should train with a first-order method instead);
+    the loop runs the full ``max_iter`` steps -- at convergence the
+    linesearch accepts ~zero-length steps, so extra iterations are
+    numerically harmless.
+
+    The compiled runner is cached per (method, max_iter, learning_rate):
+    repeat calls with a model of the SAME pytree structure and shapes
+    (restarts, kernel_search candidates sharing a composition shape) hit
+    jax's jit cache instead of re-tracing — one compile amortizes across
+    the whole sweep.
+    """
+    values = get_trainable(model)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    run = _scan_runner(method, int(max_iter), learning_rate)
     values, losses = run(values, model, key)
     bad = np.flatnonzero(~np.isfinite(np.asarray(losses)))
     if bad.size:

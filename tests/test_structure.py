@@ -70,6 +70,29 @@ class TestSearch:
         assert all(isinstance(h, SearchStep) for h in res.history)
         assert all(np.isfinite(h.score) for h in res.history)
 
+    def test_max_candidates_bounds_the_sweep(self, trend_plus_wiggle):
+        """TPU-tunnel budget knob: the search must stop after exactly
+        max_candidates trained candidates and still return the incumbent."""
+        x, y = trend_plus_wiggle
+        res = kernel_search(
+            x, y, bases=("Rbf", "Linear"), max_depth=3, max_iter=40,
+            max_candidates=3,
+        )
+        assert len(res.history) == 3
+        assert np.isfinite(res.score)
+        mu, _ = res.model.predict_y(x[:3])
+        assert np.isfinite(mu).all()
+
+    def test_fit_scan_runner_cache_shared(self):
+        """Same (method, max_iter, lr) => the SAME jitted runner object, so
+        same-structure candidates / restarts reuse one XLA compile."""
+        from gptorch_tpu.training.fit import _scan_runner
+
+        a = _scan_runner("LBFGS", 40, None)
+        b = _scan_runner("LBFGS", 40, None)
+        assert a is b
+        assert _scan_runner("Adam", 40, None) is not a
+
     def test_stops_when_no_improvement(self, trend_plus_wiggle):
         """max_depth=3 with a grammar that can't improve past depth 1
         must stop after one expansion round (7 candidates, not 13)."""
