@@ -16,7 +16,7 @@ Layout mirrors the reference package (gptorch/__init__.py:6-16) so users can
 port imports 1:1.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from . import bijectors
 from . import functions
