@@ -68,7 +68,11 @@ def run_gpr(n, d, q, scan_len, iters):
             likelihood=likelihoods.Gaussian(0.1),
         )
         post = model.posterior()
-        serving = post.for_serving()
+        # BENCH_TRTRI=solve: single-op compile-light conversion (for
+        # tunnel days when the blocked trtri's compile blows the budget)
+        serving = post.for_serving(
+            method=os.environ.get("BENCH_TRTRI", "blocked")
+        )
         # force the one-time factor conversions onto the device now
         _ = float(jnp.sum(post.L)) + float(jnp.sum(serving.Linv))
 

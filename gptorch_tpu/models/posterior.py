@@ -131,13 +131,32 @@ class GPRPosterior(Posterior):
             var = self.kernel.K(x_new) - A.T @ A
         return mean, var
 
-    def for_serving(self, nb: int = 1024):
+    def for_serving(self, nb: int = 1024, method: str = "blocked"):
         """One-time L → L⁻¹ conversion (n³/3 at MXU rate) returning a
         :class:`ServingGPRPosterior` whose every predict is pure GEMM —
-        no sequential triangular solves on the serving path."""
-        from ..ops.blocked import blocked_trtri
+        no sequential triangular solves on the serving path.
 
-        Linv = blocked_trtri(self.L, nb=nb)
+        ``method="blocked"`` (default) is the d&c ``blocked_trtri``
+        (86–102 TF/s on chip) — but its unrolled recursion is a large HLO
+        graph, minutes of XLA compile through a slow remote compiler.
+        ``method="solve"`` is one stock triangular solve against the
+        identity: a single-op program (compiles in seconds anywhere) that
+        runs the conversion at the sequential-TRSM rate — the right trade
+        when the one-time conversion is compile-bound, e.g. a cold
+        serving deploy over this machine's tunnel (CLAUDE.md)."""
+        if method == "solve":
+            from jax.scipy.linalg import solve_triangular
+
+            n = self.L.shape[0]
+            Linv = solve_triangular(
+                self.L, jnp.eye(n, dtype=self.L.dtype), lower=True
+            )
+        elif method == "blocked":
+            from ..ops.blocked import blocked_trtri
+
+            Linv = blocked_trtri(self.L, nb=nb)
+        else:
+            raise ValueError("method must be 'blocked' or 'solve'")
         alpha = Linv.T @ self.V
         return ServingGPRPosterior(
             self.kernel, self.likelihood, self.mean_function, self.X,

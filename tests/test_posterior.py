@@ -139,6 +139,23 @@ class TestForServing:
         assert np.asarray(mu_s) == pytest.approx(np.asarray(mu_p), rel=1e-9)
         assert np.asarray(v_s) == pytest.approx(np.asarray(v_p), rel=1e-7)
 
+    def test_for_serving_solve_method_matches_blocked(self):
+        """method='solve' (single-op compile-light conversion) must produce
+        the same serving posterior as the blocked d&c trtri."""
+        x, y, x_test = _data()
+        post = MODELS["gpr"](x, y).posterior()
+        a = post.for_serving()
+        b = post.for_serving(method="solve")
+        assert np.asarray(b.Linv) == pytest.approx(
+            np.asarray(a.Linv), rel=1e-6, abs=1e-9
+        )
+        mu_a, var_a = a.predict_f(x_test)
+        mu_b, var_b = b.predict_f(x_test)
+        assert mu_b == pytest.approx(mu_a, rel=1e-8, abs=1e-12)
+        assert var_b == pytest.approx(var_a, rel=1e-7, abs=1e-12)
+        with pytest.raises(ValueError):
+            post.for_serving(method="nope")
+
     def test_serving_condition_on_matches_refit(self):
         """Blockwise L⁻¹ extension == condition-then-convert == full refit
         at fixed hyperparameters."""
