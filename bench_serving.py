@@ -67,14 +67,24 @@ def run_gpr(n, d, q, scan_len, iters):
             x, y, kernels.Rbf(d, ARD=True),
             likelihood=likelihoods.Gaussian(0.1),
         )
+        t0 = time.perf_counter()
         post = model.posterior()
+        _ = float(jnp.sum(post.L))
+        t_factor = time.perf_counter() - t0
         # BENCH_TRTRI=solve: single-op compile-light conversion (for
         # tunnel days when the blocked trtri's compile blows the budget)
+        t0 = time.perf_counter()
         serving = post.for_serving(
             method=os.environ.get("BENCH_TRTRI", "blocked")
         )
-        # force the one-time factor conversions onto the device now
-        _ = float(jnp.sum(post.L)) + float(jnp.sum(serving.Linv))
+        _ = float(jnp.sum(serving.Linv))
+        t_convert = time.perf_counter() - t0
+        print(
+            f"# gpr n={n}: factorize {t_factor:.1f}s, for_serving "
+            f"({os.environ.get('BENCH_TRTRI', 'blocked')}) {t_convert:.1f}s "
+            "(one-time, incl. compile)",
+            file=sys.stderr,
+        )
 
         dt_trtrs = _timed_scan(
             lambda xx: post._predict(xx, diag=True), xq, scan_len, iters

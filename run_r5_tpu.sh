@@ -41,10 +41,14 @@ run_item() {  # run_item <name> <timeout_s> <cmd...>
 
 : > "$STATE.done"
 
-# 1. Serving ladder (r4 flagship still unmeasured on chip).
-run_item serving_4096 1200 BENCH_N=4096 BENCH_SVGP=0 python bench_serving.py
+# 1. Serving ladder (r4 flagship still unmeasured on chip).  First rung
+# uses the compile-light 'solve' conversion to reach the flagship
+# GEMM-vs-trtrs predict number with the fewest compiles; the 8192 rung
+# attests the blocked trtri conversion; 16384 uses 'solve' to dodge the
+# known blocked-trtri-16k compile cliff (round 4c).
+run_item serving_4096 1200 BENCH_N=4096 BENCH_SVGP=0 BENCH_TRTRI=solve python bench_serving.py
 run_item serving_8192 1500 BENCH_N=8192 BENCH_SVGP=1 python bench_serving.py
-run_item serving_16384 2400 BENCH_N=16384 BENCH_SVGP=0 python bench_serving.py
+run_item serving_16384 2400 BENCH_N=16384 BENCH_SVGP=0 BENCH_TRTRI=solve python bench_serving.py
 
 # 2. 32k tail A/B completion (full_kinv / full_best; r3 item 5).
 run_item tail_full 3600 BENCH_PROBES=full_solve,full_kinv,full_best python bench_tail.py
