@@ -25,16 +25,21 @@ import time
 import numpy as np
 
 
-def _timed_scan(predict, xq, scan_len, iters):
-    """Per-call seconds for `predict(xq)` with scan_len calls compiled
-    into one program, each on a perturbed query batch."""
+def _timed_scan(post, xq, scan_len, iters):
+    """Per-call seconds for `post._predict(xq)` with scan_len calls
+    compiled into one program, each on a perturbed query batch.
+
+    The posterior pytree is a jit ARGUMENT, never a closure capture:
+    closed-over factors become HLO constants, and at n=8192 a (n, n) L
+    embedded in the program is a ~270 MB compile request — this tunnel's
+    remote compiler rejects it (HTTP 413 length limit; round-5 log)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def many(xq, seed):
+    def many(post, xq, seed):
         def body(acc, i):
-            mu, var = predict(xq + 1e-4 * (seed + i))
+            mu, var = post._predict(xq + 1e-4 * (seed + i), diag=True)
             return acc + jnp.sum(mu) + jnp.sum(var), ()
 
         acc, _ = jax.lax.scan(
@@ -42,11 +47,11 @@ def _timed_scan(predict, xq, scan_len, iters):
         )
         return acc
 
-    _ = float(many(xq, jnp.zeros((), xq.dtype)))  # compile
+    _ = float(many(post, xq, jnp.zeros((), xq.dtype)))  # compile
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        _ = float(many(xq, jnp.full((), 1.0 + i, xq.dtype)))
+        _ = float(many(post, xq, jnp.full((), 1.0 + i, xq.dtype)))
         times.append((time.perf_counter() - t0) / scan_len)
     return min(times)
 
@@ -86,12 +91,8 @@ def run_gpr(n, d, q, scan_len, iters):
             file=sys.stderr,
         )
 
-        dt_trtrs = _timed_scan(
-            lambda xx: post._predict(xx, diag=True), xq, scan_len, iters
-        )
-        dt_gemm = _timed_scan(
-            lambda xx: serving._predict(xx, diag=True), xq, scan_len, iters
-        )
+        dt_trtrs = _timed_scan(post, xq, scan_len, iters)
+        dt_gemm = _timed_scan(serving, xq, scan_len, iters)
     return dt_trtrs, dt_gemm
 
 
@@ -117,12 +118,8 @@ def run_svgp(n, d, m, q, scan_len, iters):
         serving = post.for_serving()
         _ = float(jnp.sum(post.L)) + float(jnp.sum(serving.E1))
 
-        dt_trtrs = _timed_scan(
-            lambda xx: post._predict(xx, diag=True), xq, scan_len, iters
-        )
-        dt_gemm = _timed_scan(
-            lambda xx: serving._predict(xx, diag=True), xq, scan_len, iters
-        )
+        dt_trtrs = _timed_scan(post, xq, scan_len, iters)
+        dt_gemm = _timed_scan(serving, xq, scan_len, iters)
     return dt_trtrs, dt_gemm
 
 
