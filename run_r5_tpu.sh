@@ -11,7 +11,7 @@ STATE=/tmp/r5_tpu.state
 : > "$LOG"
 
 probe() {
-  timeout 300 python -c "
+  timeout 180 python -c "
 import jax, jax.numpy as jnp
 v = float(jax.jit(lambda a: jnp.sum(a @ a))(jnp.ones((512, 512))))
 assert v == 512.0 ** 3
@@ -20,9 +20,9 @@ print('probe ok')" >> "$LOG" 2>&1
 
 wait_healthy() {
   while ! probe; do
-    echo "probe FAILED $(date) -- sleeping 600" >> "$LOG"
+    echo "probe FAILED $(date) -- sleeping 300" >> "$LOG"
     echo "waiting-for-tunnel $(date)" > "$STATE"
-    sleep 600
+    sleep 300
   done
 }
 
@@ -39,7 +39,8 @@ run_item() {  # run_item <name> <timeout_s> <cmd...>
   fi
 }
 
-: > "$STATE.done"
+# $STATE.done persists across relaunches (rm it to force a full rerun)
+touch "$STATE.done"
 
 # 1. Serving ladder (r4 flagship still unmeasured on chip).  First rung
 # uses the compile-light 'solve' conversion to reach the flagship
