@@ -234,9 +234,14 @@ def orchestrate():
 
     # (name, ladder_group, cap_s, min_needed_s, cmd, env).  Legs sharing a
     # ladder_group are fallback rungs: once one succeeds, the rest skip.
-    serving = lambda n, scan: (  # noqa: E731
+    # Serving rungs use the compile-light 'solve' conversion: the flagship
+    # number is the GEMM-vs-trtrs PREDICT speedup, and the blocked trtri's
+    # unrolled-recursion compile is minutes through the tunnel (its rate
+    # is attested separately by the r5 queue).
+    serving = lambda n, scan, svgp: (  # noqa: E731
         [py, os.path.join(HERE, "bench_serving.py")],
-        {"BENCH_N": n, "BENCH_ITERS": 3, "BENCH_SCAN": scan},
+        {"BENCH_N": n, "BENCH_ITERS": 3, "BENCH_SCAN": scan,
+         "BENCH_TRTRI": "solve", "BENCH_SVGP": svgp},
     )
     legs = [
         ("headline", None, 480, 120, [py, __file__, "--leg", "headline"],
@@ -260,8 +265,8 @@ def orchestrate():
         # Serving fallback ladder (VERDICT r4 item 2): the n=16384 one-time
         # blocked_trtri compile can blow the tunnel budget; degrade to a
         # smaller n and still attest the GEMM-vs-trtrs speedup ratio.
-        ("serving_8192", "serving", 330, 90, *serving(sz(8192, 2048), 64)),
-        ("serving_4096", "serving", 240, 60, *serving(sz(4096, 1024), 64)),
+        ("serving_8192", "serving", 330, 90, *serving(sz(8192, 2048), 64, 1)),
+        ("serving_4096", "serving", 240, 60, *serving(sz(4096, 1024), 64, 0)),
         ("ssgp", None, 420, 120, [py, os.path.join(HERE, "bench_ssgp.py")],
          {"BENCH_N": sz(65536, 8192), "BENCH_ITERS": 2}),
         ("iterative", None, 420, 120,
