@@ -810,7 +810,10 @@ def elliptical_slice(
     chol_cov = jnp.asarray(chol_cov)
     two_pi = 2.0 * math.pi
 
-    def transition(f, key):
+    # chol_cov is threaded through as a jit ARGUMENT (closure capture
+    # would embed the (n, n) factor as an HLO constant — remote compilers
+    # with request-size limits reject such programs; CLAUDE.md round 5).
+    def transition(chol_cov, f, key):
         k_nu, k_u, k_th, k_loop = jax.random.split(key, 4)
         xi = jax.random.normal(k_nu, f.shape, f.dtype)
         nu = chol_cov @ xi
@@ -848,17 +851,17 @@ def elliptical_slice(
         theta = jnp.where(accepted, theta, 0.0)  # exact fallback: stay put
         return prop(theta), None
 
-    def chain(f, key):
+    def chain(chol_cov, f, key):
         keys = jax.random.split(key, num_burn + num_samples * thin)
 
         def step(f, k):
-            f, _ = transition(f, k)
+            f, _ = transition(chol_cov, f, k)
             return f, f
 
         f, draws = lax.scan(step, f, keys)
         return draws[num_burn:][:: thin if thin > 1 else 1][:num_samples]
 
-    return jax.jit(chain)(f0, key)
+    return jax.jit(chain)(chol_cov, f0, key)
 
 
 def latent_prior_chol(model, jitter: float = 1e-6):
