@@ -1065,9 +1065,34 @@ def iterative_gpr_posterior(model, love_rank=None) -> IterativeGPRPosterior:
     return post
 
 
-def gpr_posterior(model) -> GPRPosterior:
+def _gpr_factors(model):
     L = cholesky(model._compute_kyy())
     V = trtrs(model.Y - model.mean_function(model.X), L)
+    return L, V
+
+
+_gpr_factors_jits = {}
+
+
+def gpr_posterior(model) -> GPRPosterior:
+    # ONE compiled program for the whole factorization (model passed as a
+    # pytree argument): the eager chain was ~5 separate XLA programs, each
+    # a round-trip to the remote compiler on tunnel-TPU setups (measured
+    # 975 s at n=8192 through a degraded tunnel, round-5 log).  The jit
+    # wrapper is keyed on the jitter settings because functions.cholesky
+    # reads them at TRACE time — one cached program per settings context.
+    from .. import settings
+
+    key = (
+        settings.config.jitter_policy,
+        float(settings.config.fixed_jitter),
+    )
+    fn = _gpr_factors_jits.get(key)
+    if fn is None:
+        import jax
+
+        fn = _gpr_factors_jits[key] = jax.jit(_gpr_factors)
+    L, V = fn(model)
     return GPRPosterior(
         model.kernel, model.likelihood, model.mean_function, model.X, L, V
     )
