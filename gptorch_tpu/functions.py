@@ -39,6 +39,24 @@ def _eye_like(a):
     return jnp.eye(a.shape[-1], dtype=a.dtype)
 
 
+def add_diag(a, s):
+    """``a + s·I`` via where-on-broadcasted-iota instead of materializing
+    an (n, n) identity: an n² eye in the Gram chain breaks XLA fusion at
+    32k (CLAUDE.md) and, worse, can be constant-folded into the HLO —
+    at n=16384 that is a 1 GB constant that kills this machine's remote
+    compiler (round-5 serving log, HTTP 500).  ``s`` is a scalar or any
+    shape broadcastable against the batched diagonal."""
+    shp = a.shape[-2:]
+    i = lax.broadcasted_iota(jnp.int32, shp, 0)
+    j = lax.broadcasted_iota(jnp.int32, shp, 1)
+    s = jnp.asarray(s, dtype=a.dtype)
+    if s.ndim and s.shape[-1] == a.shape[-1]:
+        s = s[..., :, None]  # per-diagonal vector: s[i] lands at (i, i)
+    elif s.ndim:
+        s = s[..., None, None]  # batched scalar jitter
+    return jnp.where(i == j, a + s, a)
+
+
 def _jitter_schedule(dtype):
     """Absolute jitters tried by the reference after the bare attempt:
     10**(-max_tries+i), i = 0..max_tries-1 (functions.py:34-42)."""
@@ -54,7 +72,6 @@ def _select_jitter(a):
     a = lax.stop_gradient(a)
     schedule = _jitter_schedule(a.dtype)
     n = schedule.shape[0]
-    eye = _eye_like(a)
 
     def ok(mat):
         L = lax.linalg.cholesky(mat)
@@ -66,7 +83,7 @@ def _select_jitter(a):
 
     def body(state):
         i, _ = state
-        return i + 1, ok(a + schedule[i] * eye)
+        return i + 1, ok(add_diag(a, schedule[i]))
 
     # Bare attempt first (functions.py:29).
     done0 = ok(a)
@@ -112,7 +129,7 @@ def cholesky(a, policy: str | None = None):
     if policy == "fixed":
         scale = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)
         jitter = settings.config.fixed_jitter * lax.stop_gradient(scale)
-        return _chol_raw(a + jitter[..., None, None] * _eye_like(a))
+        return _chol_raw(add_diag(a, jitter))
     if policy == "adaptive":
         if a.ndim != 2:
             # Batched: vmap the 2-D path.
@@ -128,7 +145,7 @@ def cholesky(a, policy: str | None = None):
         # Cholesky VJP's triangular solves.
         return lax.cond(
             jitter > 0,
-            lambda: _chol_raw(a + jitter * _eye_like(a)),
+            lambda: _chol_raw(add_diag(a, jitter)),
             lambda: _chol_raw(a),
         )
     raise ValueError(f"Unknown jitter policy {policy!r}")
@@ -173,7 +190,7 @@ def inverse(a):
     )
     return lax.cond(
         bad,
-        lambda: jnp.linalg.inv(a + jitter * _eye_like(a)),
+        lambda: jnp.linalg.inv(add_diag(a, jitter)),
         lambda: jnp.linalg.inv(a),
     )
 

@@ -360,13 +360,22 @@ class GPR(GPModel):
 
         x = x if x is not None else self.X
         n = x.shape[0]
+        # where-on-iota diagonal add (functions.add_diag): an n² eye/diag
+        # in the Gram chain breaks fusion at 32k and can constant-fold
+        # into a 1 GB HLO constant at 16k (CLAUDE.md / round-5 log).
+        from ..functions import add_diag
+
         if isinstance(self.likelihood, FixedNoiseGaussian):
-            return self.kernel.K(x) + jnp.diag(
-                self.likelihood.noise_diag(n).astype(jnp.result_type(x))
+            return add_diag(
+                self.kernel.K(x),
+                self.likelihood.noise_diag(n).astype(jnp.result_type(x)),
             )
-        return self.kernel.K(x) + self.likelihood.variance.value.reshape(
-            ()
-        ) * jnp.eye(n, dtype=jnp.result_type(x))
+        return add_diag(
+            self.kernel.K(x),
+            self.likelihood.variance.value.reshape(()).astype(
+                jnp.result_type(x)
+            ),
+        )
 
     def iterative_diagnostics(self):
         """SLQ/CG estimator diagnostics for ``solver="iterative"`` models
