@@ -271,9 +271,13 @@ def _fwd_impl(
     diag = jnp.exp(log_noise) + jitter + rel_jitter * jnp.exp(log_var)
     K = _gram(xs, log_var, kind, diag, log_extra)
     L = blocked_cholesky(K, nb, lower_only=True)
-    if os.environ.get("GPTORCH_TPU_FWD_SOLVE", "stock") == "dc":
-        # A/B probe (VERDICT r3 item 5): d&c left TRSM -- two big GEMVs
-        # per level instead of XLA's 256-step sequential panel chain.
+    if os.environ.get("GPTORCH_TPU_FWD_SOLVE", "dc") != "stock":
+        # Round-5 DEFAULT (was the r3 A/B probe, VERDICT item 5): d&c
+        # left TRSM -- two big GEMVs per level instead of XLA's 256-step
+        # sequential panel chain.  Measured at n=32k on chip: 133.5 vs
+        # 148.6 ms forward (r4c), and the combined full_best backward
+        # 383.6 vs 408.5 ms (round-5).  Set GPTORCH_TPU_FWD_SOLVE=stock
+        # to restore the XLA TRSM.
         from .blocked import blocked_ltrsm
 
         alpha = blocked_ltrsm(L, y, leaf=4096)
@@ -374,7 +378,15 @@ def _bwd(kind, jitter, nb, rel_jitter, res, g):
         # HBM-bandwidth read of Kinv.
         Linv = blocked_trtri(L, min(nb, 1024))
         Kinv = tril_square_rec(Linv, min(nb, 512), 4096)
-        A = jnp.matmul(Kinv, y, preferred_element_type=y.dtype)
+        # HIGHEST precision: the TPU's default bf16-pass matmul loses
+        # ~3 digits in A and K's conditioning amplifies it (measured
+        # 1.7e-2 rel grad disagreement vs the solve variant on chip;
+        # CPU true-f32 agrees to 5e-6 — round-5 log).  The GEMV is
+        # n²-HBM-bound, so the extra passes cost nothing.
+        A = jnp.matmul(
+            Kinv, y, preferred_element_type=y.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     else:
         # Consume L completely before allocating Kinv so its buffer is
         # reusable.
