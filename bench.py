@@ -74,24 +74,29 @@ def headline():
     assert model._fast_eligible(model.X), "bench must hit the fused path"
     values = get_trainable(model)
 
-    step = jax.jit(
-        lambda v, m: jax.value_and_grad(lambda v: with_trainable(m, v)._loss())(v)
-    )
-
-    loss, grads = step(values, model)  # compile + warmup
-    _ = float(loss) + float(grads["kernel.length_scales"][0])
-
-    # Per-DISPATCH latency: one step per host round-trip, host-reading the
-    # loss and a gradient each time (perturbed so nothing is memoized).
-    times = []
-    for i in range(iters):
-        v = dict(values)
-        v["kernel.length_scales"] = values["kernel.length_scales"] + 1e-6 * (i + 1)
-        t0 = time.perf_counter()
-        loss, grads = step(v, model)
+    # Per-DISPATCH latency probe (OFF by default: it costs a SECOND full
+    # 32k compile, which blew the driver leg budget in rehearsal —
+    # BENCH_DISPATCH=1 to measure the tunnel round-trip overhead).
+    dt_dispatch = None
+    if os.environ.get("BENCH_DISPATCH", "0") == "1":
+        step = jax.jit(
+            lambda v, m: jax.value_and_grad(
+                lambda v: with_trainable(m, v)._loss()
+            )(v)
+        )
+        loss, grads = step(values, model)  # compile + warmup
         _ = float(loss) + float(grads["kernel.length_scales"][0])
-        times.append(time.perf_counter() - t0)
-    dt_dispatch = min(times)
+        times = []
+        for i in range(iters):
+            v = dict(values)
+            v["kernel.length_scales"] = (
+                values["kernel.length_scales"] + 1e-6 * (i + 1)
+            )
+            t0 = time.perf_counter()
+            loss, grads = step(v, model)
+            _ = float(loss) + float(grads["kernel.length_scales"][0])
+            times.append(time.perf_counter() - t0)
+        dt_dispatch = min(times)
 
     # Training-loop per-step rate (the headline): k steps of compiled Adam
     # through the public fit path (fit_scan = lax.scan over steps in ONE
@@ -126,21 +131,26 @@ def headline():
         ),
         flush=True,
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"gpr_nlml_grad_n{n}_dispatch_ms",
-                "value": round(dt_dispatch * 1e3, 1),
-                "unit": "ms/step",
-                "vs_baseline": round(dt_dispatch / dt, 2),
-            }
-        ),
-        flush=True,
-    )
+    extra = ""
+    if dt_dispatch is not None:
+        print(
+            json.dumps(
+                {
+                    "metric": f"gpr_nlml_grad_n{n}_dispatch_ms",
+                    "value": round(dt_dispatch * 1e3, 1),
+                    "unit": "ms/step",
+                    "vs_baseline": round(dt_dispatch / dt, 2),
+                }
+            ),
+            flush=True,
+        )
+        extra = (
+            f", single dispatch={dt_dispatch*1e3:.1f} ms "
+            f"(overhead {1e3*(dt_dispatch-dt):.1f} ms)"
+        )
     print(
         f"# n={n} d={d} iters={iters} nb={nb} train-loop step={dt*1e3:.1f} ms "
-        f"(x{k} scan), single dispatch={dt_dispatch*1e3:.1f} ms "
-        f"(overhead {1e3*(dt_dispatch-dt):.1f} ms) "
+        f"(x{k} scan){extra} "
         f"loss={float(losses[-1]):.3f} backend={jax.default_backend()}",
         file=sys.stderr,
     )
