@@ -107,29 +107,38 @@ def _select_jitter_jvp(primals, tangents):
 _BLOCKED_MIN_N = 4096  # above this, the blocked MXU path beats stock chol
 
 
-def _chol_raw(a):
+def _chol_raw(a, blocked: bool = True):
     """Plain lower Cholesky; large single matrices take the GEMM-dominated
-    blocked path (gptorch_tpu.ops.blocked, custom closed-form adjoint)."""
-    if a.ndim == 2 and a.shape[0] >= _BLOCKED_MIN_N:
+    blocked path (gptorch_tpu.ops.blocked, custom closed-form adjoint).
+
+    ``blocked=False`` forces stock ``lax.linalg.cholesky``: the unrolled
+    blocked factorization as a STANDALONE program fragments HBM temps
+    (compile-time OOM at n=16384: 64.45G requested — round-5 serving
+    log; same mechanism as the documented 32k standalone OOM).  Use it
+    for one-time factorizations where the stock rate (~15 TF/s) is
+    irrelevant; the blocked path earns its keep inside fused training
+    programs, where XLA schedules it tightly."""
+    if blocked and a.ndim == 2 and a.shape[0] >= _BLOCKED_MIN_N:
         from .ops.blocked import cholesky_blocked
 
         return cholesky_blocked(a)
     return lax.linalg.cholesky(a)
 
 
-def cholesky(a, policy: str | None = None):
+def cholesky(a, policy: str | None = None, blocked: bool = True):
     """Lower-triangular Cholesky factor with configurable jitter robustness.
 
     Drop-in analog of reference ``functions.cholesky`` (functions.py:46-47).
+    ``blocked=False``: see :func:`_chol_raw`.
     """
     a = jnp.asarray(a)
     policy = policy if policy is not None else settings.config.jitter_policy
     if policy == "none":
-        return _chol_raw(a)
+        return _chol_raw(a, blocked)
     if policy == "fixed":
         scale = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)
         jitter = settings.config.fixed_jitter * lax.stop_gradient(scale)
-        return _chol_raw(add_diag(a, jitter))
+        return _chol_raw(add_diag(a, jitter), blocked)
     if policy == "adaptive":
         if a.ndim != 2:
             # Batched: vmap the 2-D path.
@@ -145,8 +154,8 @@ def cholesky(a, policy: str | None = None):
         # Cholesky VJP's triangular solves.
         return lax.cond(
             jitter > 0,
-            lambda: _chol_raw(add_diag(a, jitter)),
-            lambda: _chol_raw(a),
+            lambda: _chol_raw(add_diag(a, jitter), blocked),
+            lambda: _chol_raw(a, blocked),
         )
     raise ValueError(f"Unknown jitter policy {policy!r}")
 

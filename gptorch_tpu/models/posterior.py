@@ -1066,7 +1066,10 @@ def iterative_gpr_posterior(model, love_rank=None) -> IterativeGPRPosterior:
 
 
 def _gpr_factors(model):
-    L = cholesky(model._compute_kyy())
+    # blocked=False: the one-time factorization does not need the blocked
+    # MXU rate, and the unrolled blocked program standalone OOMs HBM
+    # temps at compile time from n=16384 (round-5 serving log).
+    L = cholesky(model._compute_kyy(), blocked=False)
     V = trtrs(model.Y - model.mean_function(model.X), L)
     return L, V
 
