@@ -267,24 +267,26 @@ def orchestrate():
              else "example1d"],
             {},
         ),
-        ("ekernels", None, 240, 60,
-         [py, os.path.join(HERE, "bench_ekernels.py")], {}),
-        ("svgp", None, 330, 90, [py, os.path.join(HERE, "bench_svgp.py")],
-         {"BENCH_ITERS": 20, "BENCH_N": sz(45730, 8192),
-          "BENCH_SCAN": sz(50, 10)}),
         # Serving fallback ladder (VERDICT r4 item 2): the n=16384 one-time
         # blocked_trtri compile can blow the tunnel budget; degrade to a
         # smaller n and still attest the GEMM-vs-trtrs speedup ratio.
         ("serving_8192", "serving", 330, 90, *serving(sz(8192, 2048), 64, 1)),
         ("serving_4096", "serving", 240, 60, *serving(sz(4096, 1024), 64, 0)),
+        # Vecchia before svgp/ekernels: its BENCH_r05 line must agree with
+        # BASELINE.md's re-attested 1164 ms (VERDICT r4 item 6 gate).
+        ("vecchia", None, 480, 150,
+         [py, os.path.join(HERE, "bench_vecchia.py")],
+         {"BENCH_N": sz(200000, 5000), "BENCH_ITERS": 3}),
+        ("svgp", None, 330, 90, [py, os.path.join(HERE, "bench_svgp.py")],
+         {"BENCH_ITERS": 20, "BENCH_N": sz(45730, 8192),
+          "BENCH_SCAN": sz(50, 10)}),
+        ("ekernels", None, 240, 60,
+         [py, os.path.join(HERE, "bench_ekernels.py")], {}),
         ("ssgp", None, 420, 120, [py, os.path.join(HERE, "bench_ssgp.py")],
          {"BENCH_N": sz(65536, 8192), "BENCH_ITERS": 2}),
         ("iterative", None, 420, 120,
          [py, os.path.join(HERE, "bench_iterative.py")],
          {"BENCH_N": sz(100000, 4096), "BENCH_ITERS": 2}),
-        ("vecchia", None, 480, 150,
-         [py, os.path.join(HERE, "bench_vecchia.py")],
-         {"BENCH_N": sz(200000, 5000), "BENCH_ITERS": 3}),
     ]
 
     ladder_ok = set()
