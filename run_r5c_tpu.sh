@@ -49,8 +49,9 @@ run_item serving_16384 2400 BENCH_N=16384 BENCH_SVGP=0 BENCH_TRTRI=solve python 
 # between the compiled-loop headline and per-dispatch stepping).
 run_item headline_dispatch 1500 BENCH_DISPATCH=1 python bench.py --leg headline
 
-# 4. SSM bisection second point, if the day allows.
-run_item ssgp_131072 3000 BENCH_N=131072 BENCH_ITERS=2 python bench_ssgp.py
+# 4. SSM bisection second point, if the day allows (explicit 64k chunking:
+# the monolithic HLO is the known compile cliff past 64k).
+run_item ssgp_131072 3000 BENCH_N=131072 BENCH_ITERS=2 GPTORCH_TPU_SSM_CHUNK=65536 python bench_ssgp.py
 
 echo "queue finished $(date)" >> "$LOG"
 echo "finished $(date)" > "$STATE"
