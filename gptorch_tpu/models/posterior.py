@@ -148,9 +148,21 @@ class GPRPosterior(Posterior):
             from jax.scipy.linalg import solve_triangular
 
             n = self.L.shape[0]
-            Linv = solve_triangular(
-                self.L, jnp.eye(n, dtype=self.L.dtype), lower=True
-            )
+            # Column-slabbed identity RHS: a full (n, n) RHS makes XLA's
+            # recursive TRSM lowering request ~60 n² temps at compile
+            # time (measured 64.45G at n=16384 — round-5 serving log);
+            # slabs bound the temps and each slab is its own small
+            # program.
+            slab = 4096
+            cols = [
+                solve_triangular(
+                    self.L,
+                    jnp.eye(n, min(slab, n - lo), k=-lo, dtype=self.L.dtype),
+                    lower=True,
+                )
+                for lo in range(0, n, slab)
+            ]
+            Linv = cols[0] if len(cols) == 1 else jnp.concatenate(cols, 1)
         elif method == "blocked":
             from ..ops.blocked import blocked_trtri
 
