@@ -151,9 +151,10 @@ class GPRPosterior(Posterior):
             # Column-slabbed identity RHS: a full (n, n) RHS makes XLA's
             # recursive TRSM lowering request ~60 n² temps at compile
             # time (measured 64.45G at n=16384 — round-5 serving log);
-            # slabs bound the temps and each slab is its own small
-            # program.
-            slab = 4096
+            # slabs bound the temps (the lowering's temp footprint scales
+            # with RHS width: 4096-wide still allocated 16.86G at
+            # n=16384) and each slab is its own small program.
+            slab = 1024
             cols = [
                 solve_triangular(
                     self.L,
