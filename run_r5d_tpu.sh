@@ -38,7 +38,10 @@ run_item() {
 
 touch "$STATE.done"
 
-run_item serving_16384 2400 BENCH_N=16384 BENCH_SVGP=0 BENCH_TRTRI=solve python bench_serving.py
+# blocked conversion: eager d&c trtri has per-shape-cached small
+# programs (28.3 s total at 8192); the single-op solve conversion's TRSM
+# lowering OOMs compile-time temps at 16384 even 4096-wide.
+run_item serving_16384b 2400 BENCH_N=16384 BENCH_SVGP=0 BENCH_TRTRI=blocked python bench_serving.py
 run_item ssgp_65536 1500 BENCH_N=65536 BENCH_ITERS=3 python bench_ssgp.py
 
 echo "queue finished $(date)" >> "$LOG"
