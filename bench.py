@@ -10,9 +10,11 @@ tunnel compiles blew it (rc=124) and lost 5 of 8 metrics.  This version:
 * runs each leg in its OWN subprocess (process-group) with a timeout of
   ``min(leg_cap, remaining)`` — a hung remote compile kills one leg, not
   the round (a stuck XLA compile cannot be interrupted in-process);
-* orders legs cheapest-compile / highest-value first:
-  headline -> parity -> psi-stats -> SVGP -> serving (n fallback ladder
-  16384 -> 8192 -> 4096) -> SSM-64k -> BBMM-100k -> Vecchia-200k;
+* orders legs highest-value first:
+  headline -> parity -> serving (n fallback ladder 8192 -> 4096; the
+  16384 point is attested out-of-band, BASELINE.md) -> Vecchia-200k
+  (its line must agree with BASELINE's re-attested number) -> SVGP ->
+  psi-stats -> SSM-64k -> BBMM-100k;
 * echoes every child JSON line immediately (unbuffered) and re-emits the
   headline record as the FINAL line so the driver's parsed metric is the
   canonical ``gpr_nlml_grad_n32768_steps_per_s``;
@@ -182,7 +184,11 @@ def run_leg(name, cmd, env_extra, timeout_s, json_lines):
             *cmd[1:],
         ]
     env = dict(os.environ)
-    env.update({k: str(v) for k, v in env_extra.items()})
+    # Leg entries are DEFAULTS: an explicitly exported env var (e.g. a
+    # user running BENCH_N=512 BENCH_LEGS=headline) wins over the leg's
+    # per-leg sizing.
+    for k, v in env_extra.items():
+        env.setdefault(k, str(v))
     # A timed-out child is SIGKILLed: without this, JSON lines it already
     # printed could die in its stdio buffer.
     env["PYTHONUNBUFFERED"] = "1"

@@ -44,16 +44,30 @@ def add_diag(a, s):
     an (n, n) identity: an n² eye in the Gram chain breaks XLA fusion at
     32k (CLAUDE.md) and, worse, can be constant-folded into the HLO —
     at n=16384 that is a 1 GB constant that kills this machine's remote
-    compiler (round-5 serving log, HTTP 500).  ``s`` is a scalar or any
-    shape broadcastable against the batched diagonal."""
+    compiler (round-5 serving log, HTTP 500).
+
+    ``s`` is disambiguated by NDIM (shape matching would be ambiguous
+    when the batch size equals the matrix dimension):
+
+    * ``s.ndim == 0``          — one scalar added to every diagonal;
+    * ``s.ndim == a.ndim - 2`` — one scalar PER MATRIX (batched jitter,
+      shape ``a.shape[:-2]``);
+    * ``s.ndim == a.ndim - 1`` — a PER-DIAGONAL vector, shape
+      ``a.shape[:-2] + (n,)``.
+    """
     shp = a.shape[-2:]
     i = lax.broadcasted_iota(jnp.int32, shp, 0)
     j = lax.broadcasted_iota(jnp.int32, shp, 1)
     s = jnp.asarray(s, dtype=a.dtype)
-    if s.ndim and s.shape[-1] == a.shape[-1]:
-        s = s[..., :, None]  # per-diagonal vector: s[i] lands at (i, i)
-    elif s.ndim:
-        s = s[..., None, None]  # batched scalar jitter
+    if s.ndim == a.ndim - 1:
+        s = s[..., :, None]  # per-diagonal vector: s[..., i] lands at (i, i)
+    elif s.ndim == a.ndim - 2:
+        s = s[..., None, None]  # per-matrix scalar jitter
+    elif s.ndim != 0:
+        raise ValueError(
+            f"add_diag: s.ndim {s.ndim} must be 0, a.ndim-2, or a.ndim-1 "
+            f"(a.ndim {a.ndim})"
+        )
     return jnp.where(i == j, a + s, a)
 
 
@@ -142,9 +156,9 @@ def cholesky(a, policy: str | None = None, blocked: bool = True):
     if policy == "adaptive":
         if a.ndim != 2:
             # Batched: vmap the 2-D path.
-            return jax.vmap(lambda m: cholesky(m, policy="adaptive"))(
-                a.reshape((-1,) + a.shape[-2:])
-            ).reshape(a.shape)
+            return jax.vmap(
+                lambda m: cholesky(m, policy="adaptive", blocked=blocked)
+            )(a.reshape((-1,) + a.shape[-2:])).reshape(a.shape)
         jitter = _select_jitter(a)
         # BOTH factorizations live inside the cond: lax.cond only executes
         # (and only differentiates) the taken branch.  Hoisting the bare

@@ -1095,14 +1095,12 @@ def gpr_posterior(model) -> GPRPosterior:
     # pytree argument): the eager chain was ~5 separate XLA programs, each
     # a round-trip to the remote compiler on tunnel-TPU setups (measured
     # 975 s at n=8192 through a degraded tunnel, round-5 log).  The jit
-    # wrapper is keyed on the jitter settings because functions.cholesky
-    # reads them at TRACE time — one cached program per settings context.
+    # wrapper is keyed on settings.trace_key() because functions.cholesky
+    # reads the jitter settings at TRACE time — one cached program per
+    # settings context.
     from .. import settings
 
-    key = (
-        settings.config.jitter_policy,
-        float(settings.config.fixed_jitter),
-    )
+    key = settings.trace_key()
     fn = _gpr_factors_jits.get(key)
     if fn is None:
         import jax

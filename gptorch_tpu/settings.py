@@ -81,6 +81,20 @@ def override(**kwargs):
             setattr(config, k, v)
 
 
+def trace_key() -> tuple:
+    """The config fields that jitted numerics read at TRACE time (the
+    jitter policy family, functions.py).  Any module-level cache of a
+    jitted callable whose trace touches :func:`gptorch_tpu.functions`
+    must include this tuple in its cache key, or a later call under
+    ``settings.override`` silently reuses a program compiled with the
+    OLD settings."""
+    return (
+        config.jitter_policy,
+        float(config.fixed_jitter),
+        int(config.max_jitter_tries),
+    )
+
+
 def next_default_key() -> jax.Array:
     """A convenience PRNG key for APIs mirroring the reference's implicit
     global RNG (e.g. torch.randn in predict_f_samples, models/base.py:372).

@@ -158,10 +158,14 @@ def fit_optax(
 
 
 @_functools.lru_cache(maxsize=64)
-def _scan_runner(method: str, max_iter: int, learning_rate):
-    """One jitted whole-run trainer per (method, max_iter, lr) — the
-    callable is cached so jax's own jit cache (keyed on the model
-    treedef + shapes) can reuse compiles across fit_scan calls."""
+def _scan_runner(method: str, max_iter: int, learning_rate, settings_key):
+    """One jitted whole-run trainer per (method, max_iter, lr,
+    settings.trace_key()) — the callable is cached so jax's own jit
+    cache (keyed on the model treedef + shapes) can reuse compiles
+    across fit_scan calls.  ``settings_key`` is in the cache key because
+    the loss's cholesky reads the jitter settings at TRACE time: without
+    it, a call under ``settings.override`` would silently reuse a
+    program compiled with the old policy."""
     tx = make_optimizer(method, learning_rate)
     use_lbfgs = method == "LBFGS"
 
@@ -236,7 +240,11 @@ def fit_scan(
     values = get_trainable(model)
     if key is None:
         key = jax.random.PRNGKey(0)
-    run = _scan_runner(method, int(max_iter), learning_rate)
+    from .. import settings as _settings
+
+    run = _scan_runner(
+        method, int(max_iter), learning_rate, _settings.trace_key()
+    )
     values, losses = run(values, model, key)
     bad = np.flatnonzero(~np.isfinite(np.asarray(losses)))
     if bad.size:

@@ -11,7 +11,10 @@ LOG=${1:-/tmp/r4c_tpu.log}
 echo "=== ssgp n=1M chunk=65536 3-phase $(date)" >> "$LOG"
 timeout 1800 env BENCH_N=1000000 BENCH_ITERS=2 GPTORCH_TPU_SSM_CHUNK=65536 \
   python bench_ssgp.py >> "$LOG" 2>&1
-SSGP_OK=$(grep -c ssgp_nlml_grad_n1000000 "$LOG" 2>/dev/null || echo 0)
+# grep -c prints the count itself (0 on no match, with exit 1); an
+# `|| echo 0` here would APPEND a second line ("0\n0") and break the
+# numeric test.  Only a missing/unreadable file prints nothing -> :-0.
+SSGP_OK=$(grep -c ssgp_nlml_grad_n1000000 "$LOG" 2>/dev/null | head -n1)
 
 if [ "${SSGP_OK:-0}" -eq 0 ]; then
   echo "=== ssgp n=262144 chunk=32768 fallback $(date)" >> "$LOG"

@@ -9,6 +9,7 @@ import pytest
 
 from gptorch_tpu import settings
 from gptorch_tpu.functions import (
+    add_diag,
     cholesky,
     cholesky_inverse,
     cholesky_or_raise,
@@ -79,6 +80,58 @@ class TestCholesky:
             assert np.asarray(L[i]) == pytest.approx(
                 np.linalg.cholesky(np.asarray(A[i]))
             )
+
+
+class TestAddDiag:
+    """where-on-iota diagonal add (the no-eye idiom, round 5): must be
+    bit-equal to the eye-based formulation in every s-shape mode, incl.
+    the ambiguous batch-size-equals-matrix-dim case (B == n)."""
+
+    def test_scalar_and_vector_2d(self):
+        rng = np.random.RandomState(0)
+        a = rng.randn(5, 5)
+        assert np.asarray(add_diag(a, 0.7)) == pytest.approx(
+            a + 0.7 * np.eye(5), abs=0
+        )
+        v = rng.randn(5)
+        assert np.asarray(add_diag(a, v)) == pytest.approx(
+            a + np.diag(v), abs=0
+        )
+
+    def test_batched_scalar_when_batch_equals_n(self):
+        """B == n == 3: a (3,)-vector s means one scalar PER MATRIX (ndim
+        rule), never a shared per-diagonal vector."""
+        rng = np.random.RandomState(1)
+        a = rng.randn(3, 3, 3)
+        s = np.array([1.0, 2.0, 3.0])
+        out = np.asarray(add_diag(a, s))
+        expect = a + s[:, None, None] * np.eye(3)
+        assert out == pytest.approx(expect, abs=0)
+
+    def test_batched_per_diagonal_and_bad_ndim(self):
+        rng = np.random.RandomState(2)
+        a = rng.randn(2, 4, 4)
+        sv = rng.randn(2, 4)
+        out = np.asarray(add_diag(a, sv))
+        expect = a + np.stack([np.diag(sv[0]), np.diag(sv[1])])
+        assert out == pytest.approx(expect, abs=0)
+        with pytest.raises(ValueError, match="add_diag"):
+            add_diag(a, rng.randn(2, 4, 4))
+
+    def test_fixed_policy_batched_jitter_placement(self):
+        """cholesky(policy='fixed') on a batch with B == n must add each
+        matrix ITS OWN relative jitter (the add_diag ambiguity bug)."""
+        rng = np.random.RandomState(3)
+        b = rng.randn(3, 6, 3)
+        batch = np.matmul(np.transpose(b, (0, 2, 1)), b) + 3.0 * np.eye(3)
+        # scale one matrix up: its absolute jitter must scale with it
+        batch[2] *= 100.0
+        with settings.override(jitter_policy="fixed", fixed_jitter=1e-2):
+            L = np.asarray(cholesky(batch))
+        for k in range(3):
+            scale = np.mean(np.diagonal(batch[k]))
+            expect = np.linalg.cholesky(batch[k] + 1e-2 * scale * np.eye(3))
+            assert L[k] == pytest.approx(expect, rel=1e-10)
 
 
 def test_trtrs():

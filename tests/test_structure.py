@@ -84,14 +84,21 @@ class TestSearch:
         assert np.isfinite(mu).all()
 
     def test_fit_scan_runner_cache_shared(self):
-        """Same (method, max_iter, lr) => the SAME jitted runner object, so
-        same-structure candidates / restarts reuse one XLA compile."""
+        """Same (method, max_iter, lr, settings) => the SAME jitted runner
+        object, so same-structure candidates / restarts reuse one XLA
+        compile; different jitter settings => a DIFFERENT runner (the
+        loss's cholesky reads them at trace time)."""
+        from gptorch_tpu import settings
         from gptorch_tpu.training.fit import _scan_runner
 
-        a = _scan_runner("LBFGS", 40, None)
-        b = _scan_runner("LBFGS", 40, None)
+        k = settings.trace_key()
+        a = _scan_runner("LBFGS", 40, None, k)
+        b = _scan_runner("LBFGS", 40, None, k)
         assert a is b
-        assert _scan_runner("Adam", 40, None) is not a
+        assert _scan_runner("Adam", 40, None, k) is not a
+        with settings.override(jitter_policy="none"):
+            assert settings.trace_key() != k
+            assert _scan_runner("LBFGS", 40, None, settings.trace_key()) is not a
 
     def test_stops_when_no_improvement(self, trend_plus_wiggle):
         """max_depth=3 with a grammar that can't improve past depth 1
